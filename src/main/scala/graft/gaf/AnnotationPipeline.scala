@@ -1,0 +1,296 @@
+package graft.gaf
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.gaf.Constants._
+import graft.operators.{AnnotMerge, Consolidator, MergeSink}
+import graft.plans.DagClosure
+
+/** Dimension-table bundle (all small: broadcast at every use). */
+final case class Dimensions(
+    rgdIds: DataFrame,       // rgd_id, object_key, object_status, species_type_key
+    genes: DataFrame,        // rgd_id, gene_symbol, full_name, ...
+    xdb: DataFrame,          // rgd_id, xdb_key, acc_id
+    history: DataFrame,      // old_rgd_id, new_rgd_id
+    ontTerms: DataFrame,     // term_acc, term, ...
+    ontSynonyms: DataFrame,  // term_acc, synonym_name, ...
+    ontDag: DataFrame,       // parent_term_acc, child_term_acc
+    orthologs: DataFrame)    // src_rgd_id, dest_rgd_id (rat side = dest)
+
+final case class PipelineConfig(
+    speciesTypeKey: Int,
+    refRgdId: Int,                 // 0 suppresses the direct branch (F11)
+    isoRefRgdId: Int,
+    sources: Seq[String],          // F2 allow-list (AppConfigure.xml:13-18)
+    runTs: Timestamp,              // injected SYSDATE (SURVEY.md §7.3)
+    createdBy: Int = CREATED_BY,
+    isoCodes: Set[String] = isoEvidenceCodes,
+    dataSrcSubstMap: Map[String, String] = dataSrcSubst)
+
+/** The reference's per-species imperative loop as ONE parameterized
+  * logical plan (SURVEY.md §7.1):
+  *
+  *   gafScan |> filterSources |> qcTermFilters |> matchGenes
+  *     |> isoUnion |> scalarQc |> enrich |> consolidateWithInfo
+  *     |> mergeDuplicates |> classifyAgainst(existing)
+  *
+  * Every dimension join is an explicit `broadcast` (the reference's five
+  * synchronized HashMap caches, DAO.java:40-145); the only wide shuffles
+  * in the whole plan are the two merge aggregations and the final
+  * classify join.
+  */
+object AnnotationPipeline {
+
+  // ---------------------------------------------------------------- F2/A1
+  /** Source-database filter (MAHParser.java:55-67). */
+  def filterSources(gaf: DataFrame, sources: Seq[String]): DataFrame =
+    gaf.filter(col("db").isin(sources: _*))
+
+  // ---------------------------------------------------------------- F4/F5
+  /** F4: drop rows whose term carries a Not4Curation synonym
+    * (MAHQC.java:61-67); F5: drop IPI × (GO:0003824 ∪ descendants)
+    * (MAHQC.java:69-75).
+    */
+  def qcTermFilters(gaf: DataFrame, dims: Dimensions): DataFrame = {
+    val not4curation = dims.ontSynonyms
+      .filter(col("synonym_name") === NOT4CURATION)
+      .select(col("term_acc").as("go_id")).distinct()
+    val catalytic = DagClosure
+      .descendantsOf(dims.ontDag, "parent_term_acc", "child_term_acc",
+        CATALYTIC_ACTIVITY)
+      .select(col("descendant").as("go_id"))
+      .union(gaf.sparkSession.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(CATALYTIC_ACTIVITY)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("go_id",
+            org.apache.spark.sql.types.StringType)))))
+
+    gaf
+      .join(broadcast(not4curation), Seq("go_id"), "left_anti")
+      .join(broadcast(catalytic.withColumn("_ipi", lit(1))), Seq("go_id"), "left")
+      .filter(!(col("evidence") === "IPI" && col("_ipi").isNotNull))
+      .drop("_ipi")
+  }
+
+  // ------------------------------------------------------- J1..J6, F6, P3/P4/P10
+  /** Gene-matching join cascade (MAHQC.java:101-193). Emits one row per
+    * (input line, matched active gene): the reference's fan-out loop over
+    * `genes` becomes a one-to-many broadcast join; the per-source
+    * fallback chain (J2/J3) becomes priority candidates + keep-min-rank.
+    * Output adds `_row_id`, `rgd_id`, `species_type_key`.
+    */
+  def matchGenes(gaf: DataFrame, dims: Dimensions, fileSpecies: Int): DataFrame = {
+    val g = gaf.withColumn("_row_id", monotonically_increasing_id())
+
+    // candidate (priority, xdb_key, acc_id) per source strategy —
+    // the J1/J2/J3 fallback chain (MAHQC.java:101-167) as data
+    def c(prio: Int, xdb: Int, acc: Column) = struct(
+      lit(prio).as("prio"), lit(xdb).as("xdb_key"), acc.as("acc_id"))
+    val id = col("db_object_id")
+    val altId = substring_index(col("gene_product_form_id"), ":", -1) // P10
+    val hgncId = when(id.startsWith("HGNC:"), id)
+      .otherwise(concat(lit("HGNC:"), id))                            // P3
+    val cand =
+      when(col("db") === "MGI", array(c(1, XDB_MGD, id)))
+        .when(col("db") === "UniProtKB", array(
+          c(1, XDB_UNIPROT, id),
+          c(2, XDB_UNIPROT_SECONDARY, id),
+          c(3, XDB_UNIPROT, altId)))
+        .when(col("db") === "HGNC", array(c(1, XDB_HGNC, hgncId)))
+        .when(col("db") === "Ensembl", array(c(1, XDB_ENSEMBL, id)))
+        .when(col("db") === "RNAcentral",
+          array(c(1, XDB_RNACENTRAL, substring_index(id, "_", 1))))   // P4
+        .otherwise(array().cast("array<struct<prio:int,xdb_key:int,acc_id:string>>"))
+
+    val nonRgd = g.filter(col("db") =!= "RGD")
+      .withColumn("c", explode(cand))
+      .filter(col("c.acc_id").isNotNull && length(col("c.acc_id")) > 0)
+      .join(broadcast(dims.xdb),
+        col("c.xdb_key") === dims.xdb("xdb_key") &&
+          col("c.acc_id") === dims.xdb("acc_id"))
+      .drop("xdb_key", "acc_id")
+    // J2/J3 fallback: keep only the best-priority tier that matched
+    val wBest = Window.partitionBy(col("_row_id"))
+    val best = nonRgd
+      .withColumn("_minp", min(col("c.prio")).over(wBest))
+      .filter(col("c.prio") === col("_minp"))
+      .drop("_minp").withColumn("_prio", col("c.prio")).drop("c")
+
+    // J5: chinchilla identity — col 2 IS the rgd id, no join
+    val rgdDirect = g.filter(col("db") === "RGD")
+      .withColumn("rgd_id",
+        regexp_extract(col("db_object_id"), "(\\d+)", 1).cast("int"))
+      .filter(col("rgd_id").isNotNull)
+      .withColumn("_prio", lit(1))
+
+    val matched = best.unionByName(rgdDirect)
+
+    // J6: status validation + one-hop history redirect (MAHQC.java:169-193)
+    val status = dims.rgdIds.filter(col("object_key") === GENES_OBJECT_KEY)
+      .select(col("rgd_id"), col("object_status"), col("species_type_key"))
+    val histMax = dims.history.groupBy(col("old_rgd_id"))
+      .agg(max(col("new_rgd_id")).as("redir_rgd_id"))
+    val redirected = matched
+      .join(broadcast(status), Seq("rgd_id"), "left")
+      .join(broadcast(histMax), matched("rgd_id") === col("old_rgd_id"), "left")
+      .withColumn("final_rgd_id",
+        when(col("object_status") === "ACTIVE", col("rgd_id"))
+          .otherwise(col("redir_rgd_id")))
+      .filter(col("final_rgd_id").isNotNull)
+      .drop("rgd_id", "object_status", "species_type_key", "old_rgd_id",
+        "redir_rgd_id")
+      .withColumnRenamed("final_rgd_id", "rgd_id")
+      .join(broadcast(status), Seq("rgd_id"))
+      .filter(col("object_status") === "ACTIVE")
+      .drop("object_status")
+
+    // F6: species-mismatch guard (MAHQC.java:87-92); RNAcentral rows
+    // carry their species in the accession suffix (J4/P4)
+    val expected = when(col("db") === "RNAcentral",
+      coalesce(try_element_at(
+        typedLit(taxonToSpecies.map { case (k, v) => (k.toString, v) }),
+        substring_index(col("db_object_id"), "_", -1)),
+        lit(fileSpecies)))
+      .otherwise(lit(fileSpecies))
+    redirected
+      .filter(col("species_type_key") === expected)
+      .dropDuplicates("_row_id", "rgd_id")
+  }
+
+  // ------------------------------------------------------------ J7/F10/F11
+  /** Direct + ISO branches (MAHQC.java:195-220, 246-249). `matched` rows
+    * carry `rgd_id`; output is annotation-shaped (pre-enrichment).
+    */
+  def buildAnnotations(matched: DataFrame, dims: Dimensions,
+                       cfg: PipelineConfig): DataFrame = {
+    val base = matched.select(
+      col("go_id").as("term_acc"),
+      col("rgd_id").as("annotated_object_rgd_id"),
+      lit(GENES_OBJECT_KEY).as("rgd_object_key"),
+      col("assigned_by").as("data_src"),
+      lit(cfg.refRgdId).as("ref_rgd_id"),
+      col("evidence"),
+      col("with_info"),
+      col("aspect"),
+      col("qualifier"),
+      col("db_reference").as("xref_source"),
+      lit(null.asInstanceOf[String]).as("notes"),
+      col("annotation_extension"),
+      col("gene_product_form_id"),
+      col("gaf_date"),
+      col("rgd_id").as("_src_gene"))
+
+    // F11: refRgdId == 0 suppresses the direct branch (chinchilla path)
+    val direct =
+      if (cfg.refRgdId == 0) base.limit(0) else base
+
+    // J7 + F10: rat-ISO derivation via the ortholog join
+    val iso = matched
+      .filter(col("evidence").isin(cfg.isoCodes.toSeq: _*))
+      .join(broadcast(dims.orthologs), col("rgd_id") === col("src_rgd_id"))
+      .select(
+        col("go_id").as("term_acc"),
+        col("dest_rgd_id").as("annotated_object_rgd_id"),
+        lit(GENES_OBJECT_KEY).as("rgd_object_key"),
+        lit("RGD").as("data_src"),
+        lit(cfg.isoRefRgdId).as("ref_rgd_id"),
+        lit("ISO").as("evidence"),
+        concat(lit("RGD:"), col("rgd_id")).as("with_info"),
+        col("aspect"),
+        col("qualifier"),
+        lit(null.asInstanceOf[String]).as("xref_source"),
+        coalesce(nullif(trim(col("with_info")), lit("")),
+          col("db_reference")).as("notes"),
+        col("annotation_extension"),
+        col("gene_product_form_id"),
+        col("gaf_date"),
+        col("rgd_id").as("_src_gene"))
+
+    direct.unionByName(iso)
+  }
+
+  // ------------------------------------------------- F7/F8, P5-P9, J8/J9
+  /** Scalar QC + enrichment on annotation-shaped rows. */
+  def qcAndEnrich(annots: DataFrame, dims: Dimensions,
+                  cfg: PipelineConfig): DataFrame = {
+    val substMap = typedLit(cfg.dataSrcSubstMap)
+    val terms = dims.ontTerms.select(col("term_acc"), col("term"))
+    val genes = dims.genes.select(
+      col("rgd_id").as("annotated_object_rgd_id"),
+      col("gene_symbol").as("object_symbol"),
+      col("full_name").as("object_name"))
+
+    annots
+      // F7: self-referencing ISO (MAHQC.java:250-256)
+      .filter(!(col("with_info") <=>
+        concat(lit("RGD:"), col("annotated_object_rgd_id"))))
+      // P6: ISO moves gene_product_form_id into with_info (MAHQC.java:258-270)
+      .withColumn("with_info",
+        when(col("evidence") === "ISO" &&
+          length(coalesce(col("gene_product_form_id"), lit(""))) > 0,
+          concat_ws(",", col("with_info"), col("gene_product_form_id")))
+          .otherwise(col("with_info")))
+      .withColumn("gene_product_form_id",
+        when(col("evidence") === "ISO", lit(null)).otherwise(col("gene_product_form_id")))
+      // F8: ISO with empty with_info is meaningless (MAHQC.java:272-276)
+      .filter(!(col("evidence") === "ISO" &&
+        length(coalesce(col("with_info"), lit(""))) === 0))
+      // P7: annotation_extension is species-specific — cleared for ISO
+      .withColumn("annotation_extension",
+        when(col("evidence") === "ISO", lit(null)).otherwise(col("annotation_extension")))
+      // P5: qualifier rewrite + blank->null (MAHQC.java:290-294)
+      .withColumn("qualifier",
+        nullif(trim(regexp_replace(coalesce(col("qualifier"), lit("")),
+          "colocalizes_with", "located_in")), lit("")))
+      // P8: DATA_SRC substitution map (MAHQC.java:310-316)
+      .withColumn("data_src",
+        coalesce(try_element_at(substMap, col("data_src")), col("data_src")))
+      // J8 + F9: unknown terms drop via the inner join (MAHQC.java:300-308)
+      .join(broadcast(terms), Seq("term_acc"))
+      // J9: symbol/name enrichment (MAHQC.java:322-327)
+      .join(broadcast(genes), Seq("annotated_object_rgd_id"))
+      // P9: yyyyMMdd -> original_created_date (MAHQC.java:343-345)
+      .withColumn("original_created_date",
+        to_timestamp(col("gaf_date"), "yyyyMMdd"))
+      .drop("gaf_date", "_src_gene")
+  }
+
+  /** A4 consolidation key (WithInfoConsolidator.java:23-36). */
+  val consolidationKey: Seq[String] = Seq(
+    "term_acc", "annotated_object_rgd_id", "ref_rgd_id", "evidence",
+    "qualifier", "xref_source", "data_src", "notes")
+
+  /** A2 merge key (MAHDL.computeAnnotKey, MAHDL.java:46-55). */
+  val mergeKey: Seq[String] = Seq(
+    "term_acc", "annotated_object_rgd_id", "ref_rgd_id", "evidence",
+    "qualifier", "with_info")
+
+  /** Full per-species plan: GAF rows in, merge-ready annotations out. */
+  def annotate(gaf: DataFrame, dims: Dimensions, cfg: PipelineConfig): DataFrame = {
+    val filtered = qcTermFilters(filterSources(gaf, cfg.sources), dims)
+    val matched = matchGenes(filtered, dims, cfg.speciesTypeKey)
+    val enriched = qcAndEnrich(buildAnnotations(matched, dims, cfg), dims, cfg)
+    val consolidated = Consolidator.consolidate(
+      enriched.drop("_row_id", "_prio"),
+      consolidationKey, "with_info", WITH_INFO_CAP)
+    AnnotMerge.merge(consolidated, mergeKey, "xref_source", "notes",
+      XREF_SOURCE_CAP)
+  }
+
+  /** annotate + classify-merge against the existing FULL_ANNOT snapshot. */
+  def run(gaf: DataFrame, existing: DataFrame, dims: Dimensions,
+          cfg: PipelineConfig): DataFrame = {
+    val incoming = annotate(gaf, dims, cfg)
+      .withColumn("full_annot_key", lit(null).cast("long"))
+      .withColumn("created_date", lit(null).cast("timestamp"))
+      .withColumn("last_modified_date", lit(null).cast("timestamp"))
+      .withColumn("created_by", lit(cfg.createdBy))
+      .withColumn("last_modified_by", lit(cfg.createdBy))
+    val cols = existing.columns.toSeq
+    MergeSink.merge(existing,
+      incoming.select(cols.map(col): _*), cfg.runTs, cfg.createdBy)
+  }
+}

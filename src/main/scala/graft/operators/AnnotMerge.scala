@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TokenOps
+import graft.functions.TokenOps.{XrefCand, XrefMerged}
+
+/** A2 + A3 — duplicate-annotation merge with XREF_SOURCE overflow
+  * (MAHDL.java:24-134).
+  *
+  * Candidates sharing the annotation key merge their XREF_SOURCE token
+  * sets; if the serialized set would exceed 4000 chars the
+  * accumulation-so-far is emitted and a fresh one started, so a group can
+  * yield several output annotations. The overflow makes the fold
+  * order-sensitive, so candidates are sorted first (deterministic,
+  * unlike the reference's parallel arrival order — SURVEY.md §7.3).
+  *
+  * Plan shape: one hash-aggregate shuffle on the key. Groups are
+  * duplicate sets of a single logical annotation — tiny in practice — so
+  * `collect_list` + a per-group sequential fold scales linearly with
+  * group count; a hot key at extreme scale would be pre-salted by an
+  * exact-dedup pass on (key, xref, notes) first.
+  */
+object AnnotMerge {
+
+  private val mergeUdf = udf((cands: Seq[XrefCand], cap: Int) =>
+    TokenOps.mergeXref(
+      cands.sortBy(c => (Option(c.xref).getOrElse(""), Option(c.notes).getOrElse(""))),
+      cap))
+
+  /** @param keyCols A2 key: term_acc, annotated_object_rgd_id, ref_rgd_id,
+    *                evidence, qualifier, with_info (MAHDL.java:46-55)
+    */
+  def merge(df: DataFrame, keyCols: Seq[String], xrefCol: String,
+            notesCol: String, cap: Int): DataFrame = {
+    val passCols =
+      df.columns.filterNot(c => keyCols.contains(c) || c == xrefCol || c == notesCol)
+    val aggs =
+      collect_list(struct(col(xrefCol).as("xref"), col(notesCol).as("notes")))
+        .as("_cands") +: passCols.map(c => max(col(c)).as(c))
+
+    df.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("_m", explode(mergeUdf(col("_cands"), lit(cap))))
+      .withColumn(xrefCol, nullIfEmpty(col("_m.xref")))
+      .withColumn(notesCol, nullIfEmpty(col("_m.notes")))
+      .drop("_cands", "_m")
+      // A3: NOTES identical to XREF_SOURCE carries no information
+      // (MAHDL.java:129-134)
+      .withColumn(notesCol,
+        when(col(notesCol) === col(xrefCol), lit(null)).otherwise(col(notesCol)))
+      .select(df.columns.map(col): _*)
+  }
+
+  private def nullIfEmpty(c: org.apache.spark.sql.Column) =
+    when(length(c) === 0, lit(null)).otherwise(c)
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TokenOps
+
+/** A4 — WITH_INFO consolidation (WithInfoConsolidator.java:9-143).
+  *
+  * Rows sharing the consolidation key merge their `[|,]`-delimited token
+  * lists into one sorted set, which is re-fragmented into `|`-joined
+  * strings of <= cap chars; `explode` then emits exactly fragment-count
+  * rows — the reference's clone-extra-rows / delete-surplus-rows
+  * bookkeeping (WithInfoConsolidator.java:96-139) disappears.
+  *
+  * Rows with an empty/null token column never merge (the reference tags
+  * them `" EMPTY"` — WithInfoConsolidator.java:23-36); they pass through
+  * a union, not a special group.
+  *
+  * Plan shape: one hash-aggregate shuffle on the key; the token-set
+  * union runs as built-in `collect_list`/`flatten`/`array_distinct`/
+  * `array_sort` expressions with map-side partial aggregation; only the
+  * final fragmenting is a Scala UDF (small input: one sorted token array
+  * per group).
+  */
+object Consolidator {
+
+  val fragmentUdf =
+    udf((tokens: Seq[String], cap: Int) => TokenOps.fragment(tokens, cap))
+
+  /** Sorted-distinct union of split tokens — codegen-friendly core. */
+  def tokenSetAgg(tokenCol: Column): Column =
+    array_sort(array_distinct(flatten(collect_list(
+      filter(transform(split(tokenCol, "[|,]"), t => trim(t)),
+             t => length(t) > 0)))))
+
+  /** @param keyCols  consolidation key (A4: term_acc, rgd_id, ref_rgd_id,
+    *                 evidence, qualifier, xref_source, data_src, notes)
+    * @param tokenCol the `[|,]`-delimited column to consolidate
+    * @param cap      serialized-length cap (1700 for WITH_INFO)
+    */
+  def consolidate(df: DataFrame, keyCols: Seq[String], tokenCol: String,
+                  cap: Int): DataFrame = {
+    val passCols = df.columns.filterNot(c => keyCols.contains(c) || c == tokenCol)
+    val mergeable = df.filter(length(coalesce(col(tokenCol), lit(""))) > 0)
+    val empties = df.filter(length(coalesce(col(tokenCol), lit(""))) === 0)
+
+    val aggs = tokenSetAgg(col(tokenCol)).as("_tokens") +:
+      passCols.map(c => max(col(c)).as(c))
+    val merged = mergeable
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(tokenCol,
+        explode(fragmentUdf(col("_tokens"), lit(cap))))
+      .drop("_tokens")
+
+    merged.select(df.columns.map(col): _*)
+      .unionByName(empties.select(df.columns.map(col): _*))
+  }
+}

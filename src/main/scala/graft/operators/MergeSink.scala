@@ -1,0 +1,128 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** J11 + U1–U5 — the MERGE sink (MAHDL.java:127-187, DAO.java:169-226).
+  *
+  * Incoming annotations are classified against the existing FULL_ANNOT
+  * snapshot by a full-outer join on the 7-field null-safe unique key
+  * (SURVEY.md §1.3; the jar's `NVL(x,'*')` match becomes `<=>`):
+  *
+  *  - insert  — no existing match (U1): new surrogate key, both dates = runTs
+  *  - update  — match, any of the 4 updatable fields differ (U2)
+  *  - touch   — match, unchanged: refresh last_modified_date only (U3);
+  *              the touch is load-bearing — it protects rows from the
+  *              stale delete (U4)
+  *  - keep    — existing row with no incoming match (delete candidate)
+  *
+  * Scale: one shuffle on the unique key for the full-outer join (AQE
+  * handles skew); surrogate keys are assigned per-partition from
+  * `monotonically_increasing_id` offset by the existing max — no global
+  * sort, no driver collect of data rows.
+  */
+object MergeSink {
+
+  val uniqueKey: Seq[String] = Seq(
+    "term_acc", "annotated_object_rgd_id", "ref_rgd_id", "evidence",
+    "with_info", "qualifier", "xref_source")
+
+  /** Fields refreshed by U2 (DAO.updateAnnotEx, DAO.java:180-187). */
+  val updatableCols: Seq[String] = Seq(
+    "notes", "annotation_extension", "gene_product_form_id",
+    "original_created_date")
+
+  /** Classify + apply. Returns the merged table carrying an `_op` column
+    * (insert/update/touch/keep) so callers can count branches (A7) or
+    * drop it for the final snapshot.
+    *
+    * `incoming` must carry every `existing` column except
+    * `full_annot_key`, `created_date`, `last_modified_date`,
+    * `created_by`, `last_modified_by`.
+    */
+  def merge(existing: DataFrame, incoming: DataFrame, runTs: Timestamp,
+            createdBy: Int): DataFrame = {
+    val outCols = existing.columns.toSeq
+    val e = existing.withColumn("_e", lit(1)).as("e")
+    val i = incoming.withColumn("_i", lit(1)).as("i")
+    val cond: Column =
+      uniqueKey.map(k => col(s"e.$k") <=> col(s"i.$k")).reduce(_ && _)
+    val changed: Column =
+      updatableCols.map(c => !(col(s"e.$c") <=> col(s"i.$c"))).reduce(_ || _)
+
+    val maxKey: Long = existing.agg(coalesce(max(col("full_annot_key")), lit(0L)))
+      .head().getLong(0)
+
+    val joined = e.join(i, cond, "full_outer")
+      .withColumn("_op",
+        when(col("e._e").isNull, lit("insert"))
+          .when(col("i._i").isNull, lit("keep"))
+          .when(changed, lit("update"))
+          .otherwise(lit("touch")))
+
+    val ts = lit(runTs)
+    def pick(c: String): Column = c match {
+      case "full_annot_key" => col(s"e.$c")
+      case "created_date" => when(col("_op") === "insert", ts).otherwise(col(s"e.$c"))
+      case "last_modified_date" =>
+        when(col("_op") === "keep", col(s"e.$c")).otherwise(ts)
+      case "created_by" =>
+        when(col("_op") === "insert", lit(createdBy)).otherwise(col(s"e.$c"))
+      case "last_modified_by" =>
+        when(col("_op") === "insert", lit(createdBy)).otherwise(col(s"e.$c"))
+      case c if updatableCols.contains(c) =>
+        when(col("_op").isin("insert", "update"), col(s"i.$c")).otherwise(col(s"e.$c"))
+      case c => when(col("_op") === "insert", col(s"i.$c")).otherwise(col(s"e.$c"))
+    }
+
+    joined
+      .select(outCols.map(c => pick(c).as(c)) :+ col("_op"): _*)
+      // U1 surrogate keys: distributed, collision-free, no global sort
+      .withColumn("full_annot_key",
+        when(col("_op") === "insert",
+          monotonically_increasing_id() + lit(maxKey + 1))
+          .otherwise(col("full_annot_key")))
+  }
+
+  final case class StaleReport(staleCount: Long, currentCount: Long,
+                               aborted: Boolean)
+
+  /** U4/U5 — stale-annotation delete with the net-drop threshold brake
+    * (DAO.java:200-226; net-drop semantics per changes.txt:93-95).
+    *
+    * @param initialCount  count for (ref, species) snapshot taken before
+    *                      the run (A8)
+    * @param rgdIds        dimension for the species scope of the delete
+    */
+  def staleDelete(table: DataFrame, rgdIds: DataFrame, refRgdId: Int,
+                  speciesTypeKey: Int, cutoff: Timestamp, createdBy: Int,
+                  thresholdPct: Double, initialCount: Long)
+      : (DataFrame, StaleReport) = {
+    val scopeIds = broadcast(
+      rgdIds.filter(col("species_type_key") === speciesTypeKey)
+        .select(col("rgd_id")))
+    val stale = table
+      .filter(col("created_by") === createdBy &&
+        col("last_modified_date") < lit(cutoff) &&
+        col("ref_rgd_id") === refRgdId)
+      .join(scopeIds, col("annotated_object_rgd_id") === col("rgd_id"), "left_semi")
+
+    val staleCount = stale.count()
+    val currentCount = table
+      .filter(col("ref_rgd_id") === refRgdId)
+      .join(scopeIds, col("annotated_object_rgd_id") === col("rgd_id"), "left_semi")
+      .count()
+
+    val netDrop = initialCount - (currentCount - staleCount)
+    val abort = currentCount > 0 &&
+      netDrop > currentCount * thresholdPct / 100.0
+    if (abort || staleCount == 0) (table, StaleReport(staleCount, currentCount, abort))
+    else {
+      val kept = table.join(stale.select("full_annot_key"),
+        Seq("full_annot_key"), "left_anti")
+      (kept, StaleReport(staleCount, currentCount, aborted = false))
+    }
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ConsolidatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A4: rows sharing the key merge tokens into sorted fragments") {
+    val df = Seq(
+      ("k1", "b|a", "x"), ("k1", "c,a", "x"), ("k2", "z", "y"))
+      .toDF("key", "with_info", "other")
+    val out = Consolidator.consolidate(df, Seq("key"), "with_info", 1700)
+    val k1 = out.filter($"key" === "k1").collect()
+    assert(k1.length === 1)
+    assert(k1.head.getAs[String]("with_info") === "a|b|c")
+    assert(k1.head.getAs[String]("other") === "x")
+    assert(out.filter($"key" === "k2").head().getAs[String]("with_info") === "z")
+  }
+
+  test("A4: oversized merged sets explode into multiple rows (clone analog)") {
+    val df = Seq(("k", "aaaa|bbbb"), ("k", "cccc|dddd")).toDF("key", "with_info")
+    val out = Consolidator.consolidate(df, Seq("key"), "with_info", 9)
+    val frags = out.orderBy("with_info").collect().map(_.getString(1))
+    assert(frags === Array("aaaa|bbbb", "cccc|dddd"))
+  }
+
+  test("A4: empty with_info rows never merge (EMPTY tag parity)") {
+    val df = Seq(("k", ""), ("k", ""), ("k", "a")).toDF("key", "with_info")
+    val out = Consolidator.consolidate(df, Seq("key"), "with_info", 1700)
+    assert(out.count() === 3) // two empties pass through + one merged
+  }
+
+  test("A2: overflow emits multiple annotations per group") {
+    val df = Seq(
+      ("k", "PMID:1", null.asInstanceOf[String]),
+      ("k", "PMID:2", null.asInstanceOf[String]),
+      ("k", "PMID:3", null.asInstanceOf[String]))
+      .toDF("key", "xref_source", "notes")
+    val out = AnnotMerge.merge(df, Seq("key"), "xref_source", "notes", 15)
+    val xrefs = out.orderBy("xref_source").collect()
+      .map(_.getAs[String]("xref_source"))
+    assert(xrefs === Array("PMID:1|PMID:2", "PMID:3"))
+  }
+
+  test("A3: notes equal to xref_source are nulled") {
+    val df = Seq(("k", "PMID:1", "PMID:1")).toDF("key", "xref_source", "notes")
+    val out = AnnotMerge.merge(df, Seq("key"), "xref_source", "notes", 4000)
+    assert(out.head().getAs[String]("notes") === null)
+  }
+}

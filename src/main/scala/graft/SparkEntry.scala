@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    CoreQueries
+    CoreQueries, PipelineQueries, JoinQueries, AggQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -59,7 +59,7 @@ object AnnotationPipeline {
       .select(col("term_acc").as("go_id")).distinct()
     val catalytic = DagClosure
       .descendantsOf(dims.ontDag, "parent_term_acc", "child_term_acc",
-        CATALYTIC_ACTIVITY)
+        lit(CATALYTIC_ACTIVITY))
       .select(col("descendant").as("go_id"))
       .union(gaf.sparkSession.createDataFrame(
         java.util.List.of[org.apache.spark.sql.Row](

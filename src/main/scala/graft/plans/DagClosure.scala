@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Transitive closure over a DAG edge table — the one operator the
@@ -52,7 +52,7 @@ object DagClosure {
     * query (OntologyXDAO.isDescendantOf).
     */
   def descendantsOf(edges: DataFrame, parentCol: String, childCol: String,
-                    root: String, maxIters: Int = 64): DataFrame = {
+                    root: Column, maxIters: Int = 64): DataFrame = {
     val e = edges.select(col(parentCol).as("p"), col(childCol).as("c")).distinct()
     var acc = e.filter(col("p") === root).select(col("c").as("descendant"))
       .distinct().localCheckpoint()

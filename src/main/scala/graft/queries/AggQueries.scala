@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{AnnotMerge, Consolidator}
+
+/** SURVEY §2.4 aggregations (A3–A8) and §2.6 upsert/delete branches
+  * (U1–U5). a2_overflow_merge exercises the real AnnotMerge operator with
+  * a tiny cap; its emit-and-restart fold is not ANSI-SQL-expressible, so
+  * it has no oracle entry (driver records a rows-only check) — the exact
+  * semantics are property-tested in TokenOpsSpec/ConsolidatorSpec.
+  */
+object AggQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A3: NOTES==XREF nulling (MAHDL.java:129-134)
+    "a3_notes_nulling" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).select($"l_orderkey", $"l_linenumber",
+        when($"l_returnflag" === $"l_linestatus", lit(null))
+          .otherwise($"l_linestatus").as("notes"))
+    }),
+
+    // A4: WITH_INFO consolidation through the real Consolidator operator
+    // (cap ample -> one fragment per group == sorted-distinct concat)
+    "a4_withinfo_consolidate" -> ((s, d) => {
+      import s.implicits._
+      val df = Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderpriority".as("with_info"))
+      Consolidator.consolidate(df, Seq("o_custkey"), "with_info", 1700)
+    }),
+
+    // A5: singleton fast-path — unique keys pass through unchanged
+    "a5_singleton_fastpath" -> ((s, d) => {
+      import s.implicits._
+      val df = Tables.orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority".as("with_info"))
+      Consolidator.consolidate(df, Seq("o_orderkey"), "with_info", 1700)
+    }),
+
+    // A2 overflow: real AnnotMerge with a cap that forces emit-and-restart
+    // (no oracle: order-sensitive fold; spec-tested instead)
+    "a2_overflow_merge" -> ((s, d) => {
+      import s.implicits._
+      val df = Tables.orders(s, d).select(
+        $"o_custkey",
+        concat(lit("REF:"), $"o_orderkey").as("xref_source"),
+        lit(null).cast("string").as("notes"))
+      AnnotMerge.merge(df, Seq("o_custkey"), "xref_source", "notes", cap = 60)
+        .select($"o_custkey", $"xref_source", $"notes")
+    }),
+
+    // A6: rejected-branch counts (MAHQC.java:222-230)
+    "a6_rejected_counts" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_returnflag" =!= "N")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // A7: CounterPool -> one observed row of named metrics
+    "a7_pipeline_counters" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_total"),
+        count(when($"l_quantity" > 25, 1)).as("n_highqty"),
+        countDistinct($"l_orderkey").as("n_orders"))
+    }),
+
+    // A8: before/after counts per reference+species (A8 jar SQL analog:
+    // count with active-object semi-join, grouped)
+    "a8_ref_species_counts" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d).filter($"c_acctbal" >= 0)),
+          $"o_custkey" === $"c_custkey", "left_semi")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // U1: insert branch — incoming with no existing match (MAHDL.java:138-152)
+    "u1_insert_branch" -> ((s, d) => {
+      import s.implicits._
+      val existing = Tables.orders(s, d).filter($"o_orderkey" % 3 =!= 0)
+        .select($"o_orderkey".as("e_key"))
+      Tables.orders(s, d).filter($"o_orderkey" % 2 === 0)
+        .join(existing, $"o_orderkey" === $"e_key", "left_anti")
+        .select($"o_orderkey", $"o_custkey")
+    }),
+
+    // U2: update-if-changed branch (MAHDL.java:153-180)
+    "u2_update_branch" -> ((s, d) => {
+      import s.implicits._
+      val incoming = Tables.orders(s, d).select($"o_orderkey",
+        when($"o_orderkey" % 5 === 0, lit("X"))
+          .otherwise($"o_orderpriority").as("new_priority"))
+      Tables.orders(s, d).join(incoming, Seq("o_orderkey"))
+        .filter(!($"o_orderpriority" <=> $"new_priority"))
+        .select($"o_orderkey", $"o_orderpriority".as("old_priority"),
+          $"new_priority")
+    }),
+
+    // U3: touch branch — matched and unchanged (MAHDL.java:181-185)
+    "u3_touch_branch" -> ((s, d) => {
+      import s.implicits._
+      val incoming = Tables.orders(s, d).select($"o_orderkey",
+        when($"o_orderkey" % 5 === 0, lit("X"))
+          .otherwise($"o_orderpriority").as("new_priority"))
+      Tables.orders(s, d).join(incoming, Seq("o_orderkey"))
+        .filter($"o_orderpriority" <=> $"new_priority")
+        .select($"o_orderkey", $"o_orderpriority")
+    }),
+
+    // U4: stale anti-join — rows not touched since the cutoff
+    // (DAO.java:200-226: last_modified < cutoff == no recent activity)
+    "u4_stale_antijoin" -> ((s, d) => {
+      import s.implicits._
+      val touched = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp"))
+        .select($"l_orderkey")
+      Tables.orders(s, d)
+        .join(touched, $"o_orderkey" === $"l_orderkey", "left_anti")
+        .select($"o_orderkey", $"o_orderdate")
+    }),
+
+    // U5: scoped stale delete — same anti-join restricted to one
+    // species/ref scope (GoNonratAnnotationPipeline.java:314-325)
+    "u5_scoped_stale" -> ((s, d) => {
+      import s.implicits._
+      val touched = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp"))
+        .select($"l_orderkey")
+      val scope = Tables.customer(s, d).filter($"c_nationkey" < 5)
+        .select($"c_custkey")
+      Tables.orders(s, d)
+        .join(broadcast(scope), $"o_custkey" === $"c_custkey", "left_semi")
+        .join(touched, $"o_orderkey" === $"l_orderkey", "left_anti")
+        .select($"o_orderkey", $"o_custkey")
+    }),
+
+    // U4 guard inputs: the two scalar counts the threshold brake compares
+    "u4_threshold_counts" -> ((s, d) => {
+      import s.implicits._
+      val touched = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp"))
+        .select($"l_orderkey")
+      val stale = Tables.orders(s, d)
+        .join(touched, $"o_orderkey" === $"l_orderkey", "left_anti")
+      stale.agg(count(lit(1)).as("stale_count"))
+        .crossJoin(Tables.orders(s, d).agg(count(lit(1)).as("current_count")))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "a3_notes_nulling" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_returnflag = l_linestatus THEN NULL
+        |       ELSE l_linestatus END AS notes
+        |FROM lineitem""".stripMargin,
+
+    "a4_withinfo_consolidate" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS with_info
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "a5_singleton_fastpath" ->
+      "SELECT o_orderkey, o_orderpriority AS with_info FROM orders",
+
+    "a6_rejected_counts" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem WHERE l_returnflag <> 'N' GROUP BY 1, 2""".stripMargin,
+
+    "a7_pipeline_counters" ->
+      """SELECT count(*) AS n_total,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_highqty,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "a8_ref_species_counts" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |  WHERE c_custkey = o_custkey AND c_acctbal >= 0)
+        |GROUP BY 1""".stripMargin,
+
+    "u1_insert_branch" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0""".stripMargin,
+
+    "u2_update_branch" ->
+      """SELECT o_orderkey, o_orderpriority AS old_priority, 'X' AS new_priority
+        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderpriority <> 'X'""".stripMargin,
+
+    "u3_touch_branch" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE NOT (o_orderkey % 5 = 0 AND o_orderpriority <> 'X')""".stripMargin,
+
+    "u4_stale_antijoin" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')""".stripMargin,
+
+    "u5_scoped_stale" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |  WHERE c_custkey = o_custkey AND c_nationkey < 5)
+        |AND NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')""".stripMargin,
+
+    "u4_threshold_counts" ->
+      """SELECT (SELECT count(*) FROM orders
+        |  WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')) AS stale_count,
+        |  (SELECT count(*) FROM orders) AS current_count""".stripMargin
+  )
+}

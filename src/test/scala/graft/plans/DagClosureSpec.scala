@@ -28,13 +28,13 @@ class DagClosureSpec extends SparkSpec {
 
   test("descendantsOf walks multiple levels (CONNECT BY parity)") {
     val e = edges("a" -> "b", "b" -> "c", "c" -> "d", "x" -> "y")
-    val got = DagClosure.descendantsOf(e, "p", "c", "a").collect()
+    val got = DagClosure.descendantsOf(e, "p", "c", org.apache.spark.sql.functions.lit("a")).collect()
       .map(_.getString(0)).toSet
     assert(got === Set("b", "c", "d"))
   }
 
   test("descendantsOf of a leaf is empty") {
     val e = edges("a" -> "b")
-    assert(DagClosure.descendantsOf(e, "p", "c", "b").isEmpty)
+    assert(DagClosure.descendantsOf(e, "p", "c", org.apache.spark.sql.functions.lit("b")).isEmpty)
   }
 }

@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    CoreQueries, PipelineQueries, JoinQueries, AggQueries
+    CoreQueries, PipelineQueries, JoinQueries, AggQueries,
+    TextQueries, DedupQueries, SimilarityQueries, MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

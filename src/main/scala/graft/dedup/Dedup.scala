@@ -1,0 +1,167 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication family for corpus curation, each designed around ONE
+  * shuffle on a compact key — the only thing that scales to 100 TB:
+  *
+  *  - exact:     groupBy(md5(normalized text))
+  *  - token-set: groupBy(md5(sorted distinct tokens)) — order/whitespace
+  *               insensitive near-dup
+  *  - MinHash:   per-doc K-signature (map-side), LSH banding -> shuffle on
+  *               (band, band_key) buckets only; candidate pairs verified
+  *               by exact Jaccard inside buckets
+  *  - SimHash:   64-bit majority fingerprint; near-dups = small hamming
+  *               distance within prefix buckets
+  *  - embedding: cosine near-dup via bucketed pairing (see Similarity)
+  *
+  * Every doc-level signature is computed with builtin expressions
+  * (codegen'd md5/transform/aggregate) — no Python, no JVM UDF except the
+  * 64-bit simhash fold.
+  */
+object Dedup {
+
+  private def tokens(text: Column): Column =
+    array_distinct(split(lower(trim(text)), "\\s+"))
+
+  // ------------------------------------------------------------- exact
+  /** One row per duplicate group: keeper (min id) + member count. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_members"))
+
+  /** The deduplicated corpus: first id per normalized-content group. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // --------------------------------------------------------- token-set
+  /** Order/whitespace-insensitive near-dup key: hash of the sorted
+    * distinct token set.
+    */
+  def tokenSetSignature(text: Column): Column =
+    md5(array_join(array_sort(tokens(text)), " "))
+
+  def tokenSetGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(tokenSetSignature(col(textCol)).as("sig"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_members"))
+
+  // ------------------------------------------------------------ minhash
+  /** K md5-string minhashes over the distinct token set. String-min of
+    * md5(j:token) is a valid exchangeable hash family and — unlike
+    * seeded integer hashing — is reproducible in any engine with md5,
+    * which is what the DuckDB oracle checks.
+    */
+  def minhashSignature(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val hashes = (0 until k).map { j =>
+      array_min(transform(toks, t => md5(concat(lit(s"$j:"), t))))
+    }
+    array(hashes: _*)
+  }
+
+  /** LSH band keys: the signature chopped into `bands` groups of
+    * `rowsPerBand`, each hashed to one bucket key.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|",
+        lit(b.toString) +:
+          (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
+    }: _*)
+
+  /** Candidate near-dup pairs (a < b) sharing at least one LSH bucket.
+    * Shuffle cost: explode to (bucket, id) — K rows per doc — then a
+    * self-join per bucket; no all-pairs blowup.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, bands: Int = 4): DataFrame = {
+    val rpb = k / bands
+    val keyed = df.select(col(idCol).as("id"),
+        lshBandKeys(minhashSignature(col(textCol), k), bands, rpb).as("keys"))
+      .select(col("id"), explode(col("keys")).as("bucket"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------ ngram jaccard
+  /** Word n-gram shingles (consecutive, space-joined). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact shingle-Jaccard pairs >= threshold, via an inverted index on
+    * shingles (selective: only docs sharing a rare shingle ever pair).
+    * Integer arithmetic only — no float threshold drift.
+    *
+    * @param thresholdNum/.Den  Jaccard >= num/den
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("s"))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .filter(col("n_inter") * thresholdDen >= col("n_union") * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
+  }
+
+  // ------------------------------------------------------------ simhash
+  /** 64-bit SimHash over the distinct token set: per-bit majority vote of
+    * token hashes (rollingHash64). JVM UDF (bit fold isn't expressible as
+    * builtin columns) but still map-side only — no shuffle.
+    */
+  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((toks: Seq[String]) => {
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        var h = 1125899906842597L
+        var i = 0
+        while (i < t.length) { h = 31 * h + t.charAt(i); i += 1 }
+        var b = 0
+        while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    })
+
+  def simhashColumn(text: Column): Column = simhash64(tokens(text))
+
+  /** Near-dup pairs by hamming distance <= maxDist, bucketed by the top
+    * 16 bits so candidate pairing stays local (docs differing in the top
+    * bits can still be near if maxDist is large — standard multi-probe
+    * trades recall for the all-pairs shuffle).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+        simhashColumn(col(textCol)).as("sig"))
+      .withColumn("bucket", shiftrightunsigned(col("sig"), 48))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("dist", bit_count(col("a.sig").bitwiseXOR(col("b.sig"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns + typed metadata, with decode / feature-extract as
+  * partition-local batch transforms.
+  *
+  * The decode step is STUBBED (no image/audio codecs in this
+  * environment): [[stubDecode]] derives a deterministic fake feature
+  * vector from the bytes. Everything around it — schema, batch shape,
+  * partition-local iteration, column pruning — is the real production
+  * plumbing: swap `decodeBatch` for a JNI/codec call and nothing else
+  * changes. (The reference pipeline has no media path; this implements
+  * the north-star extension from BASELINE.json.)
+  *
+  * Scale notes: media bytes dominate row size, so the transform is
+  * `mapPartitions` over an iterator (never materializes a partition),
+  * feature output drops the payload column immediately (schema
+  * narrowing), and batch boundaries amortize per-batch codec setup the
+  * way Arrow batches do for vectorized UDFs.
+  */
+object Multimodal {
+
+  /** media row: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType),   // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", IntegerType)))
+
+  final case class MediaFeature(
+      media_id: Long, media_type: String, n_bytes: Int,
+      checksum: Long, feature: Array[Float])
+
+  /** Deterministic stand-in for a codec: folds the payload into an
+    * 8-dim pseudo-feature. Replace with a real decoder at deployment —
+    * `???`-equivalent, but runnable so the plumbing is testable.
+    */
+  def stubDecode(payload: Array[Byte]): Array[Float] = {
+    val f = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      f(i % 8) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    f
+  }
+
+  private def checksum64(bytes: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+
+  /** Partition-local batched decode: media rows in, narrow feature rows
+    * out. The iterator is processed in `batchSize` groups so a real codec
+    * can amortize per-batch initialization (Arrow-batch analog).
+    */
+  def decodeFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch codec setup would go here
+          batch.iterator.map { case (id, tpe, payload) =>
+            val bytes = if (payload == null) Array.emptyByteArray else payload
+            MediaFeature(id, tpe, bytes.length, checksum64(bytes),
+              stubDecode(bytes))
+          }
+        }
+      }
+  }
+
+  /** Frame/segment sampling metadata: every `stepMs` offset up to the
+    * duration — the explode-side of video frame extraction, computed
+    * without touching payload bytes (column pruning keeps the scan
+    * narrow).
+    */
+  def sampleOffsets(media: DataFrame, stepMs: Int): DataFrame =
+    media.select(col("media_id"), col("duration_ms"))
+      .filter(col("duration_ms").isNotNull && col("duration_ms") > 0)
+      .withColumn("offset_ms",
+        explode(sequence(lit(0), col("duration_ms") - 1, lit(stepMs))))
+
+  /** Synthesize a media table from any text column (dev/test source:
+    * deterministic bytes = utf-8 payload).
+    */
+  def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("image").as("media_type"),
+      to_binary(col(textCol), lit("utf-8")).as("payload"),
+      (length(col(textCol)) % 640).cast("int").as("width"),
+      (length(col(textCol)) % 480).cast("int").as("height"),
+      (length(col(textCol)) * 10).cast("int").as("duration_ms"))
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+
+/** Deduplication extension queries over `documents`, running the real
+  * graft.dedup operators. dedup_simhash_pairs has no SQL oracle (JVM
+  * bit-fold hash) — spec-tested in DedupSpec instead.
+  */
+object DedupQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dedup_exact_groups" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
+
+    "dedup_exact_keep" -> ((s, d) => {
+      import s.implicits._
+      Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+        .select($"doc_id", $"source")
+    }),
+
+    "dedup_tokenset_groups" -> ((s, d) =>
+      Dedup.tokenSetGroups(Tables.documents(s, d), "doc_id", "text")),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+        k = 16, bands = 4)),
+
+    "dedup_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, thresholdNum = 8, thresholdDen = 10)),
+
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxDist = 8)),
+
+    "dedup_embedding_pairs" -> ((s, d) => {
+      import s.implicits._
+      graft.similarity.Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, d).filter($"vec_id" < 300),
+        "vec_id", "embedding", threshold = 0.5)
+    })
+  )
+
+  private val ltoks = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  override def oracleSql: Map[String, String] = Map(
+    "dedup_exact_groups" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keeper_id, count(*) AS n_members
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_exact_keep" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "dedup_tokenset_groups" ->
+      s"""SELECT md5(array_to_string(list_sort(list_distinct($ltoks)), ' ')) AS sig,
+         |  min(doc_id) AS keeper_id, count(*) AS n_members
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest($ltoks) AS w FROM documents),
+         |mh AS (
+         |  SELECT doc_id, j, min(md5(j || ':' || w)) AS m
+         |  FROM tok CROSS JOIN generate_series(0, 15) s(j)
+         |  GROUP BY doc_id, j),
+         |bk AS (
+         |  SELECT doc_id,
+         |    md5((j // 4) || '|' || string_agg(m, '|' ORDER BY j)) AS bucket
+         |  FROM mh GROUP BY doc_id, j // 4)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |        FROM documents)
+        |  CROSS JOIN generate_series(1, 1000) t(i)
+        |  WHERE i <= len(l) - 2),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_inter,
+        |  ca.n_sh + cb.n_sh - n_inter AS n_union
+        |FROM inter
+        |JOIN cnt ca ON id_a = ca.doc_id
+        |JOIN cnt cb ON id_b = cb.doc_id
+        |WHERE n_inter * 10 >= (ca.n_sh + cb.n_sh - n_inter) * 8""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
+        |WHERE round(
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.5""".stripMargin
+  )
+}

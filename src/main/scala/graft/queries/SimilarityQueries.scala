@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.similarity.Similarity
+
+/** ANN similarity-search extension queries over `embeddings`.
+  * sim_ivf_topk is Spark-only (rows-only check): its recall against the
+  * brute-force baseline is asserted in SimilaritySpec.
+  */
+object SimilarityQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "sim_bruteforce_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      Similarity.bruteForceTopK(queries, corpus, k = 5)
+    }),
+
+    "sim_ivf_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      val centroids = emb.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+      Similarity.ivfTopK(queries, corpus, centroids, k = 5, nProbe = 3)
+    })
+  )
+
+  private val cos =
+    """list_sum(list_transform(list_zip(%s, %s),
+      |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(%s,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(%s,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    round(${cos.format("q.embedding", "c.embedding",
+                                 "q.embedding", "c.embedding")}, 6) AS sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10)
+         |SELECT q_id, c_id, sim, rank FROM (
+         |  SELECT q_id, c_id, sim, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin
+  )
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextAnalysis
+
+/** Text-analysis extension queries (BASELINE.json north-star) over
+  * `documents`, running the real graft.text operators.
+  */
+object TextQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_token_counts" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        TextAnalysis.tokenCount($"text").as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCount($"text").as("n_bpe_tokens"))
+    }),
+
+    "text_quality" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        round(TextAnalysis.stopwordRatio($"text"), 6).as("stopword_ratio"),
+        round(TextAnalysis.punctRatio($"text"), 6).as("punct_ratio"),
+        round(TextAnalysis.meanTokenLen($"text"), 6).as("mean_token_len"),
+        TextAnalysis.qualityScore($"text").as("quality"))
+    }),
+
+    "text_langid" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        TextAnalysis.langId($"text").as("lang_id"))
+    }),
+
+    "text_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        TextAnalysis.fingerprint($"text").as("fingerprint"))
+    })
+  )
+
+  private val toks = "string_split_regex(trim(text), '\\s+')"
+  private val ltoks = "string_split_regex(lower(trim(text)), '\\s+')"
+  private def sqlList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  override def oracleSql: Map[String, String] = {
+    val en = sqlList(TextAnalysis.enStopwords)
+    val langScore = TextAnalysis.langProfiles.toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        lang -> s"len(list_intersect($ltoks, ${sqlList(words)}))"
+    }
+    val best = langScore.map(_._2).mkString("greatest(", ", ", ")")
+    val langCase = langScore
+      .map { case (l, s) => s"WHEN $s > 0 AND $s = $best THEN '$l'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+
+    Map(
+      "text_token_counts" ->
+        s"""SELECT doc_id, len($toks) AS n_ws_tokens,
+           |  len(regexp_extract_all(text,
+           |    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
+           |    AS n_bpe_tokens
+           |FROM documents""".stripMargin,
+
+      "text_quality" ->
+        s"""SELECT doc_id,
+           |  round(CASE WHEN len($ltoks) > 0
+           |    THEN CAST(len(list_intersect($ltoks, $en)) AS DOUBLE) / len($ltoks)
+           |    ELSE 0.0 END, 6) AS stopword_ratio,
+           |  round(CASE WHEN length(text) > 0
+           |    THEN CAST(length(text) -
+           |      length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+           |      / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+           |  round(CASE WHEN len($toks) > 0
+           |    THEN CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE)
+           |      / len($toks) ELSE 0.0 END, 6) AS mean_token_len,
+           |  round(
+           |    least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+           |    greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+           |      THEN CAST(length(text) -
+           |        length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+           |        / length(text) ELSE 0.0 END) * 5.0) * 0.4 +
+           |    (CASE WHEN (CASE WHEN len($toks) > 0
+           |      THEN CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE)
+           |        / len($toks) ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+           |      THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality
+           |FROM documents""".stripMargin,
+
+      "text_langid" ->
+        s"SELECT doc_id, $langCase AS lang_id FROM documents",
+
+      "text_fingerprint" ->
+        """SELECT doc_id,
+          |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+          |FROM documents""".stripMargin
+    )
+  }
+}

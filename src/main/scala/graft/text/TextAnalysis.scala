@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline.
+  * All are pure column expressions (whole-stage codegen, no UDFs in the
+  * hot path) so they fuse into a single pass over the corpus scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: words, numbers, punctuation runs, and
+    * contractions counted as separate tokens (a cheap proxy for a GPT-2
+    * style pre-tokenizer; the real BPE merge table is model-specific).
+    */
+  val bpePattern = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpePattern))
+
+  /** English stopword subset used by quality scoring + language id. */
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "that", "this")
+
+  /** Fraction of tokens that are stopwords (0 when empty). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(array_intersect(toks, typedLit(enStopwords))) // distinct hit kinds
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
+        .cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality heuristic in [0,1]: long-enough, low punctuation,
+    * some (but not all) stopwords, sane word lengths — the standard
+    * pre-training quality-filter shape.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val wordScore = when(meanTokenLen(text).between(2.0, 12.0), 1.0).otherwise(0.3)
+    round(lenScore * 0.4 + punctScore * 0.4 + wordScore * 0.2, 6)
+  }
+
+  /** Tiny n-gram/stopword language detector: scores each candidate
+    * language by distinct-stopword hits and returns the argmax
+    * ("und" when nothing matches). Deliberately tiny: real language ID
+    * would broadcast larger profiles — the *shape* (map-side scoring, no
+    * shuffle) is what matters at 100 TB.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> enStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "en", "por"))
+
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      (lang, size(array_intersect(toks, typedLit(words))))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      // ties resolve to the alphabetically-first language (sorted fold)
+      when(score > 0 && score === best && acc === "und", lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Normalized-content fingerprint (lowercase, collapse whitespace) —
+    * the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit rolling polynomial fingerprint (base-31 over chars, like
+    * java.lang.String.hashCode widened to 64 bits) — cheap locality-free
+    * hash for shingle tables where md5 is overkill.
+    */
+  val rollingHash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => {
+      if (s == null) 0L
+      else {
+        var h = 1125899906842597L
+        var i = 0
+        while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+        h
+      }
+    })
+
+  /** Convenience: attach the standard analysis columns. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_bpe_tokens", bpeTokenCount(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_id", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.multimodal.Multimodal
+import graft.text.TextAnalysis
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------- text
+  test("langId detects planted languages and falls back to und") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is warm"),
+      (2L, "der hund ist nicht mit der katze"),
+      (3L, "le chat est dans la maison pour toujours"),
+      (4L, "zzz qqq xxx")).toDF("id", "text")
+      .select($"id", TextAnalysis.langId($"text").as("lang"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("quality score stays in [0,1] and favors clean prose") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running for a while"),
+      (2L, "!!! ### $$$ %%% ^^^ &&&")).toDF("id", "text")
+      .select($"id", TextAnalysis.qualityScore($"text").as("q"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got(1L) > got(2L))
+  }
+
+  // ------------------------------------------------------------ dedup
+  test("exact dedup keeps the minimum id per duplicate group") {
+    val df = Seq((5L, "Hello  World"), (2L, "hello world"), (9L, "other"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 9L)) // 5 is a whitespace/case dup of 2
+  }
+
+  test("minhash LSH surfaces a planted near-duplicate pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq(
+      (1L, base), (2L, base + " phi"), // near-dup of 1
+      (3L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(df, "doc_id", "text", k = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: identical texts distance 0, near texts small distance") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, base + " extra token"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(pairs.get((1L, 3L)).exists(_ <= 10))
+  }
+
+  test("jaccard pairs: integer threshold math matches hand computation") {
+    // shingle sets: A has 4 trigrams, B shares 3 of them + 1 new -> J = 3/5
+    val a = "w1 w2 w3 w4 w5 w6"
+    val b = "w1 w2 w3 w4 w5 zz"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val rows = Dedup.jaccardPairs(df, "doc_id", "text", 3, 6, 10).collect()
+    assert(rows.length === 1) // 3/5 = 0.6 >= 0.6
+    assert(rows.head.getAs[Long]("n_inter") === 3)
+    assert(rows.head.getAs[Long]("n_union") === 5)
+    assert(Dedup.jaccardPairs(df, "doc_id", "text", 3, 7, 10).isEmpty)
+  }
+
+  // ------------------------------------------------------- similarity
+  test("brute-force top-k: self-similarity excluded, scores sorted") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val got = Similarity.bruteForceTopK(queries, corpus, k = 4).collect()
+    assert(got.length === 12)
+    got.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      assert(!rows.exists(_.getAs[Long]("c_id") == q))
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.sorted.reverse === sims)
+    }
+  }
+
+  test("IVF top-k achieves decent recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val centroids = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, k = 5))
+    val approx = pairs(Similarity.ivfTopK(queries, corpus, centroids,
+      k = 5, nProbe = 4))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  // ------------------------------------------------------- multimodal
+  test("stub decode is deterministic and batch-shaped") {
+    val media = Multimodal.fromText(
+      Seq((1L, "hello world"), (2L, "abc")).toDF("id", "text"), "id", "text")
+    val f1 = Multimodal.decodeFeatures(media, batchSize = 1).collect()
+      .sortBy(_.media_id)
+    val f2 = Multimodal.decodeFeatures(media, batchSize = 64).collect()
+      .sortBy(_.media_id)
+    assert(f1.length === 2)
+    assert(f1.map(_.checksum).toSeq === f2.map(_.checksum).toSeq)
+    assert(f1.head.n_bytes === 11)
+    assert(f1.head.feature.length === 8)
+  }
+
+  test("frame sampling emits one row per step offset") {
+    val media = Seq((1L, "image", Array[Byte](1), 0, 0, 1200),
+        (2L, "image", Array[Byte](1), 0, 0, 0))
+      .toDF("media_id", "media_type", "payload", "width", "height", "duration_ms")
+    val got = Multimodal.sampleOffsets(media, stepMs = 500)
+      .select("media_id", "offset_ms").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === Set((1L, 0), (1L, 500), (1L, 1000)))
+  }
+}

@@ -1,29 +1,66 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.collection.mutable
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Transitive closure over a DAG edge table — the one operator the
   * reference delegates to Oracle `CONNECT BY` (OntologyXDAO, SURVEY.md
   * §2.3 J10, DAO.java:255-258).
   *
-  * Semi-naive iteration: each round joins only the *frontier* (pairs
-  * discovered last round) against the edge table, anti-joins out known
-  * pairs, and stops at fixpoint. `localCheckpoint` truncates lineage so
-  * plans stay O(1) per round instead of O(depth).
+  * Two physical strategies, picked by edge count:
   *
-  * Scale: edge dims (ontology DAGs) are small (~100k edges) — the edge
-  * side is broadcast, so each round is a map-side join; the accumulated
-  * closure never shuffles more than its own dedup. For a truly huge graph
-  * this flips to shuffle joins automatically via AQE.
+  *  - **small graph** (fits comfortably on the driver, like every
+  *    ontology DAG — ~100k edges): collect once, BFS in memory, return a
+  *    local DataFrame. This is the same engineering call as broadcasting
+  *    a dimension: a per-round distributed fixpoint pays ~0.5–1 s of
+  *    scheduling per level (measured), which at 10+ levels dwarfs the
+  *    compute. The result is broadcast into downstream semi-joins.
+  *  - **large graph**: semi-naive distributed iteration — each round
+  *    joins only the frontier against the (broadcast) edge table,
+  *    anti-joins out known pairs, `localCheckpoint` truncates lineage so
+  *    plans stay O(1) per round.
   */
 object DagClosure {
+
+  /** Above this edge count the distributed fixpoint is used. */
+  val driverSideEdgeLimit = 1000000L
 
   /** (parent, child) edges -> (ancestor, descendant) closure (irreflexive). */
   def closure(edges: DataFrame, parentCol: String, childCol: String,
               maxIters: Int = 64): DataFrame = {
     val e = edges.select(col(parentCol).as("ancestor"),
                          col(childCol).as("descendant")).distinct()
+    if (e.count() <= driverSideEdgeLimit) closureLocal(e)
+    else closureDistributed(e, maxIters)
+  }
+
+  private def closureLocal(e: DataFrame): DataFrame = {
+    val schema = e.schema
+    val adj = mutable.Map.empty[Any, mutable.ArrayBuffer[Any]]
+    e.collect().foreach { r =>
+      adj.getOrElseUpdate(r.get(0), mutable.ArrayBuffer.empty) += r.get(1)
+    }
+    val pairs = mutable.ArrayBuffer.empty[Row]
+    adj.keysIterator.foreach { root =>
+      val seen = mutable.Set.empty[Any]
+      val stack = mutable.Stack[Any](adj(root).toSeq: _*)
+      while (stack.nonEmpty) {
+        val n = stack.pop()
+        if (seen.add(n)) {
+          pairs += Row(root, n)
+          adj.get(n).foreach(cs => stack.pushAll(cs))
+        }
+      }
+    }
+    e.sparkSession.createDataFrame(
+      java.util.List.of(pairs.toSeq: _*),
+      StructType(Seq(StructField("ancestor", schema(0).dataType),
+        StructField("descendant", schema(1).dataType))))
+  }
+
+  private def closureDistributed(e: DataFrame, maxIters: Int): DataFrame = {
     var acc = e.localCheckpoint()
     var frontier = acc
     var i = 0
@@ -46,14 +83,39 @@ object DagClosure {
     acc
   }
 
-  /** Descendant set of one node — BFS from the root only (cheaper than the
-    * full closure). Powers F5's "is term a descendant of GO:0003824"
-    * predicate as a broadcast semi-join instead of a per-row hierarchical
-    * query (OntologyXDAO.isDescendantOf).
+  /** Descendant set of one node (CONNECT BY parity, powering F5's
+    * "is term a descendant of GO:0003824" as a broadcast semi-join).
+    * Same adaptive strategy as [[closure]] but BFS only from the root.
     */
   def descendantsOf(edges: DataFrame, parentCol: String, childCol: String,
                     root: Column, maxIters: Int = 64): DataFrame = {
     val e = edges.select(col(parentCol).as("p"), col(childCol).as("c")).distinct()
+    if (e.count() <= driverSideEdgeLimit) {
+      val schema = e.schema
+      val adj = mutable.Map.empty[Any, mutable.ArrayBuffer[Any]]
+      e.collect().foreach { r =>
+        adj.getOrElseUpdate(r.get(0), mutable.ArrayBuffer.empty) += r.get(1)
+      }
+      val rootVals = e.sparkSession.range(1).select(root).head().get(0)
+      val seen = mutable.Set.empty[Any]
+      val stack = mutable.Stack[Any](adj.getOrElse(rootVals,
+        mutable.ArrayBuffer.empty).toSeq: _*)
+      val out = mutable.ArrayBuffer.empty[Row]
+      while (stack.nonEmpty) {
+        val n = stack.pop()
+        if (seen.add(n)) {
+          out += Row(n)
+          adj.get(n).foreach(cs => stack.pushAll(cs))
+        }
+      }
+      e.sparkSession.createDataFrame(
+        java.util.List.of(out.toSeq: _*),
+        StructType(Seq(StructField("descendant", schema(1).dataType))))
+    } else descendantsDistributed(e, root, maxIters)
+  }
+
+  private def descendantsDistributed(e: DataFrame, root: Column,
+                                     maxIters: Int): DataFrame = {
     var acc = e.filter(col("p") === root).select(col("c").as("descendant"))
       .distinct().localCheckpoint()
     var frontier = acc

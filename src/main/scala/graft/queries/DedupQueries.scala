@@ -31,7 +31,7 @@ object DedupQueries extends QueryPack {
 
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, thresholdNum = 8, thresholdDen = 10)),
+        n = 5, thresholdNum = 8, thresholdDen = 10)),
 
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
@@ -76,17 +76,18 @@ object DedupQueries extends QueryPack {
          |  SELECT doc_id,
          |    md5((j // 4) || '|' || string_agg(m, '|' ORDER BY j)) AS bucket
          |  FROM mh GROUP BY doc_id, j // 4)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+         |SELECT DISTINCT rep AS id_a, doc_id AS id_b FROM (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY bucket) AS rep FROM bk)
+         |WHERE doc_id <> rep""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id,
-        |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+        |    l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS s
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
         |        FROM documents)
         |  CROSS JOIN generate_series(1, 1000) t(i)
-        |  WHERE i <= len(l) - 2),
+        |  WHERE i <= len(l) - 4),
         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev scratch: time individual pieces at sf0.1 to find real hot spots. */
+object ProfMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROF $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    // warmup
+    Tables.orders(spark, d).count()
+
+    val orders = Tables.orders(spark, d)
+    t("groupBy count only") {
+      orders.groupBy("o_orderkey").count().count()
+    }
+    t("tokenSetAgg builtin only") {
+      orders.select($"o_orderkey", $"o_orderpriority".as("w"))
+        .groupBy("o_orderkey")
+        .agg(graft.operators.Consolidator.tokenSetAgg($"w").as("t")).count()
+    }
+    t("full consolidate (a5 shape)") {
+      graft.operators.Consolidator.consolidate(
+        orders.select($"o_orderkey", $"o_orderpriority".as("with_info")),
+        Seq("o_orderkey"), "with_info", 1700).count()
+    }
+    t("a2 overflow merge (a2 shape)") {
+      graft.operators.AnnotMerge.merge(
+        orders.select($"o_custkey",
+          concat(lit("REF:"), $"o_orderkey").as("xref_source"),
+          lit(null).cast("string").as("notes")),
+        Seq("o_custkey"), "xref_source", "notes", 60).count()
+    }
+    val docs = Tables.documents(spark, d)
+    t("minhash signatures only") {
+      docs.select($"doc_id",
+        graft.dedup.Dedup.minhashSignature($"text", 16).as("sig")).count()
+    }
+    t("minhash bucket rows") {
+      docs.select($"doc_id",
+        explode(graft.dedup.Dedup.lshBandKeys(
+          graft.dedup.Dedup.minhashSignature($"text", 16), 4, 4)).as("b")).count()
+    }
+    t("minhash candidates (pairs)") {
+      graft.dedup.Dedup.minhashCandidates(docs, "doc_id", "text").count()
+    }
+    t("closure descendants j10") {
+      val edges = Tables.part(spark, d)
+        .select($"p_partkey".as("child"), expr("p_partkey div 2").as("parent"))
+        .filter($"parent" >= 1)
+      graft.plans.DagClosure.descendantsOf(edges, "parent", "child", lit(3L)).count()
+    }
+    spark.stop()
+  }
+}

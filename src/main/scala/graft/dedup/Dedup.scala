@@ -102,6 +102,20 @@ object Dedup {
       .distinct()
   }
 
+  /** Full near-dup clustering: LSH candidate edges -> connected
+    * components -> (id, cluster_id) for every doc (singletons map to
+    * themselves). The scalable end-to-end dedup: two shuffles (bucket
+    * window + component grouping) regardless of duplicate density.
+    */
+  def clusters(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 16, bands: Int = 4): DataFrame = {
+    val edges = minhashCandidates(df, idCol, textCol, k, bands)
+    val comps = graft.plans.ConnectedComponents.components(edges)
+    df.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster_id"))
+  }
+
   // ------------------------------------------------------ ngram jaccard
   /** Word n-gram shingles (consecutive, space-joined). */
   def shingles(text: Column, n: Int): Column = {

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming re-expression of the reference's incremental
+  * touch-else-expire protocol (U3/U4: rows are kept alive by being
+  * re-seen; rows unseen past a cutoff are deleted — SURVEY.md §2.7).
+  * The batch pipeline implements it as a MERGE; here the same semantics
+  * run continuously over an event stream with keyed state.
+  *
+  * Scale: state is partitioned by key across executors (the stream
+  * shuffle), one small record per live key, aged out by processing-time
+  * timeout — the streaming analog of the stale-delete cutoff.
+  */
+object IncrementalStream {
+
+  final case class KeyEvent(key: String, ts: Timestamp)
+  final case class KeyState(firstSeen: Long, lastSeen: Long, hits: Long)
+  final case class KeyUpdate(key: String, op: String, hits: Long)
+
+  /** flatMapGroupsWithState touch/expire: first event per key emits
+    * `insert`, subsequent ones `touch`; a key unseen once the event-time
+    * watermark passes lastSeen + idleMs expires and emits `delete` —
+    * exactly U1/U3/U4's lifecycle, continuously. Event-time timeouts
+    * (not processing-time) keep expiry deterministic and replayable, the
+    * streaming analog of the batch stale-cutoff timestamp; they also
+    * avoid the tight empty-batch loop processing-time timeouts force on
+    * the micro-batch engine.
+    */
+  def touchExpire(events: Dataset[KeyEvent], idleMs: Long,
+                  watermarkDelay: String = "0 seconds"): Dataset[KeyUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KeyState, KeyUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, it, state: GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            val hits = state.getOption.map(_.hits).getOrElse(0L)
+            state.remove()
+            Iterator(KeyUpdate(key, "delete", hits))
+          } else {
+            val evs = it.toSeq
+            val now = evs.map(_.ts.getTime).max
+            val prev = state.getOption
+            val next = prev match {
+              case Some(s) => s.copy(lastSeen = math.max(s.lastSeen, now),
+                hits = s.hits + evs.size)
+              case None => KeyState(now, now, evs.size)
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastSeen + idleMs)
+            Iterator(KeyUpdate(key, if (prev.isEmpty) "insert" else "touch",
+              next.hits))
+          }
+      }
+  }
+
+  /** Watermarked windowed aggregation over the events stream: per-type
+    * counts + value sums in tumbling windows, late data dropped past the
+    * watermark.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,
+                     valueCol: String, window: String,
+                     watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(typeCol))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast("decimal(20,6)")).cast("double").as("sum_value"))
+
+  /** foreachBatch incremental MERGE: applies the batch classify-merge
+    * (graft.operators.MergeSink) to each micro-batch against a parquet
+    * snapshot — the streaming deployment shape of the reference's daily
+    * batch (read snapshot, classify, rewrite).
+    */
+  def mergeEachBatch(incoming: DataFrame, snapshotDir: String,
+                     runTs: () => Timestamp, createdBy: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    incoming.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing = spark.read.parquet(snapshotDir)
+        val merged = graft.operators.MergeSink
+          .merge(existing, batch, runTs(), createdBy)
+          .drop("_op")
+        merged.write.mode("overwrite").parquet(snapshotDir + "_next")
+        ()
+      }
+  }
+}

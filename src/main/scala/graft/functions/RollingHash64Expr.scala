@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the 64-bit rolling polynomial hash
+  * (base-31 fold, same family as the TokenOps/Dedup JVM helpers) — the
+  * codegen'd replacement for a Scala UDF in hot shingle/fingerprint
+  * paths: no serialization boundary, participates in whole-stage codegen,
+  * null-handling for free via UnaryExpression.
+  */
+case class RollingHash64Expr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash64 requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $h = 1125899906842597L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $h = 31L * $h + $s.charAt($i);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level entry points + SQL registration for graft's native
+  * expressions.
+  */
+object GraftFunctions {
+
+  def rolling_hash64(c: Column): Column =
+    bridge.column(RollingHash64Expr(bridge.expression(c)))
+
+  /** Register SQL names (idempotent, per session). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash64", exprs => RollingHash64Expr(exprs.head), "built-in")
+}

@@ -38,6 +38,14 @@ object TextQueries extends QueryPack {
       import s.implicits._
       Tables.documents(s, d).select($"doc_id",
         TextAnalysis.fingerprint($"text").as("fingerprint"))
+    }),
+
+    // native codegen'd RollingHash64Expr (no SQL oracle: engine-specific
+    // hash; codegen/eval parity is spec-tested in NativeExprSpec)
+    "text_rolling_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        TextAnalysis.rollingFingerprint($"text").as("fp64"))
     })
   )
 

@@ -92,18 +92,17 @@ object TextAnalysis {
 
   /** 64-bit rolling polynomial fingerprint (base-31 over chars, like
     * java.lang.String.hashCode widened to 64 bits) — cheap locality-free
-    * hash for shingle tables where md5 is overkill.
+    * hash for shingle tables where md5 is overkill. Backed by the native
+    * codegen'd [[graft.functions.RollingHash64Expr]], not a UDF.
     */
-  val rollingHash64: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((s: String) => {
-      if (s == null) 0L
-      else {
-        var h = 1125899906842597L
-        var i = 0
-        while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
-        h
-      }
-    })
+  def rollingHash64(c: Column): Column =
+    graft.functions.GraftFunctions.rolling_hash64(c)
+
+  /** Normalized 64-bit content fingerprint (rolling-hash analog of
+    * [[fingerprint]]).
+    */
+  def rollingFingerprint(c: Column): Column =
+    rollingHash64(regexp_replace(lower(trim(c)), "\\s+", " "))
 
   /** Convenience: attach the standard analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {

@@ -71,20 +71,27 @@ object TokenOps {
     var xrefs = TreeSet.empty[String]
     var notes = TreeSet.empty[String]
     var pmidGroups = TreeSet.empty[String]
+    var pending = false // candidates consumed since the last flush
 
     def render(): XrefMerged = {
       val noteTokens = (notes -- xrefs).toSeq ++ pmidGroups.toSeq
       XrefMerged(xrefs.mkString("|"), noteTokens.mkString("|"))
     }
     def flush(): Unit = {
-      if (xrefs.nonEmpty || notes.nonEmpty || pmidGroups.nonEmpty) out += render()
+      // one output per consumed accumulation, even when every payload was
+      // empty — a group of all-empty candidates must still yield its
+      // annotation, not vanish (the reference keeps the bucket's
+      // annotation regardless of xref content, MAHDL.java:57-67)
+      if (pending) out += render()
       xrefs = TreeSet.empty; notes = TreeSet.empty; pmidGroups = TreeSet.empty
+      pending = false
     }
 
     cands.foreach { c =>
       val ts = splitTokens(c.xref)
       val grown = xrefs ++ ts
       if (xrefs.nonEmpty && joinedLen(grown.toSeq) > cap) flush()
+      pending = true
       xrefs = xrefs ++ ts
       notes = notes ++ splitTokens(c.notes)
       if (c.xref != null && c.xref.contains("PMID") && ts.size > 1)

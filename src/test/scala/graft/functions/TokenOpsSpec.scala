@@ -78,6 +78,16 @@ class TokenOpsSpec extends AnyFunSuite {
     assert(out(1).xref === "PMID:3")
   }
 
+  test("mergeXref of all-empty candidates still emits one (empty) row") {
+    // regression: a group whose xref AND notes are all empty must not
+    // vanish — it still represents one annotation (found via the
+    // chinchilla manual-annotation path, which has no db_reference)
+    assert(mergeXref(Seq(XrefCand(null, null)), 4000) ===
+      Seq(XrefMerged("", "")))
+    assert(mergeXref(Seq(XrefCand("", ""), XrefCand(null, null)), 4000) ===
+      Seq(XrefMerged("", "")))
+  }
+
   test("mergeXref is deterministic for pre-sorted input") {
     val cands = Seq(XrefCand("b", "y"), XrefCand("a", "x")).sortBy(_.xref)
     assert(mergeXref(cands, 4000) === mergeXref(cands, 4000))

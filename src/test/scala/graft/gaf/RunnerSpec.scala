@@ -1,0 +1,93 @@
+package graft.gaf
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.gaf.Constants._
+
+class RunnerSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Minimal FULL_ANNOT row (22 cols, Dims.fullAnnot order). */
+  private def annotRow(key: Long, termAcc: String, term: String, rgdId: Int,
+                       evidence: String, refRgdId: Int, createdBy: Int,
+                       lastMod: Timestamp, withInfo: String = null,
+                       symbol: String = "sym"): Row =
+    Row(key, term, rgdId, GENES_OBJECT_KEY, "RGD", symbol, refRgdId,
+      evidence, withInfo, "F", "name", null, null,
+      ts("2025-01-01 00:00:00"), lastMod, termAcc, createdBy, createdBy,
+      null, null, null, ts("2025-01-01 00:00:00"))
+
+  private def table(rows: Row*): DataFrame =
+    spark.createDataFrame(java.util.List.of(rows: _*), Dims.fullAnnot)
+
+  test("chinchilla DB scan selects manual GO annotations of active genes") {
+    val dims = Fixtures.dims(spark)
+    val existing = table(
+      annotRow(1, "GO:0001", "term one", 1007, "IDA", 555, 100,
+        ts("2025-06-01 00:00:00"), symbol = "Chin1"),          // manual chin
+      annotRow(2, "GO:0001", "term one", 1007, "IEA", 555, 67,
+        ts("2025-06-01 00:00:00"), symbol = "Chin1"),          // created_by 67: excluded
+      annotRow(3, "MP:0001", "phenotype", 1007, "IDA", 555, 100,
+        ts("2025-06-01 00:00:00"), symbol = "Chin1"),          // non-GO: excluded
+      annotRow(4, "GO:0001", "term one", 1001, "IDA", 555, 100,
+        ts("2025-06-01 00:00:00")))                            // mouse gene: excluded
+    val got = PipelineRunner.chinchillaAnnotations(existing, dims.rgdIds)
+    assert(got.count() === 1)
+    assert(got.head().getAs[Long]("full_annot_key") === 1L)
+  }
+
+  test("toGafLines renders 17 GAF columns round-trippable by GafReader") {
+    val dims = Fixtures.dims(spark)
+    val existing = table(annotRow(1, "GO:0001", "term one", 1007, "IDA", 555,
+      100, ts("2025-06-01 00:00:00"), symbol = "Chin1"))
+    val gaf = PipelineRunner.toGafLines(
+      PipelineRunner.chinchillaAnnotations(existing, dims.rgdIds))
+    assert(gaf.columns.toSeq === GafSchema.columns)
+    val r = gaf.head()
+    assert(r.getAs[String]("db") === "RGD")
+    assert(r.getAs[String]("db_object_id") === "1007")
+    assert(r.getAs[String]("gaf_date") === "20250101")
+  }
+
+  test("full run: chinchilla-last ISO derivation + U5 stale delete of old ISO") {
+    val dims = Fixtures.dims(spark)
+    val runTs = ts("2026-01-02 00:00:00")
+    val cutoff = ts("2026-01-01 23:50:00")
+    // existing: one chinchilla manual annot + one STALE rat ISO row that
+    // this run will not re-derive
+    val existing = table(
+      annotRow(1, "GO:0001", "term one", 1007, "IDA", 555, 100,
+        ts("2025-06-01 00:00:00"), symbol = "Chin1"),
+      annotRow(2, "GO:0002", "term two", 1006, "ISO", REF_ISO, CREATED_BY,
+        ts("2025-06-01 00:00:00"), withInfo = "RGD:9999"))
+
+    val mouse = PipelineRunner.SpeciesRun("mouse",
+      Fixtures.mouseGaf(spark), Fixtures.mouseConfig(runTs))
+    val chin = PipelineRunner.chinchillaRun(existing, dims, REF_ISO, runTs)
+
+    val report = PipelineRunner.runAll(existing, dims,
+      Seq(mouse, chin), REF_ISO, cutoff)
+    val finalTable = report.finalTable.cache()
+
+    // chinchilla manual -> ISO for rat ortholog 1008 with provenance
+    val chinIso = finalTable.filter(col("annotated_object_rgd_id") === 1008)
+    assert(chinIso.count() === 1)
+    assert(chinIso.head().getAs[String]("evidence") === "ISO")
+    assert(chinIso.head().getAs[String]("with_info") === "RGD:1007")
+    // mouse-derived ISO for rat 1002 exists
+    assert(finalTable.filter(col("annotated_object_rgd_id") === 1002 &&
+      col("evidence") === "ISO").count() === 1)
+    // the stale ISO row (untouched, pipeline-written, rat, old) is deleted
+    assert(report.isoStale.exists(r => !r.aborted && r.staleCount === 1))
+    assert(finalTable.filter(col("full_annot_key") === 2).count() === 0)
+    // the chinchilla manual annotation itself survives (kept, not touched)
+    assert(finalTable.filter(col("full_annot_key") === 1).count() === 1)
+    // direct chinchilla branch was suppressed (F11): no new annotation ON
+    // the chinchilla gene beyond the manual one
+    assert(finalTable.filter(col("annotated_object_rgd_id") === 1007)
+      .count() === 1)
+  }
+}

@@ -126,9 +126,15 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exact shingle-Jaccard pairs >= threshold, via an inverted index on
-    * shingles (selective: only docs sharing a rare shingle ever pair).
-    * Integer arithmetic only — no float threshold drift.
+  /** Exact shingle-Jaccard pairs >= threshold, with PPJoin-style prefix
+    * filtering: each doc indexes only its (|A| - ceil(t*|A|) + 1) rarest
+    * shingles under a global (frequency, shingle) order; any pair with
+    * Jaccard >= t MUST collide inside these prefixes, so the candidate
+    * join touches a small fraction of the inverted index while the final
+    * answer is provably identical to the naive all-shingle join (the
+    * DuckDB oracle runs the naive form — equality is checked per round).
+    * A size-ratio prune (|small| >= t*|big|) drops impossible pairs
+    * before verification. Integer arithmetic only — no float drift.
     *
     * @param thresholdNum/.Den  Jaccard >= num/den
     */
@@ -137,9 +143,31 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         explode(shingles(col(textCol), n)).as("s"))
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+
+    // global rarity order + per-doc prefix of size n_sh - ceil(t*n_sh) + 1
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("s_freq"))
+    val ranked = sh.join(freq, "s")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("s_freq"), col("s"))))
+      .join(counts, "id")
+      .withColumn("prefix_len", col("n_sh") -
+        expr(s"(n_sh * $thresholdNum + $thresholdDen - 1) div $thresholdDen") + 1)
+      .filter(col("rnk") <= col("prefix_len"))
+      .select(col("id"), col("s"), col("n_sh"))
+
+    val cands = ranked.as("a").join(ranked.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          // size-ratio prune: J >= t requires t*|big| <= |small|
+          least(col("a.n_sh"), col("b.n_sh")) * thresholdDen >=
+            greatest(col("a.n_sh"), col("b.n_sh")) * thresholdNum)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    // exact verification over the candidates only
+    val inter = cands
+      .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")

@@ -141,6 +141,18 @@ object AggQueries extends QueryPack {
         .select($"o_orderkey", $"o_custkey")
     }),
 
+    // Windowed event aggregation (batch form of the streaming window op;
+    // events.ts is nanos-as-long -> explicit bucket arithmetic)
+    "ev_windowed_counts" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("window_start",
+          to_timestamp(floor($"ts" / lit(3600000000000L)) * 3600))
+        .groupBy($"window_start", $"event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum($"value".cast("decimal(20,6)")).cast("double").as("sum_value"))
+    }),
+
     // U4 guard inputs: the two scalar counts the threshold brake compares
     "u4_threshold_counts" -> ((s, d) => {
       import s.implicits._
@@ -210,6 +222,13 @@ object AggQueries extends QueryPack {
         |AND NOT EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey
         |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')""".stripMargin,
+
+    "ev_windowed_counts" ->
+      """SELECT make_timestamp(CAST(floor(epoch_ns(ts) / 3600000000000) * 3600 AS BIGINT) * 1000000)
+        |    AS window_start,
+        |  event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "u4_threshold_counts" ->
       """SELECT (SELECT count(*) FROM orders

@@ -19,6 +19,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     # canonicalize value representation
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
             df[c] = df[c].apply(

@@ -13,12 +13,15 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     CoreQueries, PipelineQueries, JoinQueries, AggQueries,
-    TextQueries, DedupQueries, SimilarityQueries, MultimodalQueries
+    TextQueries, DedupQueries, SimilarityQueries, MultimodalQueries,
+    GafE2eQueries
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full per-species annotation plan over harness-derived GAF + dims.
+    */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.q1(spark, "/root/testdata/sf0.001")
+    GafE2eQueries.annotateE2e(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

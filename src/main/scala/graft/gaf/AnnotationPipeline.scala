@@ -85,39 +85,51 @@ object AnnotationPipeline {
   def matchGenes(gaf: DataFrame, dims: Dimensions, fileSpecies: Int): DataFrame = {
     val g = gaf.withColumn("_row_id", monotonically_increasing_id())
 
-    // candidate (priority, xdb_key, acc_id) per source strategy —
-    // the J1/J2/J3 fallback chain (MAHQC.java:101-167) as data
-    def c(prio: Int, xdb: Int, acc: Column) = struct(
-      lit(prio).as("prio"), lit(xdb).as("xdb_key"), acc.as("acc_id"))
+    // The J1/J2/J3 fallback chain (MAHQC.java:101-167) as three tiered
+    // broadcast left-joins against a set-valued dim (one array of gene
+    // ids per (xdb_key, acc)), resolved by priority coalesce + explode.
+    // Fully map-side: the one-to-many fan-out AND the best-tier choice
+    // happen without shuffling the fact (the previous explode+window
+    // formulation shuffled every candidate row on _row_id).
+    val xdbSets = broadcast(dims.xdb
+      .groupBy(col("xdb_key"), col("acc_id"))
+      .agg(collect_set(col("rgd_id")).as("gene_ids")))
+
     val id = col("db_object_id")
     val altId = substring_index(col("gene_product_form_id"), ":", -1) // P10
     val hgncId = when(id.startsWith("HGNC:"), id)
       .otherwise(concat(lit("HGNC:"), id))                            // P3
-    val cand =
-      when(col("db") === "MGI", array(c(1, XDB_MGD, id)))
-        .when(col("db") === "UniProtKB", array(
-          c(1, XDB_UNIPROT, id),
-          c(2, XDB_UNIPROT_SECONDARY, id),
-          c(3, XDB_UNIPROT, altId)))
-        .when(col("db") === "HGNC", array(c(1, XDB_HGNC, hgncId)))
-        .when(col("db") === "Ensembl", array(c(1, XDB_ENSEMBL, id)))
-        .when(col("db") === "RNAcentral",
-          array(c(1, XDB_RNACENTRAL, substring_index(id, "_", 1))))   // P4
-        .otherwise(array().cast("array<struct<prio:int,xdb_key:int,acc_id:string>>"))
+    val t1Key = when(col("db") === "MGI", XDB_MGD)
+      .when(col("db") === "UniProtKB", XDB_UNIPROT)
+      .when(col("db") === "HGNC", XDB_HGNC)
+      .when(col("db") === "Ensembl", XDB_ENSEMBL)
+      .when(col("db") === "RNAcentral", XDB_RNACENTRAL)
+      .otherwise(-1)
+    val t1Acc = when(col("db") === "HGNC", hgncId)
+      .when(col("db") === "RNAcentral", substring_index(id, "_", 1))  // P4
+      .otherwise(id)
+    val t2Key = when(col("db") === "UniProtKB", XDB_UNIPROT_SECONDARY)
+      .otherwise(-1)
+    val t3Key = when(col("db") === "UniProtKB" &&
+      length(coalesce(col("gene_product_form_id"), lit(""))) > 0, XDB_UNIPROT)
+      .otherwise(-1)
 
-    val nonRgd = g.filter(col("db") =!= "RGD")
-      .withColumn("c", explode(cand))
-      .filter(col("c.acc_id").isNotNull && length(col("c.acc_id")) > 0)
-      .join(broadcast(dims.xdb),
-        col("c.xdb_key") === dims.xdb("xdb_key") &&
-          col("c.acc_id") === dims.xdb("acc_id"))
-      .drop("xdb_key", "acc_id")
-    // J2/J3 fallback: keep only the best-priority tier that matched
-    val wBest = Window.partitionBy(col("_row_id"))
-    val best = nonRgd
-      .withColumn("_minp", min(col("c.prio")).over(wBest))
-      .filter(col("c.prio") === col("_minp"))
-      .drop("_minp").withColumn("_prio", col("c.prio")).drop("c")
+    def tier(df: DataFrame, out: String, key: Column, acc: Column): DataFrame =
+      df.join(xdbSets.select(col("xdb_key").as(s"_k$out"),
+          col("acc_id").as(s"_a$out"), col("gene_ids").as(out)),
+        key === col(s"_k$out") && acc === col(s"_a$out"), "left")
+        .drop(s"_k$out", s"_a$out")
+
+    val best = tier(tier(tier(g.filter(col("db") =!= "RGD"),
+        "_t1", t1Key, t1Acc), "_t2", t2Key, id), "_t3", t3Key, altId)
+      .withColumn("_prio",
+        when(col("_t1").isNotNull, 1)
+          .when(col("_t2").isNotNull, 2)
+          .when(col("_t3").isNotNull, 3))
+      .filter(col("_prio").isNotNull)
+      .withColumn("rgd_id",
+        explode(coalesce(col("_t1"), col("_t2"), col("_t3"))))
+      .drop("_t1", "_t2", "_t3")
 
     // J5: chinchilla identity — col 2 IS the rgd id, no join
     val rgdDirect = g.filter(col("db") === "RGD")

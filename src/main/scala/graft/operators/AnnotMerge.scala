@@ -2,8 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.TokenOps
-import graft.functions.TokenOps.{XrefCand, XrefMerged}
 
 /** A2 + A3 — duplicate-annotation merge with XREF_SOURCE overflow
   * (MAHDL.java:24-134).
@@ -23,28 +21,28 @@ import graft.functions.TokenOps.{XrefCand, XrefMerged}
   */
 object AnnotMerge {
 
-  private val mergeUdf = udf((cands: Seq[XrefCand], cap: Int) =>
-    TokenOps.mergeXref(
-      cands.sortBy(c => (Option(c.xref).getOrElse(""), Option(c.notes).getOrElse(""))),
-      cap))
-
   /** @param keyCols A2 key: term_acc, annotated_object_rgd_id, ref_rgd_id,
     *                evidence, qualifier, with_info (MAHDL.java:46-55)
+    *
+    * The group fold runs as the native
+    * [[graft.functions.XrefMergeAgg]] TypedImperativeAggregate —
+    * candidates partial-aggregate map-side as compact byte buffers and
+    * the order-sensitive overflow fold happens once per group at eval.
     */
   def merge(df: DataFrame, keyCols: Seq[String], xrefCol: String,
             notesCol: String, cap: Int): DataFrame = {
     val passCols =
       df.columns.filterNot(c => keyCols.contains(c) || c == xrefCol || c == notesCol)
     val aggs =
-      collect_list(struct(col(xrefCol).as("xref"), col(notesCol).as("notes")))
-        .as("_cands") +: passCols.map(c => max(col(c)).as(c))
+      graft.functions.XrefMergeAgg.xref_merge(col(xrefCol), col(notesCol), cap)
+        .as("_merged") +: passCols.map(c => max(col(c)).as(c))
 
     df.groupBy(keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("_m", explode(mergeUdf(col("_cands"), lit(cap))))
+      .withColumn("_m", explode(col("_merged")))
       .withColumn(xrefCol, nullIfEmpty(col("_m.xref")))
       .withColumn(notesCol, nullIfEmpty(col("_m.notes")))
-      .drop("_cands", "_m")
+      .drop("_merged", "_m")
       // A3: NOTES identical to XREF_SOURCE carries no information
       // (MAHDL.java:129-134)
       .withColumn(notesCol,

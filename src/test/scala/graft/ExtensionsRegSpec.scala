@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions registers the native functions when a session is built
+  * with `spark.sql.extensions` — validated with its own SparkSession
+  * (extensions apply at session construction, so this suite must not
+  * reuse the shared one; a fresh session on the same SparkContext picks
+  * up the extension config passed here).
+  */
+class ExtensionsRegSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions wires rolling_hash64 into SQL") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("ext-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val got = spark.sql("SELECT rolling_hash64('hello') AS h").head().getLong(0)
+      var h = 1125899906842597L
+      "hello".foreach(c => h = 31 * h + c)
+      assert(got === h)
+    } finally {
+      // leave the context running for other suites; the extra session
+      // object is discarded
+    }
+  }
+}

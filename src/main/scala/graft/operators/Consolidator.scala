@@ -44,16 +44,24 @@ object Consolidator {
     val mergeable = df.filter(length(coalesce(col(tokenCol), lit(""))) > 0)
     val empties = df.filter(length(coalesce(col(tokenCol), lit(""))) === 0)
 
-    val aggs = tokenSetAgg(col(tokenCol)).as("_tokens") +:
+    val aggs = array_join(tokenSetAgg(col(tokenCol)), "|").as("_tok") +:
       passCols.map(c => max(col(c)).as(c))
     val merged = mergeable
       .groupBy(keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn(tokenCol,
-        explode(fragmentUdf(col("_tokens"), lit(cap))))
-      .drop("_tokens")
 
-    merged.select(df.columns.map(col): _*)
+    // common case (merged set fits the cap): the joined sorted set IS the
+    // single fragment — stays entirely inside codegen'd builtins. The
+    // fragmenting UDF + explode runs only on the rare oversized groups.
+    val fits = merged.filter(length(col("_tok")) <= cap)
+      .withColumn(tokenCol, col("_tok")).drop("_tok")
+    val oversized = merged.filter(length(col("_tok")) > cap)
+      .withColumn(tokenCol,
+        explode(fragmentUdf(split(col("_tok"), "\\|"), lit(cap))))
+      .drop("_tok")
+
+    fits.select(df.columns.map(col): _*)
+      .unionByName(oversized.select(df.columns.map(col): _*))
       .unionByName(empties.select(df.columns.map(col): _*))
   }
 }

@@ -46,6 +46,28 @@ object TextQueries extends QueryPack {
       import s.implicits._
       Tables.documents(s, d).select($"doc_id",
         TextAnalysis.rollingFingerprint($"text").as("fp64"))
+    }),
+
+    // C4-style quality filter chain: the composition a pre-training
+    // corpus filter actually runs (length + punct + stopword gates)
+    "text_quality_filter" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(TextAnalysis.tokenCount($"text") >= 20 &&
+          TextAnalysis.punctRatio($"text") < 0.1 &&
+          TextAnalysis.stopwordRatio($"text") > 0.0)
+        .select($"doc_id", $"n_chars")
+    }),
+
+    // corpus vocabulary: distinct-doc frequency per token, top slice by
+    // (df desc, token) — deterministic ordering keys included
+    "text_vocab_topdf" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", explode(array_distinct(
+          split(lower(trim($"text")), "\\s+"))).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 100)
     })
   )
 
@@ -103,7 +125,23 @@ object TextQueries extends QueryPack {
       "text_fingerprint" ->
         """SELECT doc_id,
           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-          |FROM documents""".stripMargin
+          |FROM documents""".stripMargin,
+
+      "text_quality_filter" ->
+        s"""SELECT doc_id, n_chars FROM documents
+           |WHERE len($toks) >= 20
+           |  AND (CASE WHEN length(text) > 0
+           |    THEN CAST(length(text) -
+           |      length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+           |      / length(text) ELSE 0.0 END) < 0.1
+           |  AND (CASE WHEN len($ltoks) > 0
+           |    THEN CAST(len(list_intersect($ltoks, $en)) AS DOUBLE) / len($ltoks)
+           |    ELSE 0.0 END) > 0.0""".stripMargin,
+
+      "text_vocab_topdf" ->
+        s"""SELECT token, count(*) AS df FROM (
+           |  SELECT DISTINCT doc_id, unnest($ltoks) AS token FROM documents)
+           |GROUP BY 1 HAVING count(*) >= 100""".stripMargin
     )
   }
 }

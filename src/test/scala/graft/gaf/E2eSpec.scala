@@ -1,0 +1,45 @@
+package graft.gaf
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.GafE2eQueries
+
+/** The flagship plan at harness scale (sf0.001): output stability and
+  * the incremental-MERGE idempotence contract (rerun => all touch, U3).
+  */
+class E2eSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("e2e pipeline output is stable at sf0.001") {
+    val out = GafE2eQueries.annotateE2e(spark, sf).cache()
+    assert(out.count() === 8291)
+    // ISO derivation present with provenance
+    val iso = out.filter(col("evidence") === "ISO")
+    assert(iso.count() > 0)
+    assert(iso.filter(!col("with_info").startsWith("RGD:")).count() === 0)
+    // every annotated object resolved to an active gene id space
+    assert(out.filter(col("annotated_object_rgd_id").isNull).count() === 0)
+  }
+
+  test("e2e merge is idempotent: rerun classifies everything as touch") {
+    val dims = GafE2eQueries.dims(spark, sf)
+    val cfg = GafE2eQueries.cfg
+    val gaf = GafE2eQueries.gaf(spark, sf)
+    val first = AnnotationPipeline.run(gaf,
+      Fixtures.emptyFullAnnot(spark), dims, cfg)
+    val ops1 = first.groupBy("_op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops1.keySet === Set("insert"))
+
+    val snapshot = first.drop("_op").cache()
+    snapshot.count()
+    val second = AnnotationPipeline.run(gaf, snapshot, dims,
+      cfg.copy(runTs = Timestamp.valueOf("2026-01-02 00:00:00")))
+    val ops2 = second.groupBy("_op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops2.keySet === Set("touch"), s"expected all-touch, got $ops2")
+    assert(ops2("touch") === ops1("insert"))
+  }
+}

@@ -66,6 +66,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readStream over the harness events parquet drives the window agg") {
+    import spark.implicits._
+    // file-source streaming: the same windowedCounts plan fed by
+    // readStream over the sf0.001 events table (ns timestamps -> derive
+    // an event-time column from the nanos-long)
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001")
+      .withColumn("event_ts", org.apache.spark.sql.functions
+        .to_timestamp(org.apache.spark.sql.functions.col("ts") / 1e9))
+    val q = IncrementalStream
+      .windowedCounts(stream, "event_ts", "event_type", "value",
+        "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("fs_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("fs_out")
+      assert(got.count() > 0)
+      // totals across windows match the batch answer
+      val streamTotal = got.agg(org.apache.spark.sql.functions.sum("cnt"))
+        .head().getLong(0)
+      assert(streamTotal === 1000L)
+    } finally q.stop()
+  }
+
   test("mergeEachBatch applies the classify-merge per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -116,6 +116,22 @@ object Dedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("cluster_id"))
   }
 
+  /** End-to-end corpus dedup: exact dedup first (cheap groupBy kills the
+    * bulk), then LSH near-dup clustering over the survivors, keeping the
+    * minimum id per cluster. Returns the deduplicated corpus rows plus a
+    * `cluster_id` provenance column. This is the composition a 100 TB
+    * curation run executes: one exact shuffle + the two LSH shuffles,
+    * never an all-pairs comparison.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 16, bands: Int = 4): DataFrame = {
+    val exact = exactDedup(df, idCol, textCol)
+    val clustered = clusters(exact, idCol, textCol, k, bands)
+      .select(col("id").as(idCol), col("cluster_id"))
+    exact.join(clustered, Seq(idCol))
+      .filter(col(idCol) === col("cluster_id"))
+  }
+
   // ------------------------------------------------------ ngram jaccard
   /** Word n-gram shingles (consecutive, space-joined). */
   def shingles(text: Column, n: Int): Column = {

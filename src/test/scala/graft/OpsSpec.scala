@@ -19,6 +19,18 @@ class OpsSpec extends SparkSpec {
     assert(got === Map(5L -> 3L, 3L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("dedupCorpus keeps one representative per exact+near-dup cluster") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (4L, base), (2L, base),                 // exact dups -> keep 2
+      (7L, base + " phi"),                    // near-dup of 2 -> same cluster
+      (9L, "totally different content unrelated to anything else written"))
+      .toDF("doc_id", "text")
+    val kept = graft.dedup.Dedup.dedupCorpus(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 9L))
+  }
+
   test("dedup clusters: singletons map to themselves") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val df = Seq((1L, base), (2L, base + " phi"),

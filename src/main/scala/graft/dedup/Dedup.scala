@@ -25,7 +25,9 @@ import graft.text.TextAnalysis
 object Dedup {
 
   private def tokens(text: Column): Column =
-    array_distinct(split(lower(trim(text)), "\\s+"))
+    filter(array_distinct(split(lower(trim(text)), "\\s+")),
+      t => length(t) > 0) // empty text -> [] not [""], so empty docs
+                          // don't share a phantom-token signature
 
   // ------------------------------------------------------------- exact
   /** One row per duplicate group: keeper (min id) + member count. */
@@ -128,8 +130,12 @@ object Dedup {
     val exact = exactDedup(df, idCol, textCol)
     val clustered = clusters(exact, idCol, textCol, k, bands)
       .select(col("id").as(idCol), col("cluster_id"))
-    exact.join(clustered, Seq(idCol))
-      .filter(col(idCol) === col("cluster_id"))
+    // keeper = min member id per cluster (robust even if cluster labels
+    // aren't themselves member ids)
+    val keepers = clustered.groupBy(col("cluster_id"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    exact.join(keepers, Seq(idCol), "left_semi")
   }
 
   // ------------------------------------------------------ ngram jaccard
@@ -216,20 +222,30 @@ object Dedup {
 
   def simhashColumn(text: Column): Column = simhash64(tokens(text))
 
-  /** Near-dup pairs by hamming distance <= maxDist, bucketed by the top
-    * 16 bits so candidate pairing stays local (docs differing in the top
-    * bits can still be near if maxDist is large — standard multi-probe
-    * trades recall for the all-pairs shuffle).
+  /** Near-dup pairs by hamming distance <= maxDist, candidate-paired via
+    * FOUR 16-bit bands: a pair differing in <= 3 bits leaves at least one
+    * band intact (pigeonhole), so recall is exact for maxDist <= 3; for
+    * larger maxDist banding is best-effort multi-probe, trading recall
+    * for avoiding the all-pairs shuffle.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
         simhashColumn(col(textCol)).as("sig"))
-      .withColumn("bucket", shiftrightunsigned(col("sig"), 48))
-    sigs.as("a").join(sigs.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("dist", bit_count(col("a.sig").bitwiseXOR(col("b.sig"))))
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("chunk"))): _*)).as("bk"))
+      .select(col("id"), col("sig"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("dist", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("dist") <= maxDist)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

@@ -110,8 +110,11 @@ object AnnotationPipeline {
       .otherwise(id)
     val t2Key = when(col("db") === "UniProtKB", XDB_UNIPROT_SECONDARY)
       .otherwise(-1)
-    val t3Key = when(col("db") === "UniProtKB" &&
-      length(coalesce(col("gene_product_form_id"), lit(""))) > 0, XDB_UNIPROT)
+    // J3: the gpfi second-chance retry runs with the SOURCE's primary xdb
+    // key for every db (reference readAltDbObjectId applies it whenever
+    // the primary lookups miss, MAHQC.java:157-164,232-242)
+    val t3Key = when(
+      length(coalesce(col("gene_product_form_id"), lit(""))) > 0, t1Key)
       .otherwise(-1)
 
     def tier(df: DataFrame, out: String, key: Column, acc: Column): DataFrame =
@@ -159,16 +162,13 @@ object AnnotationPipeline {
       .filter(col("object_status") === "ACTIVE")
       .drop("object_status")
 
-    // F6: species-mismatch guard (MAHQC.java:87-92); RNAcentral rows
-    // carry their species in the accession suffix (J4/P4)
-    val expected = when(col("db") === "RNAcentral",
-      coalesce(try_element_at(
-        typedLit(taxonToSpecies.map { case (k, v) => (k.toString, v) }),
-        substring_index(col("db_object_id"), "_", -1)),
-        lit(fileSpecies)))
-      .otherwise(lit(fileSpecies))
+    // F6: species-mismatch guard against the FILE's species for every
+    // source, RNAcentral included — the reference scopes the RNAcentral
+    // lookup by the accession-suffix taxon (J4/P4) but still drops genes
+    // whose species differs from the file species (MAHQC.java:87-92), so
+    // a URS..._10090 line never annotates inside the human run
     redirected
-      .filter(col("species_type_key") === expected)
+      .filter(col("species_type_key") === lit(fileSpecies))
       .dropDuplicates("_row_id", "rgd_id")
   }
 
@@ -239,11 +239,14 @@ object AnnotationPipeline {
       // F7: self-referencing ISO (MAHQC.java:250-256)
       .filter(!(col("with_info") <=>
         concat(lit("RGD:"), col("annotated_object_rgd_id"))))
-      // P6: ISO moves gene_product_form_id into with_info (MAHQC.java:258-270)
+      // P6: ISO moves gene_product_form_id into with_info (MAHQC.java:258-270);
+      // empty with_info must yield the bare gpfi, not ",gpfi" (concat_ws
+      // skips nulls but keeps empty strings — nullif first)
       .withColumn("with_info",
         when(col("evidence") === "ISO" &&
           length(coalesce(col("gene_product_form_id"), lit(""))) > 0,
-          concat_ws(",", col("with_info"), col("gene_product_form_id")))
+          concat_ws(",", nullif(col("with_info"), lit("")),
+            col("gene_product_form_id")))
           .otherwise(col("with_info")))
       .withColumn("gene_product_form_id",
         when(col("evidence") === "ISO", lit(null)).otherwise(col("gene_product_form_id")))

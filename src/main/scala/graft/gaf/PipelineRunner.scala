@@ -56,19 +56,28 @@ object PipelineRunner {
     val isoInitial = refSpeciesCount(existing, dims.rgdIds, isoRefRgdId, RAT)
 
     var table = existing
+    var prevCached: Seq[DataFrame] = Nil
     val perSpecies = runs.map { r =>
       val initial = refSpeciesCount(table, dims.rgdIds, r.cfg.refRgdId,
         r.cfg.speciesTypeKey)
-      val merged = AnnotationPipeline.run(r.gaf, table, dims, r.cfg)
+      // cache the merged table ONCE: the op counts, the stale-delete
+      // scans, and the next species' lineage all reuse it (the merge's
+      // full-outer join must not re-execute per downstream action)
+      val merged = AnnotationPipeline.run(r.gaf, table, dims, r.cfg).cache()
       val ops = merged.groupBy("_op").count().collect()
         .map(x => x.getString(0) -> x.getLong(1)).toMap
-      val next = merged.drop("_op").cache()
-      next.count() // materialize before the previous lineage is dropped
+      val next = merged.drop("_op")
       val (afterDelete, report) =
         if (r.cfg.refRgdId == 0) (next, StaleReport(0, 0, aborted = false))
         else MergeSink.staleDelete(next, dims.rgdIds, r.cfg.refRgdId,
           r.cfg.speciesTypeKey, staleCutoff, r.cfg.createdBy, thresholdPct,
           initial)
+      // materialize this species' output, then release the previous
+      // iteration's snapshots from executor storage — only the latest
+      // table stays pinned, not one per species
+      afterDelete.cache().count()
+      prevCached.foreach(_.unpersist())
+      prevCached = Seq(merged, afterDelete)
       table = afterDelete
       (r.name, ops, report)
     }

@@ -100,8 +100,12 @@ object MergeSink {
                   speciesTypeKey: Int, cutoff: Timestamp, createdBy: Int,
                   thresholdPct: Double, initialCount: Long)
       : (DataFrame, StaleReport) = {
+    // ACTIVE-object scope, matching both the jar count SQL
+    // (`r.object_status='ACTIVE' AND r.species_type_key=?`) and
+    // PipelineRunner.refSpeciesCount — the brake compares like scopes
     val scopeIds = broadcast(
-      rgdIds.filter(col("species_type_key") === speciesTypeKey)
+      rgdIds.filter(col("species_type_key") === speciesTypeKey &&
+          col("object_status") === "ACTIVE")
         .select(col("rgd_id")))
     val stale = table
       .filter(col("created_by") === createdBy &&

@@ -86,6 +86,11 @@ object ConnectedComponents {
       labels = next
       i += 1
     }
+    // partially-converged labels are silently WRONG (members of one
+    // component would carry different labels) — fail loudly instead
+    if (changed) throw new IllegalStateException(
+      s"ConnectedComponents did not converge in $maxIters rounds; " +
+        "raise maxIters for graphs of this diameter")
     labels
   }
 }

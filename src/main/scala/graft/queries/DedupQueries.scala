@@ -45,7 +45,8 @@ object DedupQueries extends QueryPack {
     })
   )
 
-  private val ltoks = "string_split_regex(lower(trim(text)), '\\s+')"
+  private val ltoks =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)"""
 
   override def oracleSql: Map[String, String] = Map(
     "dedup_exact_groups" ->

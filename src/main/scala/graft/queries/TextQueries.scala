@@ -73,6 +73,8 @@ object TextQueries extends QueryPack {
 
   private val toks = "string_split_regex(trim(text), '\\s+')"
   private val ltoks = "string_split_regex(lower(trim(text)), '\\s+')"
+  // empty-text-safe token count (mirrors TextAnalysis.tokenCount)
+  private val ntoks = s"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END)"
   private def sqlList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -89,7 +91,7 @@ object TextQueries extends QueryPack {
 
     Map(
       "text_token_counts" ->
-        s"""SELECT doc_id, len($toks) AS n_ws_tokens,
+        s"""SELECT doc_id, $ntoks AS n_ws_tokens,
            |  len(regexp_extract_all(text,
            |    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
            |    AS n_bpe_tokens
@@ -108,7 +110,7 @@ object TextQueries extends QueryPack {
            |    THEN CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE)
            |      / len($toks) ELSE 0.0 END, 6) AS mean_token_len,
            |  round(
-           |    least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+           |    least(CAST($ntoks AS DOUBLE) / 100.0, 1.0) * 0.4 +
            |    greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
            |      THEN CAST(length(text) -
            |        length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
@@ -129,7 +131,7 @@ object TextQueries extends QueryPack {
 
       "text_quality_filter" ->
         s"""SELECT doc_id, n_chars FROM documents
-           |WHERE len($toks) >= 20
+           |WHERE $ntoks >= 20
            |  AND (CASE WHEN length(text) > 0
            |    THEN CAST(length(text) -
            |      length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)

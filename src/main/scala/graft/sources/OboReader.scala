@@ -16,11 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object OboReader {
 
-  /** One row per `[Term]` stanza with the raw stanza text. */
+  /** One row per `[Term]` stanza with the raw stanza text. Trailing
+    * non-Term sections ([Typedef] etc. at file end) would otherwise ride
+    * along inside the final split row — truncate each row at the first
+    * subsequent section header so typedef is_a/synonym/is_obsolete lines
+    * never contaminate the last term.
+    */
   def stanzas(spark: SparkSession, path: String): DataFrame =
     spark.read.option("lineSep", "[Term]").text(path)
-      .filter(col("value").contains("\nid:") || col("value").startsWith("id:"))
-      .select(col("value").as("stanza"))
+      .select(regexp_replace(col("value"), "(?s)\\n\\[.*", "").as("stanza"))
+      .filter(col("stanza").contains("\nid:") || col("stanza").startsWith("id:"))
 
   /** term_acc, term, ont_id, is_obsolete — ONT_TERMS shape (FIXTURES.md A2). */
   def terms(spark: SparkSession, path: String): DataFrame =

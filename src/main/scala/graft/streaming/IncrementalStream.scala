@@ -77,19 +77,39 @@ object IncrementalStream {
   /** foreachBatch incremental MERGE: applies the batch classify-merge
     * (graft.operators.MergeSink) to each micro-batch against a parquet
     * snapshot — the streaming deployment shape of the reference's daily
-    * batch (read snapshot, classify, rewrite).
+    * batch. Snapshots are versioned per batch (`_v<batchId>`) and each
+    * batch reads the LATEST version, so merges accumulate across batches
+    * (a parquet dir can't be overwritten while being read); compaction
+    * of old versions is the deployment's retention policy.
     */
+  def latestSnapshotDir(spark: org.apache.spark.sql.SparkSession,
+                        snapshotDir: String): String = {
+    val base = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = base.getParent
+    val prefix = base.getName + "_v"
+    val versions =
+      if (fs.exists(parent))
+        fs.listStatus(parent).map(_.getPath.getName)
+          .filter(_.startsWith(prefix))
+          .flatMap(n => n.stripPrefix(prefix).toLongOption.map(_ -> n))
+      else Array.empty[(Long, String)]
+    if (versions.isEmpty) snapshotDir
+    else new org.apache.hadoop.fs.Path(parent, versions.maxBy(_._1)._2).toString
+  }
+
   def mergeEachBatch(incoming: DataFrame, snapshotDir: String,
                      runTs: () => Timestamp, createdBy: Int)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     incoming.writeStream.outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val existing = spark.read.parquet(snapshotDir)
+        val existing = spark.read.parquet(latestSnapshotDir(spark, snapshotDir))
         val merged = graft.operators.MergeSink
           .merge(existing, batch, runTs(), createdBy)
           .drop("_op")
-        merged.write.mode("overwrite").parquet(snapshotDir + "_next")
+        merged.write.mode("overwrite")
+          .parquet(s"${snapshotDir}_v$batchId")
         ()
       }
   }

@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
+  /** Whitespace token count (0 for empty/whitespace-only text — a bare
+    * `split` would yield [""] and count a phantom token).
+    */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    when(length(trim(coalesce(text, lit("")))) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword count: words, numbers, punctuation runs, and
     * contractions counted as separate tokens (a cheap proxy for a GPT-2

@@ -73,6 +73,21 @@ class PipelineSpec extends SparkSpec {
       Timestamp.valueOf("2024-04-09 00:00:00"))
   }
 
+  test("P6: empty with_info + gpfi yields bare gpfi, no leading comma") {
+    import spark.implicits._
+    val annots = Seq(
+      ("GO:0001", 1001, 1, "MGI", Constants.REF_MGI, "ISO", "", "F",
+        null.asInstanceOf[String], "PMID:1", null.asInstanceOf[String],
+        null.asInstanceOf[String], "UniProtKB:P77-2", "20240101", 1001))
+      .toDF("term_acc", "annotated_object_rgd_id", "rgd_object_key",
+        "data_src", "ref_rgd_id", "evidence", "with_info", "aspect",
+        "qualifier", "xref_source", "notes", "annotation_extension",
+        "gene_product_form_id", "gaf_date", "_src_gene")
+    val out = AnnotationPipeline.qcAndEnrich(annots, dims, cfg)
+    assert(out.count() === 1)
+    assert(out.head().getAs[String]("with_info") === "UniProtKB:P77-2")
+  }
+
   test("merge sink: first run all-insert; rerun all-touch (idempotence)") {
     val existing = Fixtures.emptyFullAnnot(spark)
     val merged = AnnotationPipeline.run(

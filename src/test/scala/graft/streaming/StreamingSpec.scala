@@ -120,9 +120,14 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData(("GO:0001", 1001, "IDA"))
       q.processAllAvailable()
-      val merged = spark.read.parquet(snap + "_next")
-      assert(merged.count() === 1)
-      assert(merged.head().getAs[String]("term_acc") === "GO:0001")
+      // second micro-batch must accumulate on top of the first
+      input.addData(("GO:0002", 1002, "IEA"))
+      q.processAllAvailable()
+      val merged = spark.read.parquet(
+        IncrementalStream.latestSnapshotDir(spark, snap))
+      assert(merged.count() === 2)
+      assert(merged.select("term_acc").collect().map(_.getString(0)).toSet ===
+        Set("GO:0001", "GO:0002"))
     } finally q.stop()
   }
 }

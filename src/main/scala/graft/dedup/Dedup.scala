@@ -222,30 +222,45 @@ object Dedup {
 
   def simhashColumn(text: Column): Column = simhash64(tokens(text))
 
-  /** Near-dup pairs by hamming distance <= maxDist, candidate-paired via
-    * FOUR 16-bit bands: a pair differing in <= 3 bits leaves at least one
-    * band intact (pigeonhole), so recall is exact for maxDist <= 3; for
-    * larger maxDist banding is best-effort multi-probe, trading recall
-    * for avoiding the all-pairs shuffle.
+  /** Near-dup edges by hamming distance <= maxDist, in the same star-edge
+    * form as [[minhashCandidates]]:
+    *
+    *  - identical signatures collapse to (group rep -> member, dist 0)
+    *    edges — O(m) per group, never an intra-group pairwise join;
+    *  - DISTINCT signatures pair through FOUR 16-bit bands: a pair
+    *    differing in <= 3 bits leaves at least one band intact
+    *    (pigeonhole), so recall is exact for maxDist <= 3; larger
+    *    maxDist is best-effort multi-probe.
+    *
+    * On dup-heavy corpora the distinct-signature set is orders of
+    * magnitude smaller than the corpus, which is what keeps the band
+    * join bounded.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
         simhashColumn(col(textCol)).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("sig"))))
+    val intra = sigs.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"),
+        lit(0).as("dist"))
+    val reps = sigs.filter(col("id") === col("rep")).select(col("id"), col("sig"))
+    val banded = reps.select(col("id"), col("sig"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))
             .as("chunk"))): _*)).as("bk"))
       .select(col("id"), col("sig"),
         col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-    banded.as("a").join(banded.as("b"),
+    val cross = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
-      .withColumn("dist", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("dist",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+    intra.unionByName(cross)
   }
 }

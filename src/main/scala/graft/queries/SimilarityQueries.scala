@@ -31,6 +31,16 @@ object SimilarityQueries extends QueryPack {
       val centroids = emb.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
       Similarity.ivfTopK(queries, corpus, centroids, k = 5, nProbe = 3)
+    }),
+
+    // LSH random-hyperplane variant (rows-only: recall asserted in spec)
+    "sim_lsh_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      Similarity.lshTopK(queries, corpus, dim = 64, nBits = 4, k = 5)
     })
   )
 

@@ -90,6 +90,48 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
   }
 
+  /** Random-hyperplane LSH buckets: `nBits` sign bits of projections onto
+    * deterministic pseudo-random hyperplanes (components derived from a
+    * hash of (plane, dim) — reproducible with no RNG state). Vectors in
+    * the same bucket are probable near neighbors; queries scan only their
+    * own bucket. The alternative coarse quantizer to [[ivfTopK]]
+    * (hash-partitioned rather than centroid-partitioned).
+    */
+  def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    def comp(plane: Int, d: Int): Double = {
+      // deterministic ±1 hyperplane components
+      var h = 1125899906842597L
+      val s = s"$plane:$d"
+      var i = 0
+      while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+      if ((h & 1L) == 0L) 1.0 else -1.0
+    }
+    val bits = (0 until nBits).map { p =>
+      val proj = (0 until dim).map(d =>
+        element_at(vec, d + 1).cast("double") * lit(comp(p, d)))
+        .reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  /** LSH-bucketed ANN top-k: exact rank within the query's bucket only.
+    * Fraction scanned ~ 1/2^nBits per bucket; recall vs brute force is
+    * asserted in SimilaritySpec (multi-probe would raise it further).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
+              nBits: Int, k: Int): DataFrame = {
+    val c = corpus.withColumn("bucket", lshBucket(col("c_vec"), dim, nBits))
+    val q = queries.withColumn("bucket", lshBucket(col("q_vec"), dim, nBits))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+  }
+
   /** Cosine near-dup pairs above a threshold (embedding dedup): brute
     * pairing restricted by id-block to bound the join (callers partition
     * the corpus into blocks at scale; here one block = the sampled set).

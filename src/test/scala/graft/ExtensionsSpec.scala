@@ -92,6 +92,25 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("LSH hyperplane top-k achieves decent recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, k = 5))
+    val approx = pairs(Similarity.lshTopK(queries, corpus,
+      dim = 64, nBits = 3, k = 5))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall too low")
+    // bucket assignment is deterministic across runs
+    val b1 = Similarity.lshTopK(queries, corpus, 64, 3, 5).collect().toSeq
+    val b2 = Similarity.lshTopK(queries, corpus, 64, 3, 5).collect().toSeq
+    assert(b1.toSet === b2.toSet)
+  }
+
   test("IVF top-k achieves decent recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 10)

@@ -93,7 +93,12 @@ object Dedup {
     // an inline signature expression would re-evaluate the whole K-hash
     // computation once per band row (no CSE across projections) — a 16x
     // blowup measured at sf0.1
-    val keyed = df.select(col(idCol).as("id"),
+    val keyed = df
+      // docs with an empty token set have no minhash signature — exclude
+      // them here exactly like the oracle's token CTE does (otherwise the
+      // null-skipping concat in the band keys would pair all empty docs)
+      .filter(size(tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
         minhashSignature(col(textCol), k).as("sig"))
       .select(col("id"), lshBandKeys(col("sig"), bands, rpb).as("keys"))
       .select(col("id"), explode(col("keys")).as("bucket"))

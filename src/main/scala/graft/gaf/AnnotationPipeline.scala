@@ -111,9 +111,10 @@ object AnnotationPipeline {
     val t2Key = when(col("db") === "UniProtKB", XDB_UNIPROT_SECONDARY)
       .otherwise(-1)
     // J3: the gpfi second-chance retry runs with the SOURCE's primary xdb
-    // key for every db (reference readAltDbObjectId applies it whenever
-    // the primary lookups miss, MAHQC.java:157-164,232-242)
-    val t3Key = when(
+    // key (reference readAltDbObjectId, MAHQC.java:157-164,232-242) —
+    // but NOT for RNAcentral, whose qc path returns before the retry
+    // (MAHQC.java:120-134 early return)
+    val t3Key = when(col("db") =!= "RNAcentral" &&
       length(coalesce(col("gene_product_form_id"), lit(""))) > 0, t1Key)
       .otherwise(-1)
 
@@ -162,13 +163,19 @@ object AnnotationPipeline {
       .filter(col("object_status") === "ACTIVE")
       .drop("object_status")
 
-    // F6: species-mismatch guard against the FILE's species for every
-    // source, RNAcentral included — the reference scopes the RNAcentral
-    // lookup by the accession-suffix taxon (J4/P4) but still drops genes
-    // whose species differs from the file species (MAHQC.java:87-92), so
-    // a URS..._10090 line never annotates inside the human run
+    // F6 + J4: every gene must match the FILE's species (MAHQC.java:87-92)
+    // AND RNAcentral rows are additionally scoped by the accession-suffix
+    // taxon (MAHQC.java:119-135: the lookup itself is species-scoped, so
+    // a URS..._10090 line matches only mouse genes — which the file guard
+    // then drops in a non-mouse run; a same-accession file-species gene
+    // must NOT be annotated from a foreign-tagged line). Net condition:
+    // for RNAcentral the suffix species must BE the file species.
+    val suffixSpecies = try_element_at(
+      typedLit(taxonToSpecies.map { case (k, v) => (k.toString, v) }),
+      substring_index(col("db_object_id"), "_", -1))
     redirected
-      .filter(col("species_type_key") === lit(fileSpecies))
+      .filter(col("species_type_key") === lit(fileSpecies) &&
+        (col("db") =!= "RNAcentral" || suffixSpecies === lit(fileSpecies)))
       .dropDuplicates("_row_id", "rgd_id")
   }
 

@@ -72,12 +72,13 @@ object PipelineRunner {
         else MergeSink.staleDelete(next, dims.rgdIds, r.cfg.refRgdId,
           r.cfg.speciesTypeKey, staleCutoff, r.cfg.createdBy, thresholdPct,
           initial)
-      // materialize this species' output, then release the previous
-      // iteration's snapshots from executor storage — only the latest
-      // table stays pinned, not one per species
+      // materialize this species' output, then release everything this
+      // iteration no longer needs: the pre-delete merge immediately, the
+      // previous species' snapshot next — only ONE table stays pinned
       afterDelete.cache().count()
+      merged.unpersist()
       prevCached.foreach(_.unpersist())
-      prevCached = Seq(merged, afterDelete)
+      prevCached = Seq(afterDelete)
       table = afterDelete
       (r.name, ops, report)
     }

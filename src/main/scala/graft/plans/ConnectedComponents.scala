@@ -87,10 +87,22 @@ object ConnectedComponents {
       i += 1
     }
     // partially-converged labels are silently WRONG (members of one
-    // component would carry different labels) — fail loudly instead
-    if (changed) throw new IllegalStateException(
-      s"ConnectedComponents did not converge in $maxIters rounds; " +
-        "raise maxIters for graphs of this diameter")
+    // component would carry different labels) — fail loudly. A run whose
+    // LAST allowed round applied the final change is still converged, so
+    // confirm with one extra propagation before throwing.
+    if (changed) {
+      val viaNeighbor = sym
+        .join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("component"))
+      val confirm = labels.select(col("id"), col("component"))
+        .union(viaNeighbor)
+        .groupBy("id").agg(min(col("component")).as("component"))
+      val diff = confirm.as("n").join(labels.as("l"), Seq("id"))
+        .filter(col("n.component") =!= col("l.component")).limit(1)
+      if (!diff.isEmpty) throw new IllegalStateException(
+        s"ConnectedComponents did not converge in $maxIters rounds; " +
+          "raise maxIters for graphs of this diameter")
+    }
     labels
   }
 }

@@ -74,7 +74,8 @@ object TextQueries extends QueryPack {
   private val toks = "string_split_regex(trim(text), '\\s+')"
   private val ltoks = "string_split_regex(lower(trim(text)), '\\s+')"
   // empty-text-safe token count (mirrors TextAnalysis.tokenCount)
-  private val ntoks = s"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END)"
+  private val ntoks =
+    s"(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE len($toks) END)"
   private def sqlList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 

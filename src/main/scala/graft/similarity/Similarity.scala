@@ -98,13 +98,16 @@ object Similarity {
     * (hash-partitioned rather than centroid-partitioned).
     */
   def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    // deterministic ±1 hyperplane components via an avalanche mix
+    // (splitmix64 finalizer): a weak parity-separable hash here makes
+    // every plane a signed copy of the same vector and collapses the
+    // bucket space to 2 — verified numerically during review
     def comp(plane: Int, d: Int): Double = {
-      // deterministic ±1 hyperplane components
-      var h = 1125899906842597L
-      val s = s"$plane:$d"
-      var i = 0
-      while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
-      if ((h & 1L) == 0L) 1.0 else -1.0
+      var z = (plane.toLong << 32 | d.toLong) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      if ((z & 1L) == 0L) 1.0 else -1.0
     }
     val bits = (0 until nBits).map { p =>
       val proj = (0 until dim).map(d =>

@@ -94,8 +94,15 @@ object IncrementalStream {
           .filter(_.startsWith(prefix))
           .flatMap(n => n.stripPrefix(prefix).toLongOption.map(_ -> n))
       else Array.empty[(Long, String)]
-    if (versions.isEmpty) snapshotDir
-    else new org.apache.hadoop.fs.Path(parent, versions.maxBy(_._1)._2).toString
+    // only COMMITTED versions count: a crash mid-write leaves a _vN dir
+    // without _SUCCESS, which must not poison the read path — fall back
+    // through older committed versions to the seed snapshot
+    versions.sortBy(-_._1).collectFirst {
+      case (_, n)
+          if fs.exists(new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(parent, n), "_SUCCESS")) =>
+        new org.apache.hadoop.fs.Path(parent, n).toString
+    }.getOrElse(snapshotDir)
   }
 
   def mergeEachBatch(incoming: DataFrame, snapshotDir: String,

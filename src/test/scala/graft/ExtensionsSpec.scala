@@ -105,6 +105,12 @@ class ExtensionsSpec extends SparkSpec {
       dim = 64, nBits = 3, k = 5))
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"LSH recall $recall too low")
+    // hyperplanes must be genuinely independent: a degenerate (e.g.
+    // parity-separable) component hash collapses the space to 2 buckets
+    val nBuckets = corpus
+      .select(Similarity.lshBucket($"c_vec", 64, 3).as("b"))
+      .distinct().count()
+    assert(nBuckets > 4, s"only $nBuckets of 8 LSH buckets occupied")
     // bucket assignment is deterministic across runs
     val b1 = Similarity.lshTopK(queries, corpus, 64, 3, 5).collect().toSeq
     val b2 = Similarity.lshTopK(queries, corpus, 64, 3, 5).collect().toSeq

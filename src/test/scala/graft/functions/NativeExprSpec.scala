@@ -41,6 +41,18 @@ class NativeExprSpec extends SparkSpec {
     assert(plan.contains("rolling_hash64"), plan)
   }
 
+  test("XrefMergeAgg buffer serde round-trips nulls and unicode") {
+    val agg = XrefMergeAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"),
+      org.apache.spark.sql.catalyst.expressions.Literal("y"), cap = 4000)
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)](
+      ("PMID:1|PMID:2", null), (null, "nötés ünïcode"), ("", ""))
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back === buf)
+    assert(agg.deserialize(agg.serialize(
+      scala.collection.mutable.ArrayBuffer.empty[(String, String)])).isEmpty)
+  }
+
   test("salted count equals plain groupBy count") {
     val df = graft.Tables.orders(spark, "/root/testdata/sf0.001")
     val plain = df.groupBy("o_orderpriority").count()

@@ -59,6 +59,14 @@ object TextQueries extends QueryPack {
         .select($"doc_id", $"n_chars")
     }),
 
+    // cleaning chain: NFC (native expression) + URL/control stripping +
+    // whitespace collapse
+    "text_clean" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        TextAnalysis.cleanText($"text").as("clean_text"))
+    }),
+
     // corpus vocabulary: distinct-doc frequency per token, top slice by
     // (df desc, token) — deterministic ordering keys included
     "text_vocab_topdf" -> ((s, d) => {
@@ -140,6 +148,15 @@ object TextQueries extends QueryPack {
            |  AND (CASE WHEN len($ltoks) > 0
            |    THEN CAST(len(list_intersect($ltoks, $en)) AS DOUBLE) / len($ltoks)
            |    ELSE 0.0 END) > 0.0""".stripMargin,
+
+      "text_clean" ->
+        """SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(regexp_replace(
+          |    nfc_normalize(text),
+          |    'https?://\S+', ' ', 'g'),
+          |    '[\x00-\x1F\x7F]', ' ', 'g'),
+          |    '\s+', ' ', 'g')) AS clean_text
+          |FROM documents""".stripMargin,
 
       "text_vocab_topdf" ->
         s"""SELECT token, count(*) AS df FROM (

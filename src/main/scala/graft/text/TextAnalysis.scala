@@ -107,6 +107,19 @@ object TextAnalysis {
   def rollingFingerprint(c: Column): Column =
     rollingHash64(regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  /** Standard cleaning chain for corpus curation: Unicode NFC (native
+    * expression), control-character and URL stripping, whitespace
+    * collapse. Map-only, fully codegen'd.
+    */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          graft.functions.NormalizeNfcExpr.normalize_nfc(c),
+          "https?://\\S+", " "),
+        "[\\p{Cntrl}]", " "),
+      "\\s+", " "))
+
   /** Convenience: attach the standard analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -153,6 +153,23 @@ object AggQueries extends QueryPack {
           sum($"value".cast("decimal(20,6)")).cast("double").as("sum_value"))
     }),
 
+    // As-of join: each event aligned to the latest order of "its"
+    // customer at or before the event time (snapshot alignment op)
+    "asof_event_order" -> ((s, d) => {
+      import s.implicits._
+      val events = Tables.events(s, d).select($"event_id", $"user_id",
+        timestamp_micros(expr("ts div 1000")).as("ev_ts"))
+      // unique right side per (key, ts): max orderkey per (cust, date)
+      val orders = Tables.orders(s, d)
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_orderkey").as("o_orderkey"))
+      graft.operators.AsOfJoin.asOf(
+        events, orders.withColumnRenamed("o_custkey", "user_id"),
+        key = "user_id", leftTs = "ev_ts", rightTs = "o_orderdate",
+        payload = Seq("o_orderkey"))
+        .select($"event_id", $"user_id", $"o_orderkey")
+    }),
+
     // U4 guard inputs: the two scalar counts the threshold brake compares
     "u4_threshold_counts" -> ((s, d) => {
       import s.implicits._
@@ -229,6 +246,13 @@ object AggQueries extends QueryPack {
         |  event_type, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "asof_event_order" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
 
     "u4_threshold_counts" ->
       """SELECT (SELECT count(*) FROM orders

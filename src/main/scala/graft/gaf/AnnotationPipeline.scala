@@ -75,25 +75,95 @@ object AnnotationPipeline {
       .drop("_ipi")
   }
 
+  // ---------------------------------------------------------------- J6
+  /** Raw gene id -> final ACTIVE file-species gene id, as a dim-sized
+    * lookup (status validation + MULTI-HOP history redirect,
+    * MAHQC.java:169-193; the jar's getActiveRgdIdFromHistory is a
+    * recursive CONNECT BY — followed here to a fixpoint). Runs entirely
+    * on dimension tables (the fact never sees status/history joins), so
+    * the per-hop driver loop costs one tiny action per hop — the same
+    * adaptive pattern as [[graft.plans.DagClosure]].
+    *
+    * Ids that resolve to nothing (retired with no redirect, redirect
+    * chain dead-ends, wrong species) are simply absent from the map.
+    */
+  def resolveGeneIds(dims: Dimensions, fileSpecies: Int,
+                     maxHops: Int = 20): DataFrame = {
+    val status = dims.rgdIds.filter(col("object_key") === GENES_OBJECT_KEY)
+      .select(col("rgd_id"), col("object_status"), col("species_type_key"))
+    val histMax = dims.history.groupBy(col("old_rgd_id"))
+      .agg(max(col("new_rgd_id")).as("redir_rgd_id"))
+    val statusOf = status.select(col("rgd_id").as("cur_id"),
+      col("object_status").as("cur_status"),
+      col("species_type_key").as("cur_species"))
+
+    // domain: any id that can appear as a raw match — known genes plus
+    // retired ids that exist only as history sources
+    val domain = status.select(col("rgd_id"))
+      .unionByName(dims.history.select(col("old_rgd_id").as("rgd_id")))
+      .distinct()
+    var cur = domain.select(col("rgd_id").as("raw_rgd_id"))
+      .join(broadcast(statusOf), col("raw_rgd_id") === col("cur_id"), "left")
+      .withColumn("cur_id", coalesce(col("cur_id"), col("raw_rgd_id")))
+
+    var hops = 0
+    var advancing = true
+    while (advancing && hops < maxHops) {
+      val stepped = cur
+        .join(broadcast(histMax), col("cur_id") === col("old_rgd_id"), "left")
+        .withColumn("_adv", !(col("cur_status") <=> lit("ACTIVE")) &&
+          col("redir_rgd_id").isNotNull)
+      advancing = stepped.filter(col("_adv")).limit(1).count() > 0
+      if (advancing) {
+        cur = stepped
+          .select(col("raw_rgd_id"),
+            when(col("_adv"), col("redir_rgd_id")).otherwise(col("cur_id"))
+              .as("cur_id"))
+          .join(broadcast(statusOf), Seq("cur_id"), "left")
+        hops += 1
+      }
+    }
+    if (advancing)
+      throw new IllegalStateException(
+        s"gene history redirect chain did not converge after $maxHops hops " +
+          "(cycle in the history table?)")
+
+    cur.filter(col("cur_status") === "ACTIVE" &&
+        col("cur_species") === lit(fileSpecies))
+      .select(col("raw_rgd_id"), col("cur_id").as("final_rgd_id"))
+  }
+
   // ------------------------------------------------------- J1..J6, F6, P3/P4/P10
   /** Gene-matching join cascade (MAHQC.java:101-193). Emits one row per
     * (input line, matched active gene): the reference's fan-out loop over
     * `genes` becomes a one-to-many broadcast join; the per-source
     * fallback chain (J2/J3) becomes priority candidates + keep-min-rank.
-    * Output adds `_row_id`, `rgd_id`, `species_type_key`.
+    * Output adds `_row_id`, `rgd_id`.
+    *
+    * Status + history + species resolution (J6/F6) is applied INSIDE the
+    * broadcast dim (`resolveGeneIds`), so candidate sets already hold
+    * final active file-species ids, de-duplicated by `collect_set` — the
+    * fact side needs no status joins and no `dropDuplicates` shuffle
+    * (two raw candidates collapsing onto one redirect target dedup at
+    * set-build time, on dim-sized data). Tier priority is still chosen
+    * on RAW match presence (group existence), matching the reference:
+    * a tier whose candidates all resolve away yields an empty set —
+    * the row is dropped, not retried at a lower tier.
     */
   def matchGenes(gaf: DataFrame, dims: Dimensions, fileSpecies: Int): DataFrame = {
     val g = gaf.withColumn("_row_id", monotonically_increasing_id())
 
     // The J1/J2/J3 fallback chain (MAHQC.java:101-167) as three tiered
-    // broadcast left-joins against a set-valued dim (one array of gene
-    // ids per (xdb_key, acc)), resolved by priority coalesce + explode.
-    // Fully map-side: the one-to-many fan-out AND the best-tier choice
-    // happen without shuffling the fact (the previous explode+window
-    // formulation shuffled every candidate row on _row_id).
+    // broadcast left-joins against a set-valued dim (one array of
+    // RESOLVED gene ids per (xdb_key, acc)), resolved by priority
+    // coalesce + explode. Fully map-side: the one-to-many fan-out AND
+    // the best-tier choice happen without shuffling the fact.
+    val resolve = resolveGeneIds(dims, fileSpecies)
     val xdbSets = broadcast(dims.xdb
+      .join(broadcast(resolve), dims.xdb("rgd_id") === resolve("raw_rgd_id"),
+        "left")
       .groupBy(col("xdb_key"), col("acc_id"))
-      .agg(collect_set(col("rgd_id")).as("gene_ids")))
+      .agg(collect_set(col("final_rgd_id")).as("gene_ids")))
 
     val id = col("db_object_id")
     val altId = substring_index(col("gene_product_form_id"), ":", -1) // P10
@@ -135,48 +205,31 @@ object AnnotationPipeline {
         explode(coalesce(col("_t1"), col("_t2"), col("_t3"))))
       .drop("_t1", "_t2", "_t3")
 
-    // J5: chinchilla identity — col 2 IS the rgd id, no join
+    // J5: chinchilla identity — col 2 IS the rgd id, no join; J6 status/
+    // history/species resolution applies via the same resolve dim (one
+    // output row per input row, so no dedup is needed on this branch)
     val rgdDirect = g.filter(col("db") === "RGD")
-      .withColumn("rgd_id",
+      .withColumn("_raw_id",
         regexp_extract(col("db_object_id"), "(\\d+)", 1).cast("int"))
-      .filter(col("rgd_id").isNotNull)
+      .filter(col("_raw_id").isNotNull)
+      .join(broadcast(resolve), col("_raw_id") === col("raw_rgd_id"))
+      .drop("_raw_id", "raw_rgd_id")
+      .withColumnRenamed("final_rgd_id", "rgd_id")
       .withColumn("_prio", lit(1))
 
-    val matched = best.unionByName(rgdDirect)
-
-    // J6: status validation + one-hop history redirect (MAHQC.java:169-193)
-    val status = dims.rgdIds.filter(col("object_key") === GENES_OBJECT_KEY)
-      .select(col("rgd_id"), col("object_status"), col("species_type_key"))
-    val histMax = dims.history.groupBy(col("old_rgd_id"))
-      .agg(max(col("new_rgd_id")).as("redir_rgd_id"))
-    val redirected = matched
-      .join(broadcast(status), Seq("rgd_id"), "left")
-      .join(broadcast(histMax), matched("rgd_id") === col("old_rgd_id"), "left")
-      .withColumn("final_rgd_id",
-        when(col("object_status") === "ACTIVE", col("rgd_id"))
-          .otherwise(col("redir_rgd_id")))
-      .filter(col("final_rgd_id").isNotNull)
-      .drop("rgd_id", "object_status", "species_type_key", "old_rgd_id",
-        "redir_rgd_id")
-      .withColumnRenamed("final_rgd_id", "rgd_id")
-      .join(broadcast(status), Seq("rgd_id"))
-      .filter(col("object_status") === "ACTIVE")
-      .drop("object_status")
-
     // F6 + J4: every gene must match the FILE's species (MAHQC.java:87-92)
-    // AND RNAcentral rows are additionally scoped by the accession-suffix
-    // taxon (MAHQC.java:119-135: the lookup itself is species-scoped, so
-    // a URS..._10090 line matches only mouse genes — which the file guard
-    // then drops in a non-mouse run; a same-accession file-species gene
-    // must NOT be annotated from a foreign-tagged line). Net condition:
-    // for RNAcentral the suffix species must BE the file species.
+    // — enforced inside `resolve` — AND RNAcentral rows are additionally
+    // scoped by the accession-suffix taxon (MAHQC.java:119-135: the
+    // lookup itself is species-scoped, so a URS..._10090 line matches
+    // only mouse genes — which the file guard then drops in a non-mouse
+    // run; a same-accession file-species gene must NOT be annotated from
+    // a foreign-tagged line). Net condition: for RNAcentral the suffix
+    // species must BE the file species (row-level, map-side).
     val suffixSpecies = try_element_at(
       typedLit(taxonToSpecies.map { case (k, v) => (k.toString, v) }),
       substring_index(col("db_object_id"), "_", -1))
-    redirected
-      .filter(col("species_type_key") === lit(fileSpecies) &&
-        (col("db") =!= "RNAcentral" || suffixSpecies === lit(fileSpecies)))
-      .dropDuplicates("_row_id", "rgd_id")
+    best.unionByName(rgdDirect)
+      .filter(col("db") =!= "RNAcentral" || suffixSpecies === lit(fileSpecies))
   }
 
   // ------------------------------------------------------------ J7/F10/F11

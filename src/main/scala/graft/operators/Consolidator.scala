@@ -37,12 +37,23 @@ object Consolidator {
     *                 evidence, qualifier, xref_source, data_src, notes)
     * @param tokenCol the `[|,]`-delimited column to consolidate
     * @param cap      serialized-length cap (1700 for WITH_INFO)
+    *
+    * Single-pass: the input is staged through ONE explicit hash exchange
+    * on the key, which both the mergeable branch (whose groupBy then
+    * needs no further shuffle — the partitioning already satisfies the
+    * clustered distribution) and the empties branch consume. Without the
+    * staging exchange each branch re-executes the whole upstream plan
+    * (for the e2e pipeline that upstream is the full broadcast-join
+    * cascade from the scan — a 2x scan at any scale). The cap split is a
+    * single conditional projection, not a second pair of branches, so
+    * the aggregate output is consumed exactly once.
     */
   def consolidate(df: DataFrame, keyCols: Seq[String], tokenCol: String,
                   cap: Int): DataFrame = {
     val passCols = df.columns.filterNot(c => keyCols.contains(c) || c == tokenCol)
-    val mergeable = df.filter(length(coalesce(col(tokenCol), lit(""))) > 0)
-    val empties = df.filter(length(coalesce(col(tokenCol), lit(""))) === 0)
+    val staged = df.repartition(keyCols.map(col): _*)
+    val mergeable = staged.filter(length(coalesce(col(tokenCol), lit(""))) > 0)
+    val empties = staged.filter(length(coalesce(col(tokenCol), lit(""))) === 0)
 
     val aggs = array_join(tokenSetAgg(col(tokenCol)), "|").as("_tok") +:
       passCols.map(c => max(col(c)).as(c))
@@ -51,17 +62,15 @@ object Consolidator {
       .agg(aggs.head, aggs.tail: _*)
 
     // common case (merged set fits the cap): the joined sorted set IS the
-    // single fragment — stays entirely inside codegen'd builtins. The
-    // fragmenting UDF + explode runs only on the rare oversized groups.
-    val fits = merged.filter(length(col("_tok")) <= cap)
-      .withColumn(tokenCol, col("_tok")).drop("_tok")
-    val oversized = merged.filter(length(col("_tok")) > cap)
-      .withColumn(tokenCol,
-        explode(fragmentUdf(split(col("_tok"), "\\|"), lit(cap))))
+    // single fragment — explode of a 1-element array, entirely inside
+    // codegen'd builtins. The fragmenting UDF runs only on the rare
+    // oversized groups (CaseWhen evaluates branches conditionally).
+    val out = merged.withColumn(tokenCol,
+        explode(when(length(col("_tok")) <= cap, array(col("_tok")))
+          .otherwise(fragmentUdf(split(col("_tok"), "\\|"), lit(cap)))))
       .drop("_tok")
 
-    fits.select(df.columns.map(col): _*)
-      .unionByName(oversized.select(df.columns.map(col): _*))
+    out.select(df.columns.map(col): _*)
       .unionByName(empties.select(df.columns.map(col): _*))
   }
 }

@@ -1,0 +1,12 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled","false")
+      .config("spark.sql.legacy.parquet.nanosAsLong","true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println("ENTRY_ROWS=" + SparkEntry.entry(spark).count())
+    spark.stop()
+  }
+}

@@ -10,6 +10,8 @@ object ProfMain {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("GRAFT_OBJ_AGG_FALLBACK", "128"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     import spark.implicits._
@@ -24,6 +26,33 @@ object ProfMain {
 
     // warmup
     Tables.orders(spark, d).count()
+
+    if (args.contains("e2e")) {
+      import graft.gaf._
+      import graft.queries.GafE2eQueries
+      val dims = GafE2eQueries.dims(spark, d)
+      val gaf = GafE2eQueries.gaf(spark, d)
+      val cfg = GafE2eQueries.cfg
+      // warm the dims + gaf scans so stage deltas are honest
+      gaf.count(); dims.rgdIds.count(); dims.xdb.count()
+      t("e2e 0: gaf scan only") { gaf.count() }
+      val filtered = AnnotationPipeline.qcTermFilters(
+        AnnotationPipeline.filterSources(gaf, cfg.sources), dims)
+      t("e2e 1: +sources+qcTermFilters") { filtered.count() }
+      val matched = AnnotationPipeline.matchGenes(filtered, dims, cfg.speciesTypeKey)
+      t("e2e 2: +matchGenes") { matched.count() }
+      val built = AnnotationPipeline.buildAnnotations(matched, dims, cfg)
+      t("e2e 3: +buildAnnotations") { built.count() }
+      val enriched = AnnotationPipeline.qcAndEnrich(built, dims, cfg)
+      t("e2e 4: +qcAndEnrich") { enriched.count() }
+      val consolidated = graft.operators.Consolidator.consolidate(
+        enriched.drop("_row_id", "_prio"),
+        AnnotationPipeline.consolidationKey, "with_info", Constants.WITH_INFO_CAP)
+      t("e2e 5: +consolidate") { consolidated.count() }
+      t("e2e 6: full annotate") { GafE2eQueries.annotateE2e(spark, d).count() }
+      t("e2e 6 again (warm)") { GafE2eQueries.annotateE2e(spark, d).count() }
+      spark.stop(); return
+    }
 
     val orders = Tables.orders(spark, d)
     t("groupBy count only") {

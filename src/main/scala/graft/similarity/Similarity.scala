@@ -53,35 +53,78 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("sim"), col("rank"))
   }
 
-  /** Assign each vector to its nearest centroid (broadcast, map-side). */
-  def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
-                        vecId: String = "v_id"): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids))
-      .withColumn("c_dist", round(cosine(col("v_vec"), col("cent_vec")), 6))
-    val w = Window.partitionBy(col(vecId))
-      .orderBy(col("c_dist").desc, col("cent_id"))
-    scored.withColumn("_r", row_number().over(w)).filter(col("_r") === 1)
-      .select(col(vecId), col("v_vec"), col("cent_id"))
+  /** Hard cap on quantizer size: the centroid table becomes a literal in
+    * every task's plan, so it must stay broadcast-scale by construction.
+    */
+  val maxCentroids = 65536
+
+  /** Centroids as a literal array-of-structs column. A coarse quantizer
+    * is dim-sized by definition (k ≪ corpus), so shipping it inside the
+    * plan costs one broadcast-equivalent and buys a ZERO-shuffle argmin:
+    * the round-1 formulation crossJoined corpus×centroids and windowed
+    * the expanded corpus on v_id — a |centroids|× shuffle amplification
+    * (and it benched slower than brute force).
+    */
+  private def centroidLit(centroids: DataFrame): Column = {
+    val rows = centroids.select(col("cent_id").cast("long"), col("cent_vec"))
+      .collect()
+    require(rows.nonEmpty, "empty centroid set")
+    require(rows.length <= maxCentroids,
+      s"${rows.length} centroids exceed the literal-quantizer cap $maxCentroids")
+    array(rows.map { r =>
+      val vec = r.getSeq[Number](1).map(_.doubleValue())
+      struct(lit(r.getLong(0)).as("cent_id"), typedLit(vec).as("cent_vec"))
+    }.toIndexedSeq: _*)
   }
 
-  /** IVF search: probe the query's `nProbe` best centroid buckets only,
-    * then exact-rank inside the probed fraction of the corpus.
+  /** Per-centroid cosine scores of `vec`, sorted best-first (ties by
+    * ascending cent_id, encoded as descending neg_id). Pure projection —
+    * evaluates map-side inside whole-stage codegen.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-              k: Int, nProbe: Int): DataFrame = {
-    val assigned = assignToCentroids(
-      corpus.select(col("c_id").as("v_id"), col("c_vec").as("v_vec")), centroids)
-      .select(col("v_id").as("c_id"), col("v_vec").as("c_vec"), col("cent_id"))
+  private def centroidScores(vec: Column, centArr: Column): Column =
+    sort_array(transform(centArr, c =>
+      struct(round(cosine(vec, c.getField("cent_vec")), 6).as("dist"),
+        (-c.getField("cent_id")).as("neg_id"))), asc = false)
 
-    val qScored = queries.crossJoin(broadcast(centroids))
-      .withColumn("c_dist", round(cosine(col("q_vec"), col("cent_vec")), 6))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_dist").desc, col("cent_id"))
-    val probes = qScored.withColumn("_r", row_number().over(wq))
-      .filter(col("_r") <= nProbe)
-      .select(col("q_id"), col("q_vec"), col("cent_id"))
+  /** Assign each vector to its nearest centroid — one map-side
+    * projection against the literal quantizer, no shuffle.
+    */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
+                        vecId: String = "v_id"): DataFrame = {
+    val best = element_at(centroidScores(col("v_vec"), centroidLit(centroids)), 1)
+    vectors.select(col(vecId), col("v_vec"),
+      (-best.getField("neg_id")).as("cent_id"))
+  }
 
-    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+  /** Build the IVF index: the corpus with its bucket assignment,
+    * `(c_id, c_vec, cent_id)`. This is the expensive half of IVF —
+    * |corpus| × |centroids| cosines — and it is a one-time cost amortized
+    * over every subsequent search: persist the result (or, at 100 TB,
+    * write it partitioned/bucketed BY cent_id so a probe reads only its
+    * buckets' files). Searching an unbuilt index per query would cost
+    * more than brute force whenever |centroids| > |queries| — the
+    * round-1 bench demonstrated exactly that.
+    */
+  def buildIvfIndex(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.withColumn("cent_id",
+      -element_at(centroidScores(col("c_vec"), centroidLit(centroids)), 1)
+        .getField("neg_id"))
+
+  /** Probe a built index: map-side probe selection against the literal
+    * quantizer, hash-join on cent_id (cheap integer probe, no cosine for
+    * non-bucket rows), exact rank within the probed fraction. The only
+    * shuffle is the final per-query top-k.
+    */
+  def ivfProbe(queries: DataFrame, index: DataFrame, centroids: DataFrame,
+               k: Int, nProbe: Int): DataFrame = {
+    val probes = queries
+      .withColumn("_probe",
+        explode(slice(centroidScores(col("q_vec"), centroidLit(centroids)),
+          1, nProbe)))
+      .select(col("q_id"), col("q_vec"),
+        (-col("_probe.neg_id")).as("cent_id"))
+
+    val scored = index.join(broadcast(probes), Seq("cent_id"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
@@ -89,6 +132,13 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
   }
+
+  /** One-shot IVF search (build + probe, nothing persisted). Prefer
+    * [[buildIvfIndex]] + [[ivfProbe]] when the index is reused.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int, nProbe: Int): DataFrame =
+    ivfProbe(queries, buildIvfIndex(corpus, centroids), centroids, k, nProbe)
 
   /** Random-hyperplane LSH buckets: `nBits` sign bits of projections onto
     * deterministic pseudo-random hyperplanes (components derived from a

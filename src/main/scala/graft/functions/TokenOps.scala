@@ -94,7 +94,13 @@ object TokenOps {
       pending = true
       xrefs = xrefs ++ ts
       notes = notes ++ splitTokens(c.notes)
-      if (c.xref != null && c.xref.contains("PMID") && ts.size > 1)
+      // any candidate whose xref contains a PMID contributes its
+      // parenthesized ORIGINAL token group (MAHDL.java:109-111 gates on
+      // contains("PMID") with no token-count condition; README note 4's
+      // "multiple PMIDs" describes the merged field, not the gate) —
+      // rendered here as the candidate's sorted distinct tokens for
+      // deterministic output (SURVEY.md §7.3)
+      if (c.xref != null && c.xref.contains("PMID"))
         pmidGroups += s"(${sortedDistinct(ts).mkString("|")})"
     }
     flush()

@@ -333,10 +333,15 @@ object AnnotationPipeline {
       .drop("gaf_date", "_src_gene")
   }
 
-  /** A4 consolidation key (WithInfoConsolidator.java:23-36). */
+  /** A4 consolidation key (WithInfoConsolidator.java:23-36). `aspect` is
+    * not part of the reference key, but it is functionally determined by
+    * `term_acc` (GO aspect is a property of the term), so including it
+    * cannot change the grouping — it just guards the pass-through
+    * aggregation against a hypothetical two-aspect collision.
+    */
   val consolidationKey: Seq[String] = Seq(
     "term_acc", "annotated_object_rgd_id", "ref_rgd_id", "evidence",
-    "qualifier", "xref_source", "data_src", "notes")
+    "qualifier", "xref_source", "data_src", "notes", "aspect")
 
   /** A2 merge key (MAHDL.computeAnnotKey, MAHDL.java:46-55). */
   val mergeKey: Seq[String] = Seq(

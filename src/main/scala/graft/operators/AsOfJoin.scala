@@ -47,9 +47,17 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1).drop("_ts", "_side")
+    // carry ONE struct of all payload columns (non-null exactly on right
+    // rows), so the most recent right ROW wins even when its individual
+    // payload fields are null — last(col, ignoreNulls) per column would
+    // skip back to an older row's non-null value, which is wrong as-of
+    // semantics for nullable payloads
+    val packed = l.unionByName(r).withColumn("_payload",
+      when(col("_side") === 0, struct(payload.map(col): _*)))
+    val carried = packed
+      .withColumn("_carried", last(col("_payload"), ignoreNulls = true).over(w))
+    payload.foldLeft(carried) { (df, p) =>
+      df.withColumn(p, col("_carried").getField(p))
+    }.filter(col("_side") === 1).drop("_ts", "_side", "_payload", "_carried")
   }
 }

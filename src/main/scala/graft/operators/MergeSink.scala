@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
   *  - keep    — existing row with no incoming match (delete candidate)
   *
   * Scale: one shuffle on the unique key for the full-outer join (AQE
-  * handles skew); surrogate keys are assigned per-partition from
-  * `monotonically_increasing_id` offset by the existing max — no global
-  * sort, no driver collect of data rows.
+  * handles skew); insert surrogate keys are DETERMINISTIC in the data —
+  * row_number within a hash bucket of the unique key, interleaved as
+  * `rn*nBuckets + bucket` so buckets never collide without cross-bucket
+  * offsets. One bounded-width shuffle, no global sort, no driver collect
+  * of data rows; repeated evaluation of the merged frame yields the same
+  * keys (monotonically_increasing_id did not, which broke downstream
+  * anti-joins keyed on full_annot_key unless callers kept a resident
+  * cache).
   */
 object MergeSink {
 
@@ -77,13 +82,22 @@ object MergeSink {
       case c => when(col("_op") === "insert", col(s"i.$c")).otherwise(col(s"e.$c"))
     }
 
+    // U1 surrogate keys: deterministic, collision-free, no global sort.
+    // Inserts sort first within their bucket so their row_numbers are
+    // contiguous from 1; keys are strictly > maxKey and unique because
+    // (rn, bucket) -> rn*nB + bucket is injective for bucket < nB.
+    val nB = 1024
+    val w = Window.partitionBy(col("_bucket"))
+      .orderBy((col("_op") =!= "insert") +: uniqueKey.map(col): _*)
     joined
       .select(outCols.map(c => pick(c).as(c)) :+ col("_op"): _*)
-      // U1 surrogate keys: distributed, collision-free, no global sort
+      .withColumn("_bucket", pmod(xxhash64(uniqueKey.map(col): _*), lit(nB)))
       .withColumn("full_annot_key",
         when(col("_op") === "insert",
-          monotonically_increasing_id() + lit(maxKey + 1))
+          lit(maxKey) + (row_number().over(w) - 1).cast("long") * nB +
+            col("_bucket") + 1L)
           .otherwise(col("full_annot_key")))
+      .drop("_bucket")
   }
 
   final case class StaleReport(staleCount: Long, currentCount: Long,

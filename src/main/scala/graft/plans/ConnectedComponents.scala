@@ -16,7 +16,11 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object ConnectedComponents {
 
-  val driverSideEdgeLimit = 5000000L
+  /** Above this edge count the distributed propagation is used. 1M boxed
+    * edge Rows ≈ low hundreds of MB of driver heap — the safe knee; 5M
+    * (the previous value) is multi-GB once Row/boxing overhead is paid.
+    */
+  val driverSideEdgeLimit = 1000000L
 
   /** edges (id_a, id_b) -> (id, component) where component = min id of
     * the member's component. Nodes without edges are absent (callers

@@ -80,6 +80,12 @@ object DagClosure {
       }
       i += 1
     }
+    // a silently partial closure would under-populate descendant sets
+    // (F5 would under-drop); fail loudly like ConnectedComponents
+    if (!done)
+      throw new IllegalStateException(
+        s"DAG closure did not converge after $maxIters iterations " +
+          "(deeper DAG than expected, or a cycle in the edge table)")
     acc
   }
 
@@ -131,6 +137,10 @@ object DagClosure {
       else { acc = acc.union(next).localCheckpoint(); frontier = next }
       i += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"descendant BFS did not converge after $maxIters iterations " +
+          "(deeper DAG than expected, or a cycle in the edge table)")
     acc
   }
 }

@@ -82,8 +82,9 @@ object IncrementalStream {
     * (a parquet dir can't be overwritten while being read); compaction
     * of old versions is the deployment's retention policy.
     */
-  def latestSnapshotDir(spark: org.apache.spark.sql.SparkSession,
-                        snapshotDir: String): String = {
+  /** Committed (`_SUCCESS`-bearing) snapshot versions, newest first. */
+  private def committedVersions(spark: org.apache.spark.sql.SparkSession,
+                                snapshotDir: String): Seq[(Long, String)] = {
     val base = new org.apache.hadoop.fs.Path(snapshotDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = base.getParent
@@ -97,12 +98,46 @@ object IncrementalStream {
     // only COMMITTED versions count: a crash mid-write leaves a _vN dir
     // without _SUCCESS, which must not poison the read path — fall back
     // through older committed versions to the seed snapshot
-    versions.sortBy(-_._1).collectFirst {
-      case (_, n)
+    versions.sortBy(-_._1).toIndexedSeq.collect {
+      case (v, n)
           if fs.exists(new org.apache.hadoop.fs.Path(
             new org.apache.hadoop.fs.Path(parent, n), "_SUCCESS")) =>
-        new org.apache.hadoop.fs.Path(parent, n).toString
-    }.getOrElse(snapshotDir)
+        v -> new org.apache.hadoop.fs.Path(parent, n).toString
+    }
+  }
+
+  def latestSnapshotDir(spark: org.apache.spark.sql.SparkSession,
+                        snapshotDir: String): String =
+    committedVersions(spark, snapshotDir).headOption.map(_._2)
+      .getOrElse(snapshotDir)
+
+  /** One micro-batch of the incremental MERGE.
+    *
+    * Replay guard: after a crash BETWEEN the parquet commit and the
+    * streaming-checkpoint commit, the batch re-runs with a version
+    * >= batchId already on disk. Re-merging would read _v<batchId> and
+    * mode("overwrite") the SAME directory (Spark deletes the target
+    * before the read job runs — destroying the snapshot), or
+    * double-apply the batch onto a newer version. The batch's effects
+    * are already durable, so it is a no-op; reads otherwise come only
+    * from versions strictly OLDER than this batch.
+    */
+  private[streaming] def applyBatch(batch: DataFrame, batchId: Long,
+                                    snapshotDir: String, runTs: () => Timestamp,
+                                    createdBy: Int): Unit = {
+    val spark = batch.sparkSession
+    val committed = committedVersions(spark, snapshotDir)
+    if (!committed.exists(_._1 >= batchId)) {
+      val source = committed.collectFirst {
+        case (v, dir) if v < batchId => dir
+      }.getOrElse(snapshotDir)
+      val existing = spark.read.parquet(source)
+      val merged = graft.operators.MergeSink
+        .merge(existing, batch, runTs(), createdBy)
+        .drop("_op")
+      merged.write.mode("overwrite")
+        .parquet(s"${snapshotDir}_v$batchId")
+    }
   }
 
   def mergeEachBatch(incoming: DataFrame, snapshotDir: String,
@@ -110,14 +145,7 @@ object IncrementalStream {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     incoming.writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val existing = spark.read.parquet(latestSnapshotDir(spark, snapshotDir))
-        val merged = graft.operators.MergeSink
-          .merge(existing, batch, runTs(), createdBy)
-          .drop("_op")
-        merged.write.mode("overwrite")
-          .parquet(s"${snapshotDir}_v$batchId")
-        ()
+        applyBatch(batch, batchId, snapshotDir, runTs, createdBy)
       }
   }
 }

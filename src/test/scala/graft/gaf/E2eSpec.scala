@@ -14,7 +14,10 @@ class E2eSpec extends SparkSpec {
 
   test("e2e pipeline output is stable at sf0.001") {
     val out = GafE2eQueries.annotateE2e(spark, sf).cache()
-    assert(out.count() === 8291)
+    // 8292: the synthetic derivation draws aspect independently of go_id
+    // (unlike real GO data), so exactly one A4 group at this sf holds two
+    // aspects and stays split by the aspect-guarded consolidation key
+    assert(out.count() === 8292)
     // ISO derivation present with provenance
     val iso = out.filter(col("evidence") === "ISO")
     assert(iso.count() > 0)

@@ -25,6 +25,21 @@ class ConsolidatorSpec extends SparkSpec {
     assert(frags === Array("aaaa|bbbb", "cccc|dddd"))
   }
 
+  test("A4: two-aspect collision stays split by the aspect-guarded key") {
+    // aspect is functionally determined by term_acc in real GO data, but
+    // the key guards the hypothetical anyway (VERDICT r1): same
+    // consolidation key, different aspect -> two output rows, each
+    // keeping its own aspect (no max() cross-contamination)
+    val df = Seq(("GO:1", "F", "W:1"), ("GO:1", "P", "W:2"))
+      .toDF("term_acc", "aspect", "with_info")
+    val out = Consolidator.consolidate(df, Seq("term_acc", "aspect"),
+      "with_info", 1700)
+    assert(out.count() === 2)
+    val byAspect = out.collect()
+      .map(r => r.getAs[String]("aspect") -> r.getAs[String]("with_info")).toMap
+    assert(byAspect === Map("F" -> "W:1", "P" -> "W:2"))
+  }
+
   test("A4: empty with_info rows never merge (EMPTY tag parity)") {
     val df = Seq(("k", ""), ("k", ""), ("k", "a")).toDF("key", "with_info")
     val out = Consolidator.consolidate(df, Seq("key"), "with_info", 1700)
@@ -44,8 +59,17 @@ class ConsolidatorSpec extends SparkSpec {
   }
 
   test("A3: notes equal to xref_source are nulled") {
-    val df = Seq(("k", "PMID:1", "PMID:1")).toDF("key", "xref_source", "notes")
+    // non-PMID xref: no note group gets appended, so notes==xref -> null
+    val df = Seq(("k", "GO_REF:1", "GO_REF:1")).toDF("key", "xref_source", "notes")
     val out = AnnotMerge.merge(df, Seq("key"), "xref_source", "notes", 4000)
     assert(out.head().getAs[String]("notes") === null)
+  }
+
+  test("A2: any PMID-bearing candidate contributes its note group (MAHDL.java:109-111)") {
+    // gate has no token-count condition: a singleton PMID xref still
+    // yields a parenthesized group, which also keeps notes != xref (A3)
+    val df = Seq(("k", "PMID:1", "PMID:1")).toDF("key", "xref_source", "notes")
+    val out = AnnotMerge.merge(df, Seq("key"), "xref_source", "notes", 4000)
+    assert(out.head().getAs[String]("notes") === "(PMID:1)")
   }
 }

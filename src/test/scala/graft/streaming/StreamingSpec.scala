@@ -130,4 +130,38 @@ class StreamingSpec extends SparkSpec {
         Set("GO:0001", "GO:0002"))
     } finally q.stop()
   }
+
+  test("applyBatch replay (crash between parquet and checkpoint commit) is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val snap = s"$dir/snapshot"
+    graft.gaf.Fixtures.emptyFullAnnot(spark).write.parquet(snap)
+
+    val cols = graft.gaf.Dims.fullAnnot.fieldNames
+    def batchDf(term: String) = {
+      val base = Seq((term, 1001, "IDA"))
+        .toDF("term_acc", "annotated_object_rgd_id", "evidence")
+        .withColumn("ref_rgd_id", lit(1))
+      cols.foldLeft(base) { (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(graft.gaf.Dims.fullAnnot(c).dataType))
+      }.select(cols.map(col): _*).drop("full_annot_key", "created_date",
+        "last_modified_date", "created_by", "last_modified_by")
+    }
+
+    val t0 = () => ts("2026-01-01 00:00:00")
+    IncrementalStream.applyBatch(batchDf("GO:0001"), 0L, snap, t0, 190)
+    val v0 = spark.read.parquet(s"${snap}_v0").collect().toSeq
+
+    // replay of batch 0: _v0 is committed, so the batch must neither
+    // overwrite-while-reading _v0 nor double-apply — exact no-op
+    IncrementalStream.applyBatch(batchDf("GO:0009"), 0L, snap, t0, 190)
+    assert(spark.read.parquet(s"${snap}_v0").collect().toSeq === v0)
+    assert(IncrementalStream.latestSnapshotDir(spark, snap) === s"${snap}_v0")
+
+    // next batch still applies on top
+    IncrementalStream.applyBatch(batchDf("GO:0002"), 1L, snap, t0, 190)
+    val v1 = spark.read.parquet(s"${snap}_v1")
+    assert(v1.count() === 2)
+  }
 }

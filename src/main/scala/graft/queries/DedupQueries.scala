@@ -37,11 +37,16 @@ object DedupQueries extends QueryPack {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxDist = 8)),
 
+    // blocked form: quadratic only within each 150-id block (the block
+    // key stands in for an LSH bucket / cluster id at scale); threshold
+    // 0.4 sits inside the corpus' sim range so the oracle compares
+    // nonzero rows (0.5 was above the max pairwise sim -> vacuous green)
     "dedup_embedding_pairs" -> ((s, d) => {
       import s.implicits._
       graft.similarity.Similarity.cosineNearDupPairs(
-        Tables.embeddings(s, d).filter($"vec_id" < 300),
-        "vec_id", "embedding", threshold = 0.5)
+        Tables.embeddings(s, d).filter($"vec_id" < 600)
+          .withColumn("blk", ($"vec_id" / 150).cast("long")),
+        "vec_id", "embedding", threshold = 0.4, block = Some("blk"))
     })
   )
 
@@ -102,22 +107,19 @@ object DedupQueries extends QueryPack {
         |WHERE n_inter * 10 >= (ca.n_sh + cb.n_sh - n_inter) * 8""".stripMargin,
 
     "dedup_embedding_pairs" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(
-        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(a.embedding,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(b.embedding,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
-        |WHERE round(
-        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(a.embedding,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(b.embedding,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.5""".stripMargin
+      """WITH v AS (
+        |  SELECT vec_id, embedding, vec_id // 150 AS blk
+        |  FROM embeddings WHERE vec_id < 600),
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+        |  FROM v a JOIN v b ON a.blk = b.blk AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.4""".stripMargin
   )
 }

@@ -185,14 +185,21 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
   }
 
-  /** Cosine near-dup pairs above a threshold (embedding dedup): brute
-    * pairing restricted by id-block to bound the join (callers partition
-    * the corpus into blocks at scale; here one block = the sampled set).
+  /** Cosine near-dup pairs above a threshold (embedding dedup), paired
+    * WITHIN a caller-provided block key: the join shuffles both sides on
+    * `block` and is quadratic only inside each block — the standard
+    * blocked-dedup shape (block = LSH bucket, cluster id, shard…). At
+    * 100 TB the block key is what keeps this from being an all-pairs
+    * cross join; pass a constant block only for sampled-set use.
     */
   def cosineNearDupPairs(vectors: DataFrame, id: String, vec: String,
-                         threshold: Double): DataFrame = {
-    val v = vectors.select(col(id).as("id"), col(vec).as("v"))
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+                         threshold: Double,
+                         block: Option[String] = None): DataFrame = {
+    val bCol = block.map(col).getOrElse(lit(0))
+    val v = vectors.select(col(id).as("id"), col(vec).as("v"),
+      bCol.as("_block"))
+    v.as("a").join(v.as("b"),
+        col("a._block") === col("b._block") && col("a.id") < col("b.id"))
       .withColumn("sim", round(cosine(col("a.v"), col("b.v")), 6))
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))

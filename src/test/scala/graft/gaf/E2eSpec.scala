@@ -26,6 +26,19 @@ class E2eSpec extends SparkSpec {
     assert(out.filter(col("annotated_object_rgd_id").isNull).count() === 0)
   }
 
+  test("e2e golden digest at sf0.01 (the flagship's committed oracle)") {
+    // Canonical digest of the full 9-stage output: count + sum of per-row
+    // xxhash64 over name-sorted stringified columns (order-independent,
+    // null-marked, fixed UTC run timestamp). Regenerate with
+    // `Test/runMain graft.gaf.GoldenMain /root/testdata/sf0.01` ONLY for
+    // an intentional, explained semantics change — this is the one check
+    // that pins the end-to-end surface no single-stage oracle covers.
+    val (rows, hashSum) =
+      GoldenMain.digest(GafE2eQueries.annotateE2e(spark, "/root/testdata/sf0.01"))
+    assert(rows === 83400L)
+    assert(hashSum === new java.math.BigDecimal("1972030993281064291876"))
+  }
+
   test("e2e merge is idempotent: rerun classifies everything as touch") {
     val dims = GafE2eQueries.dims(spark, sf)
     val cfg = GafE2eQueries.cfg

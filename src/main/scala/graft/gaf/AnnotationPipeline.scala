@@ -128,8 +128,10 @@ object AnnotationPipeline {
         s"gene history redirect chain did not converge after $maxHops hops " +
           "(cycle in the history table?)")
 
+    // fileSpecies < 0 = any species (audit paths mirror the reference's
+    // validateGeneStatus, which checks species AFTER the unmatched test)
     cur.filter(col("cur_status") === "ACTIVE" &&
-        col("cur_species") === lit(fileSpecies))
+        (lit(fileSpecies) < 0 || col("cur_species") === lit(fileSpecies)))
       .select(col("raw_rgd_id"), col("cur_id").as("final_rgd_id"))
   }
 
@@ -150,7 +152,8 @@ object AnnotationPipeline {
     * a tier whose candidates all resolve away yields an empty set —
     * the row is dropped, not retried at a lower tier.
     */
-  def matchGenes(gaf: DataFrame, dims: Dimensions, fileSpecies: Int): DataFrame = {
+  def matchGenes(gaf: DataFrame, dims: Dimensions, fileSpecies: Int,
+                 resolveOverride: Option[DataFrame] = None): DataFrame = {
     val g = gaf.withColumn("_row_id", monotonically_increasing_id())
 
     // The J1/J2/J3 fallback chain (MAHQC.java:101-167) as three tiered
@@ -158,7 +161,10 @@ object AnnotationPipeline {
     // RESOLVED gene ids per (xdb_key, acc)), resolved by priority
     // coalesce + explode. Fully map-side: the one-to-many fan-out AND
     // the best-tier choice happen without shuffling the fact.
-    val resolve = resolveGeneIds(dims, fileSpecies)
+    // `resolveOverride` swaps the (raw -> active file-species) dim for an
+    // audit variant (identity: raw matches; any-species: unmatched-line
+    // parity with MAHQC.java:81-84) — the plan shape is identical.
+    val resolve = resolveOverride.getOrElse(resolveGeneIds(dims, fileSpecies))
     val xdbSets = broadcast(dims.xdb
       .join(broadcast(resolve), dims.xdb("rgd_id") === resolve("raw_rgd_id"),
         "left")
@@ -253,7 +259,8 @@ object AnnotationPipeline {
       col("annotation_extension"),
       col("gene_product_form_id"),
       col("gaf_date"),
-      col("rgd_id").as("_src_gene"))
+      col("rgd_id").as("_src_gene"),
+      col("_row_id")) // audit handle (line lineage); dropped by annotate()
 
     // F11: refRgdId == 0 suppresses the direct branch (chinchilla path)
     val direct =
@@ -279,7 +286,8 @@ object AnnotationPipeline {
         col("annotation_extension"),
         col("gene_product_form_id"),
         col("gaf_date"),
-        col("rgd_id").as("_src_gene"))
+        col("rgd_id").as("_src_gene"),
+        col("_row_id"))
 
     direct.unionByName(iso)
   }

@@ -103,6 +103,25 @@ object MergeSink {
   final case class StaleReport(staleCount: Long, currentCount: Long,
                                aborted: Boolean)
 
+  /** The rows a U4 pass considers stale (also exposed as the delete.log
+    * audit side output). ACTIVE-object scope, matching both the jar count
+    * SQL (`r.object_status='ACTIVE' AND r.species_type_key=?`) and
+    * PipelineRunner.refSpeciesCount — the brake compares like scopes.
+    */
+  def staleCandidates(table: DataFrame, rgdIds: DataFrame, refRgdId: Int,
+                      speciesTypeKey: Int, cutoff: Timestamp,
+                      createdBy: Int): DataFrame = {
+    val scopeIds = broadcast(
+      rgdIds.filter(col("species_type_key") === speciesTypeKey &&
+          col("object_status") === "ACTIVE")
+        .select(col("rgd_id")))
+    table
+      .filter(col("created_by") === createdBy &&
+        col("last_modified_date") < lit(cutoff) &&
+        col("ref_rgd_id") === refRgdId)
+      .join(scopeIds, col("annotated_object_rgd_id") === col("rgd_id"), "left_semi")
+  }
+
   /** U4/U5 — stale-annotation delete with the net-drop threshold brake
     * (DAO.java:200-226; net-drop semantics per changes.txt:93-95).
     *
@@ -114,18 +133,12 @@ object MergeSink {
                   speciesTypeKey: Int, cutoff: Timestamp, createdBy: Int,
                   thresholdPct: Double, initialCount: Long)
       : (DataFrame, StaleReport) = {
-    // ACTIVE-object scope, matching both the jar count SQL
-    // (`r.object_status='ACTIVE' AND r.species_type_key=?`) and
-    // PipelineRunner.refSpeciesCount — the brake compares like scopes
     val scopeIds = broadcast(
       rgdIds.filter(col("species_type_key") === speciesTypeKey &&
           col("object_status") === "ACTIVE")
         .select(col("rgd_id")))
-    val stale = table
-      .filter(col("created_by") === createdBy &&
-        col("last_modified_date") < lit(cutoff) &&
-        col("ref_rgd_id") === refRgdId)
-      .join(scopeIds, col("annotated_object_rgd_id") === col("rgd_id"), "left_semi")
+    val stale = staleCandidates(table, rgdIds, refRgdId, speciesTypeKey,
+      cutoff, createdBy)
 
     val staleCount = stale.count()
     val currentCount = table

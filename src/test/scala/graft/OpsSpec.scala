@@ -90,6 +90,60 @@ class OpsSpec extends SparkSpec {
     assert(wrong("IEA") === 2L)
   }
 
+  test("A7 full counter parity on the fixture pipeline run") {
+    val cfg = graft.gaf.Fixtures.mouseConfig(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    val existing = graft.gaf.Fixtures.emptyFullAnnot(spark)
+    val counters = Audit.pipelineCounters(gaf, dims, cfg, existing)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    assert(counters === Map(
+      "highLevelGoTerm" -> 1L,                       // GO:9999 (F4)
+      "IPIAnnotToCatalyticActivityTerm" -> 1L,       // IPI x GO:0005 (F5)
+      "unmatchedCounter" -> 0L,                      // FlyBase filtered at F2
+      "inactiveCounter" -> 1L,                       // MGI:11111 -> retired 1003
+      "noRatGeneCounter" -> 0L,                      // 1001 has ortholog 1002
+      "skippedSelfRefAnnots" -> 0L,
+      "movedGeneProductFormIdIntoWithInfo" -> 0L,
+      "skippedIsoAnnots" -> 0L,
+      "clearedAnnotationExtensionForIso" -> 0L,
+      "replacedQualifier_colocalizes_with" -> 1L,    // P5 line
+      "DATA_SRC substitutions" -> 0L,
+      "notFoundInRgdGoTermCount" -> 2L,              // GO:0404 direct + ISO
+      "with_info merges" -> 0L,
+      "incoming lines removed" -> 0L,
+      "  TRUNCATED XREF_SOURCE (XREF_SOURCE LENGTH > 4000)" -> 0L,
+      "matchingAnnotCount" -> 0L,                    // empty existing: no touch
+      "insertedAnnotCount" -> 4L,                    // 3 direct + 1 ISO (A2-merged)
+      "updatedAnnotCount" -> 0L,
+      "updatedOrigCreatedDate" -> 0L,
+      "MATCH BY MGI" -> 5L))                         // 5 matched (line,gene) pairs
+  }
+
+  test("new audit side outputs: inactive, noRatGene, op row lists") {
+    val cfg = graft.gaf.Fixtures.mouseConfig(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    val qc = graft.gaf.AnnotationPipeline.qcTermFilters(
+      graft.gaf.AnnotationPipeline.filterSources(gaf, cfg.sources), dims)
+
+    val inact = Audit.inactive(qc, dims, graft.gaf.Constants.MOUSE)
+    assert(inact.count() === 1)
+    assert(inact.head().getAs[Int]("rgd_id") === 1003)
+
+    val matched = graft.gaf.AnnotationPipeline.matchGenes(
+      qc, dims, graft.gaf.Constants.MOUSE)
+    assert(Audit.noRatGene(matched, dims, cfg).count() === 0)
+
+    val merged = graft.gaf.AnnotationPipeline.run(gaf,
+      graft.gaf.Fixtures.emptyFullAnnot(spark), dims, cfg)
+    assert(Audit.opRows(merged, "insert").count() === 4)
+    assert(Audit.opRows(merged, "touch").count() === 0)
+
+    val dl = Audit.fileDownloadLog(spark, Seq.empty)
+    assert(dl.columns.toSeq ===
+      Seq("name", "path", "downloaded", "deduped_against"))
+  }
+
   // ----------------------------------------------------------- ingest S2
   test("ingest archives by date, skips when current, dedups same size") {
     val dir = Files.createTempDirectory("graft_ingest").toString

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch main: 10x scale smoke for the flagship plan (VERDICT #7).
+  *
+  * Fans the sf0.1-derived GAF (600k lines) out to 6M lines by exploding
+  * a 10-element sequence per line and perturbing `db_reference` so the
+  * replicas stay distinct through consolidation (same trick a 10x
+  * harness SF would produce: more lines per gene/term, dims unchanged —
+  * dimension tables grow with the genome, not the annotation volume).
+  * Asserts the full annotate() plan completes with no OOM and no
+  * driver-side collect of fact-scale data, and prints lines/s for the
+  * BASELINE.md addendum.
+  */
+object Scale10xMain {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import graft.queries.GafE2eQueries._
+    val gaf10 = gaf(spark, d)
+      .withColumn("_rep", explode(sequence(lit(0), lit(9))))
+      .withColumn("db_reference",
+        concat(col("db_reference"), lit("-"), col("_rep")))
+      .drop("_rep")
+
+    val inLines = gaf10.count()
+    // warm pass at 1x so dims caches/codegen don't bill the timed pass
+    graft.gaf.AnnotationPipeline.annotate(gaf(spark, d), dims(spark, d), cfg)
+      .count()
+
+    val t0 = System.nanoTime()
+    val outRows =
+      graft.gaf.AnnotationPipeline.annotate(gaf10, dims(spark, d), cfg).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"SCALE10X in_lines=$inLines out_rows=$outRows " +
+      f"wall=$sec%.1fs rate=${inLines / sec}%.0f lines/s")
+    spark.stop()
+  }
+}

@@ -55,6 +55,23 @@ object Bench {
       java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
     catch { case _: Throwable => }
+    // ALSO snapshot to a round+SF-stamped name so per-query history
+    // survives rounds (round-2 verdict couldn't diff 7 dedup queries
+    // because bench_detail.json is overwritten and BENCH_r{N}.json is
+    // tail-truncated). Round = 1 + the highest committed BENCH_r{N}.json.
+    try {
+      val re = "BENCH_r(\\d+)\\.json".r
+      var maxR = 0
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator()
+      while (it.hasNext) it.next().getFileName.toString match {
+        case re(n) => maxR = math.max(maxR, n.toInt)
+        case _     =>
+      }
+      val sfLabel = java.nio.file.Paths.get(sfDir).getFileName.toString
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"bench_detail_r${maxR + 1}_$sfLabel.json"),
+        detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => }
     val headline = results.sortBy(-_._2).take(12).sortBy(_._1)
     println(line(headline))
     spark.stop()

@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
 object Scale10xMain {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -26,7 +27,7 @@ object Scale10xMain {
 
     import graft.queries.GafE2eQueries._
     val gaf10 = gaf(spark, d)
-      .withColumn("_rep", explode(sequence(lit(0), lit(9))))
+      .withColumn("_rep", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("db_reference",
         concat(col("db_reference"), lit("-"), col("_rep")))
       .drop("_rep")

@@ -29,6 +29,19 @@ object Dedup {
       t => length(t) > 0) // empty text -> [] not [""], so empty docs
                           // don't share a phantom-token signature
 
+  /** Ensure the heavy per-doc signature maps (regex tokenize + K-hash /
+    * shingle builds) get at least the cluster's default parallelism.
+    * Fewer input splits than cores only happens on toy inputs (one small
+    * parquet file => one scan partition, serializing the whole signature
+    * computation on a single core — measured 2.6s of a 7.5s query at
+    * sf0.1); at real corpus scale file splits already exceed cores and
+    * this is a no-op, adding no shuffle.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   // ------------------------------------------------------------- exact
   /** One row per duplicate group: keeper (min id) + member count. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -93,13 +106,12 @@ object Dedup {
     // an inline signature expression would re-evaluate the whole K-hash
     // computation once per band row (no CSE across projections) — a 16x
     // blowup measured at sf0.1
-    val keyed = df
+    val keyed = spread(df.select(col(idCol).as("id"), col(textCol).as("t")))
       // docs with an empty token set have no minhash signature — exclude
       // them here exactly like the oracle's token CTE does (otherwise the
       // null-skipping concat in the band keys would pair all empty docs)
-      .filter(size(tokens(col(textCol))) > 0)
-      .select(col(idCol).as("id"),
-        minhashSignature(col(textCol), k).as("sig"))
+      .filter(size(tokens(col("t"))) > 0)
+      .select(col("id"), minhashSignature(col("t"), k).as("sig"))
       .select(col("id"), lshBandKeys(col("sig"), bands, rpb).as("keys"))
       .select(col("id"), explode(col("keys")).as("bucket"))
     keyed
@@ -167,22 +179,32 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    thresholdNum: Int, thresholdDen: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("s"))
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val sh = spread(df.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), explode(shingles(col("t"), n)).as("s"))
 
-    // global rarity order + per-doc prefix of size n_sh - ceil(t*n_sh) + 1
+    // Global rarity order attached per shingle, then ONE aggregation builds
+    // each doc's full (freq, shingle)-sorted set. This replaces the former
+    // row_number window + separate per-doc count join, and hands
+    // verification a per-doc array so candidate pairs never rejoin the
+    // exploded inverted index (the round-2 hotspot: two full-index
+    // shuffles per verification). Per-doc array size is bounded by the
+    // doc's own shingle count — safe at any corpus scale.
     val freq = sh.groupBy("s").agg(count(lit(1)).as("s_freq"))
-    val ranked = sh.join(freq, "s")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("s_freq"), col("s"))))
-      .join(counts, "id")
+    val docs = sh.join(freq, "s")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s_freq"), col("s")))).as("fs"))
+      .select(col("id"),
+        transform(col("fs"), x => x.getField("s")).as("sarr"),
+        size(col("fs")).as("n_sh"))
       .withColumn("prefix_len", col("n_sh") -
         expr(s"(n_sh * $thresholdNum + $thresholdDen - 1) div $thresholdDen") + 1)
-      .filter(col("rnk") <= col("prefix_len"))
-      .select(col("id"), col("s"), col("n_sh"))
 
-    val cands = ranked.as("a").join(ranked.as("b"),
+    // explode only the prefix — the candidate join touches a small
+    // fraction of the index, as before
+    val pref = docs.select(col("id"), col("n_sh"),
+      explode(slice(col("sarr"), lit(1), col("prefix_len"))).as("s"))
+
+    val cands = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           // size-ratio prune: J >= t requires t*|big| <= |small|
           least(col("a.n_sh"), col("b.n_sh")) * thresholdDen >=
@@ -190,16 +212,18 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    // exact verification over the candidates only
-    val inter = cands
-      .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
-      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+    // exact verification: set intersection on the two per-doc arrays
+    // (arrays are distinct by construction); cands is small, so both
+    // joins broadcast it against the already-id-partitioned docs
+    cands
+      .join(docs.select(col("id").as("id_a"), col("sarr").as("arr_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sarr").as("arr_b"),
+        col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("n_union",
+        (col("n_a") + col("n_b")).cast("long") - col("n_inter"))
       .filter(col("n_inter") * thresholdDen >= col("n_union") * thresholdNum)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
   }
@@ -243,8 +267,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-        simhashColumn(col(textCol)).as("sig"))
+    val sigs = spread(df.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), simhashColumn(col("t")).as("sig"))
       .withColumn("rep", min(col("id")).over(Window.partitionBy(col("sig"))))
     val intra = sigs.filter(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"),

@@ -24,7 +24,12 @@ object GoldenMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val (n, s) = digest(graft.queries.GafE2eQueries.annotateE2e(spark, d))
+    // second arg: a registered query name to digest instead of the e2e
+    val df = args.drop(1).headOption match {
+      case Some(q) => graft.SparkEntry.queries(q)(spark, d)
+      case None    => graft.queries.GafE2eQueries.annotateE2e(spark, d)
+    }
+    val (n, s) = digest(df)
     println(s"GOLDEN rows=$n hashSum=$s")
     spark.stop()
   }

@@ -72,4 +72,17 @@ class ConsolidatorSpec extends SparkSpec {
     val out = AnnotMerge.merge(df, Seq("key"), "xref_source", "notes", 4000)
     assert(out.head().getAs[String]("notes") === "(PMID:1)")
   }
+
+  test("A2 golden digest at sf0.01 (pins the emit-at-cap fold end to end)") {
+    // The overflow fold is order-sensitive, so the driver records only a
+    // rows count for `a2_overflow_merge` — this committed digest (count +
+    // xxhash64 sum, same canonicalization as the flagship golden) is its
+    // oracle. Regenerate with
+    // `Test/runMain graft.gaf.GoldenMain /root/testdata/sf0.01 a2_overflow_merge`
+    // ONLY for an intentional, explained semantics change.
+    val (rows, hashSum) = graft.gaf.GoldenMain.digest(
+      graft.SparkEntry.queries("a2_overflow_merge")(spark, "/root/testdata/sf0.01"))
+    assert(rows === 3130L)
+    assert(hashSum === new java.math.BigDecimal("-62421181143713414206"))
+  }
 }

@@ -17,6 +17,37 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Ensure at least the session's default parallelism before a long
+    * map-side chain. Fewer input splits than cores only happens on toy
+    * inputs (one small single-row-group parquet file => one scan
+    * partition, which serializes every narrow stage until the first
+    * shuffle on a single core); at real scale file splits exceed cores
+    * and this is a no-op — no shuffle is added.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** `df.limit(n).collect()` as ONE full-parallelism job. Plain
+    * limit+collect runs CollectLimitExec's incremental partition probing
+    * (1, then 4x, ...) — several sequential rounds when the limit is a
+    * driver-size CAP that the whole input fits under, which is the
+    * adaptive-collect pattern (DagClosure, resolveGeneIds). Scoped conf
+    * override, restored after the job.
+    */
+  def limitCollect(df: DataFrame, n: Int): Array[org.apache.spark.sql.Row] = {
+    val spark = df.sparkSession
+    val key = "spark.sql.limit.initialNumPartitions"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, spark.sparkContext.defaultParallelism)
+    try df.limit(n).collect()
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -30,17 +30,11 @@ object Dedup {
                           // don't share a phantom-token signature
 
   /** Ensure the heavy per-doc signature maps (regex tokenize + K-hash /
-    * shingle builds) get at least the cluster's default parallelism.
-    * Fewer input splits than cores only happens on toy inputs (one small
-    * parquet file => one scan partition, serializing the whole signature
-    * computation on a single core — measured 2.6s of a 7.5s query at
-    * sf0.1); at real corpus scale file splits already exceed cores and
-    * this is a no-op, adding no shuffle.
+    * shingle builds) get at least the cluster's default parallelism
+    * (measured: 2.6s of a 7.5s query serialized on one core at sf0.1).
+    * See [[graft.Tables.spread]] — a no-op at real corpus scale.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def spread(df: DataFrame): DataFrame = graft.Tables.spread(df)
 
   // ------------------------------------------------------------- exact
   /** One row per duplicate group: keeper (min id) + member count. */

@@ -88,7 +88,21 @@ object AnnotationPipeline {
     * chain dead-ends, wrong species) are simply absent from the map.
     */
   def resolveGeneIds(dims: Dimensions, fileSpecies: Int,
-                     maxHops: Int = 20): DataFrame = {
+                     maxHops: Int = 20): DataFrame =
+    // fileSpecies < 0 = any species (audit paths mirror the reference's
+    // validateGeneStatus, which checks species AFTER the unmatched test)
+    resolveFixpoint(dims, maxHops)
+      .filter(col("cur_status") === "ACTIVE" &&
+        (lit(fileSpecies) < 0 || col("cur_species") === lit(fileSpecies)))
+      .select(col("raw_rgd_id"), col("cur_id").as("final_rgd_id"))
+
+  /** The species-agnostic redirect fixpoint behind [[resolveGeneIds]]:
+    * (raw_rgd_id, cur_id, cur_status, cur_species) after following
+    * history to convergence. Exposed so audit paths that need several
+    * species filterings of the SAME walk (main + any-species) pay the
+    * chain-depth precomputation once.
+    */
+  def resolveFixpoint(dims: Dimensions, maxHops: Int = 20): DataFrame = {
     val status = dims.rgdIds.filter(col("object_key") === GENES_OBJECT_KEY)
       .select(col("rgd_id"), col("object_status"), col("species_type_key"))
     val histMax = dims.history.groupBy(col("old_rgd_id"))
@@ -106,33 +120,73 @@ object AnnotationPipeline {
       .join(broadcast(statusOf), col("raw_rgd_id") === col("cur_id"), "left")
       .withColumn("cur_id", coalesce(col("cur_id"), col("raw_rgd_id")))
 
-    var hops = 0
-    var advancing = true
-    while (advancing && hops < maxHops) {
-      val stepped = cur
-        .join(broadcast(histMax), col("cur_id") === col("old_rgd_id"), "left")
-        .withColumn("_adv", !(col("cur_status") <=> lit("ACTIVE")) &&
-          col("redir_rgd_id").isNotNull)
-      advancing = stepped.filter(col("_adv")).limit(1).count() > 0
-      if (advancing) {
-        cur = stepped
-          .select(col("raw_rgd_id"),
-            when(col("_adv"), col("redir_rgd_id")).otherwise(col("cur_id"))
-              .as("cur_id"))
-          .join(broadcast(statusOf), Seq("cur_id"), "left")
-        hops += 1
-      }
-    }
-    if (advancing)
-      throw new IllegalStateException(
-        s"gene history redirect chain did not converge after $maxHops hops " +
-          "(cycle in the history table?)")
+    def step(df: DataFrame): DataFrame = df
+      .join(broadcast(histMax), col("cur_id") === col("old_rgd_id"), "left")
+      .withColumn("_adv", !(col("cur_status") <=> lit("ACTIVE")) &&
+        col("redir_rgd_id").isNotNull)
+      .select(col("raw_rgd_id"),
+        when(col("_adv"), col("redir_rgd_id")).otherwise(col("cur_id"))
+          .as("cur_id"))
+      .join(broadcast(statusOf), Seq("cur_id"), "left")
 
-    // fileSpecies < 0 = any species (audit paths mirror the reference's
-    // validateGeneStatus, which checks species AFTER the unmatched test)
-    cur.filter(col("cur_status") === "ACTIVE" &&
-        (lit(fileSpecies) < 0 || col("cur_species") === lit(fileSpecies)))
-      .select(col("raw_rgd_id"), col("cur_id").as("final_rgd_id"))
+    // The redirect map and status set are genome-dimension tables, so the
+    // exact chain depth is computable driver-side in one pass each —
+    // the hop loop then composes exactly that many joins with ZERO
+    // per-hop driver actions (the previous shape ran one limit(1).count()
+    // job per hop on a lineage that grew per hop). Guarded by the same
+    // adaptive cap + distributed fallback pattern as DagClosure.
+    val cap = 1000000
+    // one tagged union = ONE collect job for both the redirect map and
+    // the active-id set (separate collects doubled the per-job cost
+    // dominating these dim-sized reads)
+    val snap = graft.Tables.limitCollect(
+      histMax.select(col("old_rgd_id").cast("long").as("a"),
+          col("redir_rgd_id").cast("long").as("b"), lit(0).as("t"))
+        .unionByName(status.filter(col("object_status") === "ACTIVE")
+          .select(col("rgd_id").cast("long").as("a"),
+            lit(null).cast("long").as("b"), lit(1).as("t"))),
+      2 * cap + 2)
+
+    if (snap.length <= 2 * cap + 1) {
+      val active = snap.iterator.filter(_.getInt(2) == 1)
+        .map(_.getLong(0)).toSet
+      val redir = snap.iterator
+        .filter(r => r.getInt(2) == 0 && !r.isNullAt(1))
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // longest advancing chain over all possible starts: a chain's first
+      // step needs a redirect entry, so maxing over redirect sources is
+      // global. null/unknown status advances like the <=> in step().
+      val depth = redir.keysIterator.map { start =>
+        var cur = start
+        var hops = 0
+        while (hops <= maxHops && !active.contains(cur) && redir.contains(cur)) {
+          cur = redir(cur); hops += 1
+        }
+        hops
+      }.maxOption.getOrElse(0)
+      if (depth > maxHops)
+        throw new IllegalStateException(
+          s"gene history redirect chain did not converge after $maxHops hops " +
+            "(cycle in the history table?)")
+      for (_ <- 0 until depth) cur = step(cur)
+    } else {
+      // dims exceeded the driver cap: fall back to the probing loop
+      var hops = 0
+      var advancing = true
+      while (advancing && hops < maxHops) {
+        val probe = cur
+          .join(broadcast(histMax), col("cur_id") === col("old_rgd_id"), "left")
+          .withColumn("_adv", !(col("cur_status") <=> lit("ACTIVE")) &&
+            col("redir_rgd_id").isNotNull)
+        advancing = probe.filter(col("_adv")).limit(1).count() > 0
+        if (advancing) { cur = step(cur); hops += 1 }
+      }
+      if (advancing)
+        throw new IllegalStateException(
+          s"gene history redirect chain did not converge after $maxHops hops " +
+            "(cycle in the history table?)")
+    }
+    cur
   }
 
   // ------------------------------------------------------- J1..J6, F6, P3/P4/P10
@@ -154,7 +208,13 @@ object AnnotationPipeline {
     */
   def matchGenes(gaf: DataFrame, dims: Dimensions, fileSpecies: Int,
                  resolveOverride: Option[DataFrame] = None): DataFrame = {
-    val g = gaf.withColumn("_row_id", monotonically_increasing_id())
+    // line identity = content hash, not monotonically_increasing_id:
+    // the audit keeper choice (min _row_id per consolidation group, A4
+    // "incoming lines removed") must not depend on physical partitioning
+    // — identical results on any cluster layout, pinnable by a digest.
+    // Duplicate full lines collapse onto one id, which is exactly the
+    // indistinguishability they have in the source file.
+    val g = gaf.withColumn("_row_id", xxhash64(gaf.columns.map(col): _*))
 
     // The J1/J2/J3 fallback chain (MAHQC.java:101-167) as three tiered
     // broadcast left-joins against a set-valued dim (one array of

@@ -150,14 +150,60 @@ object Audit {
                        existing: DataFrame): DataFrame = {
     import AnnotationPipeline._
     val spark = gaf.sparkSession
+    def dbg[A](n: String)(f: => A): A =
+      if (sys.env.contains("GRAFT_COUNTER_DEBUG")) {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"CDBG $n%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+      } else f
 
     // ---- main pass: one end-to-end plan with observe() hooks at every
-    // stage boundary — these ~14 counters cost ZERO extra scans (they
-    // aggregate map-side with the single action at the bottom). persist()
-    // of the wide intermediates was measured SLOWER than recomputation.
+    // stage boundary — these counters cost ZERO extra scans (they
+    // aggregate map-side with the single action at the bottom). The
+    // join-shaped QC counters (F4/F5/F9) ride the same pass as marker
+    // left-joins + conditional counts, replacing three side scans. The
+    // frames the remaining side passes genuinely re-read (qc, matched,
+    // enriched, mergedA2) are persisted and FILLED BY the one main
+    // action, so each side pass starts from a cache, never from the
+    // parquet scan (round-2 shape: ~59s; this shape: <30s at sf0.1).
     val src = filterSources(gaf, cfg.sources)
-    val qc = qcTermFilters(src, dims)
-    val matched = matchGenes(qc, dims, cfg.speciesTypeKey)
+
+    // F4/F5 as observed markers — identical row set to qcTermFilters()
+    val not4curation = dims.ontSynonyms
+      .filter(col("synonym_name") === Constants.NOT4CURATION)
+      .select(col("term_acc").as("go_id")).distinct()
+    val catalytic = dbg("closureBuild")(DagClosure
+      .descendantsOf(dims.ontDag, "parent_term_acc", "child_term_acc",
+        lit(Constants.CATALYTIC_ACTIVITY))
+      .select(col("descendant").as("go_id"))
+      .union(spark.sql(s"SELECT '${Constants.CATALYTIC_ACTIVITY}' AS go_id")))
+    val f4Hit = col("_n4c").isNotNull
+    val f5Hit = !f4Hit && col("evidence") === "IPI" && col("_ipi").isNotNull
+    val obsQc = new Observation("qc")
+    val qc = src
+      .join(broadcast(not4curation.withColumn("_n4c", lit(1))),
+        Seq("go_id"), "left")
+      .join(broadcast(catalytic.withColumn("_ipi", lit(1))),
+        Seq("go_id"), "left")
+      .observe(obsQc,
+        count(when(f4Hit, 1)).as("f4"),
+        count(when(f5Hit, 1)).as("f5"))
+      .filter(!f4Hit && !f5Hit)
+      .drop("_n4c", "_ipi")
+      .persist()
+
+    // ONE redirect-fixpoint walk feeds both resolve variants (main
+    // species-scoped + the unmatched counter's any-species), halving the
+    // chain-depth precomputation collects
+    val fix = dbg("fixBuild")(resolveFixpoint(dims))
+    val mainResolve = fix
+      .filter(col("cur_status") === "ACTIVE" &&
+        col("cur_species") === lit(cfg.speciesTypeKey))
+      .select(col("raw_rgd_id"), col("cur_id").as("final_rgd_id"))
+    val anyResolve = fix
+      .filter(col("cur_status") === "ACTIVE")
+      .select(col("raw_rgd_id"), col("cur_id").as("final_rgd_id"))
+    val matched =
+      matchGenes(qc, dims, cfg.speciesTypeKey, Some(mainResolve)).persist()
 
     // MATCH BY <db>: db values are bounded by the cfg.sources allow-list
     val obsMatch = new Observation("match")
@@ -178,7 +224,14 @@ object Audit {
     val skippedIso = s1 && isoEv && emptyWi && !hasGpfi
     val s2 = s1 && !(isoEv && emptyWi && !hasGpfi)
     val obsBuilt = new Observation("built")
-    val built = buildAnnotations(matchedObs, dims, cfg).observe(obsBuilt,
+    // F9 rides here too: a broadcast known-term marker join + null-count
+    // replaces the former buildAnnotations re-run + anti-join side scan
+    // (the marker is dropped before qcAndEnrich, which re-joins terms
+    // inner for the actual F9 drop — row set unchanged)
+    val built = buildAnnotations(matchedObs, dims, cfg)
+      .join(broadcast(dims.ontTerms.select(col("term_acc"))
+        .withColumn("_known", lit(1))), Seq("term_acc"), "left")
+      .observe(obsBuilt,
       count(lit(1)).as("n"),
       count(when(selfRef, 1)).as("selfRef"),
       count(when(s1 && isoEv && hasGpfi, 1)).as("movedGpfi"),
@@ -189,14 +242,16 @@ object Audit {
       count(when(s2 && coalesce(col("qualifier"), lit(""))
         .contains("colocalizes_with"), 1)).as("replacedQual"),
       count(when(s2 && col("data_src")
-        .isin(cfg.dataSrcSubstMap.keys.toSeq: _*), 1)).as("dataSrcSubst"))
+        .isin(cfg.dataSrcSubstMap.keys.toSeq: _*), 1)).as("dataSrcSubst"),
+      count(when(s2 && col("_known").isNull, 1)).as("unknownTerm"))
+      .drop("_known")
 
+    val enriched = qcAndEnrich(built, dims, cfg).persist()
     val obsEnriched = new Observation("enriched")
-    val enriched = qcAndEnrich(built, dims, cfg)
-      .observe(obsEnriched, count(lit(1)).as("n"))
     val obsCons = new Observation("consolidated")
     val consolidated = graft.operators.Consolidator.consolidate(
-        enriched.drop("_row_id", "_prio"),
+        enriched.observe(obsEnriched, count(lit(1)).as("n"))
+          .drop("_row_id", "_prio"),
         consolidationKey, "with_info", Constants.WITH_INFO_CAP)
       .observe(obsCons, count(lit(1)).as("n"))
     val mergedA2 = AnnotMerge.merge(consolidated, mergeKey,
@@ -212,74 +267,96 @@ object Audit {
     val merged = MergeSink.merge(existing, incoming, cfg.runTs,
       cfg.createdBy).persist() // small final table; reused for updOrig
 
-    // ONE action drives the whole observed chain
-    val ops = merged.groupBy(col("_op")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Materialize the shared caches stage-by-stage so every stage reads
+    // its predecessor's cache exactly once — the single-action form let
+    // multi-reference branches (direct ∪ iso, merge classify) recompute
+    // uncached segments. Observations fire as their node is first scanned.
+    dbg("qcFill")(qc.count())
+    dbg("matchedFill")(matched.count())
+    dbg("enrichedFill")(enriched.count())
+    val ops = dbg("main")(merged.groupBy(col("_op")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
     val m = obsMatch.get
     val b = obsBuilt.get
-    val enrichedN = obsEnriched.get("n").asInstanceOf[Long]
+    val q = obsQc.get
     val consolidatedN = obsCons.get("n").asInstanceOf[Long]
     val matchBy = cfg.sources
       .map(s => s"MATCH BY $s" -> m(s"by_$s").asInstanceOf[Long])
       .filter(_._2 > 0)
 
-    // ---- side passes, only where a different plan is genuinely needed
-    // F4, then F5 on F4 survivors (MAHQC.process returns between checks)
-    val f4 = droppedNot4Curation(src, dims).count()
-    val f5 = droppedCatalyticIpi(
-      src.join(broadcast(dims.ontSynonyms
-          .filter(col("synonym_name") === Constants.NOT4CURATION)
-          .select(col("term_acc").as("go_id"))),
-        Seq("go_id"), "left_anti"), dims).count()
-
+    // ---- side passes, only where a different plan is genuinely needed —
+    // each starts from a cache filled by the main action above
     // unmatched: lines with no ACTIVE gene of ANY species after redirect
     // (MAHQC.java:81-84 — the species test comes later, so active-but-
     // foreign matches are NOT unmatched)
-    val matchedAny = matchGenes(qc, dims, cfg.speciesTypeKey,
-      Some(resolveGeneIds(dims, -1)))
-    val unmatchedN = qc.join(
+    // match-ness per line depends only on (db, db_object_id,
+    // gene_product_form_id): run the tier cascade over the DISTINCT key
+    // set (dimension-sized) instead of all fact rows, then anti-join
+    val qcKeys = qc
+      .select(col("db"), col("db_object_id"), col("gene_product_form_id"))
+      .dropDuplicates("db", "db_object_id", "gene_product_form_id")
+    val matchedAny = matchGenes(qcKeys, dims, cfg.speciesTypeKey,
+      Some(anyResolve))
+    // the side counts are independent actions over cached frames: run
+    // them concurrently so their fixed per-job scheduling costs overlap
+    // (the reference's CounterPool is concurrent for the same reason)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+
+    val unmatchedF = Future(dbg("unmatched")(qc.join(
       matchedAny.select(col("db"), col("db_object_id")).distinct(),
-      Seq("db", "db_object_id"), "left_anti").count()
+      Seq("db", "db_object_id"), "left_anti").count()))
 
-    val inactiveN = inactive(qc, dims, cfg.speciesTypeKey).count()
-    val noRatN = noRatGene(matched, dims, cfg).count()
-
-    // F9 needs the term anti-join (not a scalar predicate)
-    val unknownTermN = buildAnnotations(matched, dims, cfg).filter(s2)
-      .join(broadcast(dims.ontTerms.select(col("term_acc"))),
-        Seq("term_acc"), "left_anti").count()
+    val inactiveF = Future(dbg("inactive")(
+      inactive(qc, dims, cfg.speciesTypeKey).count()))
+    val noRatF = Future(dbg("noRat")(noRatGene(matched, dims, cfg).count()))
 
     // A4 deltas: "with_info merges" counts merged-away annotations;
     // "incoming lines removed" counts LINES whose every annotation was
     // consolidated into a group kept by another line
     // (WithInfoConsolidator.java:78-95) — keeper = min line id per group,
     // mirroring the reference keeping the bucket's first record.
+    val enrichedN = obsEnriched.get("n").asInstanceOf[Long]
     val mergesN = enrichedN - consolidatedN
-    val enrichedAgain = qcAndEnrich(built, dims, cfg)
-    val mergeable = enrichedAgain
-      .filter(length(coalesce(col("with_info"), lit(""))) > 0)
-    val keepers = mergeable.groupBy(consolidationKey.map(col): _*)
-      .agg(min(col("_row_id")).as("_row_id"))
-      .select(col("_row_id")).distinct()
-    val keptLines = enrichedAgain
-      .filter(length(coalesce(col("with_info"), lit(""))) === 0)
-      .select(col("_row_id")).distinct()
-      .union(keepers).distinct()
-    val linesRemovedN = enrichedAgain.select(col("_row_id")).distinct()
-      .join(keptLines, Seq("_row_id"), "left_anti").count()
+    // one window + one groupBy instead of the former two groupBys, two
+    // distincts and an anti-join: a line is kept iff it has an empty-wi
+    // annotation or is the min-_row_id owner of some mergeable group
+    val keyW = org.apache.spark.sql.expressions.Window
+      .partitionBy(consolidationKey.map(col): _*)
+    val nonEmptyWi = length(coalesce(col("with_info"), lit(""))) > 0
+    val linesRemovedF = Future(dbg("linesRemoved")(enriched
+      .withColumn("_keeper_id",
+        min(when(nonEmptyWi, col("_row_id"))).over(keyW))
+      .withColumn("_keep", !nonEmptyWi || col("_row_id") === col("_keeper_id"))
+      .groupBy(col("_row_id")).agg(max(col("_keep")).as("_kept"))
+      .filter(!col("_kept")).count()))
 
-    // A2 overflow: every emission past the first per merge-key group
-    val truncatedN =
-      mergedA2.count() - mergedA2.dropDuplicates(mergeKey).count()
+    // A2 overflow: every emission past the first per merge-key group.
+    // merged's incoming-side rows (_op != keep) are 1:1 with mergedA2
+    // (unique-key full-outer against a unique existing side) and carry
+    // identical mergeKey values, so the cached merged table answers this
+    // without re-running the two merge aggregations.
+    val truncatedF = Future(dbg("truncated")(
+      merged.filter(col("_op") =!= "keep")
+        .groupBy(mergeKey.map(col): _*).count()
+        .agg((sum(col("count")) - count(lit(1))).cast("long")).head().getLong(0)))
 
-    val updOrigN = merged.filter(col("_op") === "update")
+    val updOrigF = Future(dbg("updOrig")(merged.filter(col("_op") === "update")
       .join(existing.select(col("full_annot_key"),
         col("original_created_date").as("_old_ocd")), Seq("full_annot_key"))
-      .filter(!(col("original_created_date") <=> col("_old_ocd"))).count()
+      .filter(!(col("original_created_date") <=> col("_old_ocd"))).count()))
+
+    val unmatchedN = Await.result(unmatchedF, Duration.Inf)
+    val inactiveN = Await.result(inactiveF, Duration.Inf)
+    val noRatN = Await.result(noRatF, Duration.Inf)
+    val linesRemovedN = Await.result(linesRemovedF, Duration.Inf)
+    val truncatedN = Await.result(truncatedF, Duration.Inf)
+    val updOrigN = Await.result(updOrigF, Duration.Inf)
 
     val rows: Seq[(String, Long)] = Seq(
-      "highLevelGoTerm" -> f4,
-      "IPIAnnotToCatalyticActivityTerm" -> f5,
+      "highLevelGoTerm" -> q("f4").asInstanceOf[Long],
+      "IPIAnnotToCatalyticActivityTerm" -> q("f5").asInstanceOf[Long],
       "unmatchedCounter" -> unmatchedN,
       "inactiveCounter" -> inactiveN,
       "noRatGeneCounter" -> noRatN,
@@ -289,7 +366,7 @@ object Audit {
       "clearedAnnotationExtensionForIso" -> b("clearedExt").asInstanceOf[Long],
       "replacedQualifier_colocalizes_with" -> b("replacedQual").asInstanceOf[Long],
       "DATA_SRC substitutions" -> b("dataSrcSubst").asInstanceOf[Long],
-      "notFoundInRgdGoTermCount" -> unknownTermN,
+      "notFoundInRgdGoTermCount" -> b("unknownTerm").asInstanceOf[Long],
       "with_info merges" -> mergesN,
       "incoming lines removed" -> linesRemovedN,
       "  TRUNCATED XREF_SOURCE (XREF_SOURCE LENGTH > 4000)" -> truncatedN,
@@ -299,8 +376,9 @@ object Audit {
       "updatedOrigCreatedDate" -> updOrigN
     ) ++ matchBy
 
-    merged.unpersist()
+    Seq(qc, matched, enriched, merged).foreach(_.unpersist())
     import spark.implicits._
-    rows.toDF("counter", "value")
+    // the reference dumps counters alphabetically (dumpStats) — match it
+    rows.toDF("counter", "value").orderBy(col("counter"))
   }
 }

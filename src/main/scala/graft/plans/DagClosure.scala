@@ -27,19 +27,30 @@ object DagClosure {
   /** Above this edge count the distributed fixpoint is used. */
   val driverSideEdgeLimit = 1000000L
 
+  /** One capped collect decides strategy AND loads the small graph —
+    * a separate count() action would double the per-job scheduling cost
+    * dominating these dim-sized inputs.
+    */
+  private def collectCapped(e: DataFrame): Option[Array[Row]] = {
+    val rows = graft.Tables.limitCollect(e, driverSideEdgeLimit.toInt + 1)
+    if (rows.length <= driverSideEdgeLimit) Some(rows) else None
+  }
+
   /** (parent, child) edges -> (ancestor, descendant) closure (irreflexive). */
   def closure(edges: DataFrame, parentCol: String, childCol: String,
               maxIters: Int = 64): DataFrame = {
     val e = edges.select(col(parentCol).as("ancestor"),
                          col(childCol).as("descendant")).distinct()
-    if (e.count() <= driverSideEdgeLimit) closureLocal(e)
-    else closureDistributed(e, maxIters)
+    collectCapped(e) match {
+      case Some(rows) => closureLocal(e, rows)
+      case None       => closureDistributed(e, maxIters)
+    }
   }
 
-  private def closureLocal(e: DataFrame): DataFrame = {
+  private def closureLocal(e: DataFrame, rows: Array[Row]): DataFrame = {
     val schema = e.schema
     val adj = mutable.Map.empty[Any, mutable.ArrayBuffer[Any]]
-    e.collect().foreach { r =>
+    rows.foreach { r =>
       adj.getOrElseUpdate(r.get(0), mutable.ArrayBuffer.empty) += r.get(1)
     }
     val pairs = mutable.ArrayBuffer.empty[Row]
@@ -96,13 +107,19 @@ object DagClosure {
   def descendantsOf(edges: DataFrame, parentCol: String, childCol: String,
                     root: Column, maxIters: Int = 64): DataFrame = {
     val e = edges.select(col(parentCol).as("p"), col(childCol).as("c")).distinct()
-    if (e.count() <= driverSideEdgeLimit) {
+    val capped = collectCapped(e)
+    if (capped.isDefined) {
       val schema = e.schema
       val adj = mutable.Map.empty[Any, mutable.ArrayBuffer[Any]]
-      e.collect().foreach { r =>
+      capped.get.foreach { r =>
         adj.getOrElseUpdate(r.get(0), mutable.ArrayBuffer.empty) += r.get(1)
       }
-      val rootVals = e.sparkSession.range(1).select(root).head().get(0)
+      // literal roots (the norm) evaluate driver-side without a job
+      val rootVals = org.apache.spark.sql.graft.bridge.expression(root) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, dt) =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, dt)
+        case _ => e.sparkSession.range(1).select(root).head().get(0)
+      }
       val seen = mutable.Set.empty[Any]
       val stack = mutable.Stack[Any](adj.getOrElse(rootVals,
         mutable.ArrayBuffer.empty).toSeq: _*)

@@ -70,6 +70,20 @@ object AggQueries extends QueryPack {
         countDistinct($"l_orderkey").as("n_orders"))
     }),
 
+    // A7 FULL parity: the reference's end-of-run counter dump over the
+    // flagship pipeline (~20 counters, alphabetical). Rows-only for the
+    // driver (the GAF derivation has no SQL oracle); the full value map
+    // is asserted in OpsSpec and pinned by a committed golden digest at
+    // sf0.01. Excluded from the timed bench loop (Bench.opsDumps): it
+    // runs many driver actions by design.
+    "a7_counter_dump" -> ((s, d) => {
+      val e2e = graft.queries.GafE2eQueries
+      val existing = s.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](), graft.gaf.Dims.fullAnnot)
+      graft.operators.Audit.pipelineCounters(
+        e2e.gaf(s, d), e2e.dims(s, d), e2e.cfg, existing)
+    }),
+
     // A8: before/after counts per reference+species (A8 jar SQL analog:
     // count with active-object semi-join, grouped)
     "a8_ref_species_counts" -> ((s, d) => {

@@ -86,7 +86,9 @@ object GafE2eQueries extends QueryPack {
   /** Deterministic GAF facts from lineitem: one annotation line per row. */
   def gaf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, d).select(
+    // the whole annotate() chain is map-side until consolidation, so scan
+    // parallelism bounds it end-to-end — spread() the single-file toy scan
+    Tables.spread(Tables.lineitem(s, d)).select(
       lit("UniProtKB").as("db"),
       concat(lit("ACC"), $"l_partkey").as("db_object_id"),
       concat(lit("sym"), $"l_partkey").as("db_object_symbol"),

@@ -20,15 +20,24 @@ object SimilarityQueries extends QueryPack {
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
 
+  /** Fresh (uncached) index construction — also what `sim_ivf_build`
+    * times, so the one-time cost the cached probe amortizes is a
+    * recorded bench number, not an off-ledger footnote.
+    */
+  private def buildFresh(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val stride = math.max(1, math.sqrt(emb.count().toDouble).toLong)
+    val centroids = emb.filter($"vec_id" % stride === 0)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+    (Similarity.buildIvfIndex(corpus, centroids), centroids)
+  }
+
   def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ivfCache.computeIfAbsent((s, d), { case (s, d) =>
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
-      val stride = math.max(1, math.sqrt(emb.count().toDouble).toLong)
-      val centroids = emb.filter($"vec_id" % stride === 0)
-        .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
-      val index = Similarity.buildIvfIndex(corpus, centroids).persist()
+      val (built, centroids) = buildFresh(s, d)
+      val index = built.persist()
       index.count() // materialize the build
       (index, centroids)
     })
@@ -51,6 +60,16 @@ object SimilarityQueries extends QueryPack {
         .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
       val (index, centroids) = ivfIndex(s, d)
       Similarity.ivfProbe(queries, index, centroids, k = 5, nProbe = 3)
+    }),
+
+    // Build half of the IVF amortization claim (rows-only: assignment
+    // argmin ties hinge on float rounding, so no cross-engine oracle;
+    // recall of the probe side is asserted in SimilaritySpec). Runs the
+    // build uncached and reduces to per-centroid membership counts.
+    "sim_ivf_build" -> ((s, d) => {
+      import s.implicits._
+      val (index, _) = buildFresh(s, d)
+      index.groupBy($"cent_id").agg(count(lit(1)).as("n_members"))
     }),
 
     // LSH random-hyperplane variant (rows-only: recall asserted in spec)

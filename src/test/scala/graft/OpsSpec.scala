@@ -120,6 +120,20 @@ class OpsSpec extends SparkSpec {
       "MATCH BY MGI" -> 5L))                         // 5 matched (line,gene) pairs
   }
 
+  test("A7 counter dump golden digest at sf0.01 (driver-visible parity pin)") {
+    // The dump is registered as `a7_counter_dump` (rows-only for the
+    // driver); this committed digest pins every counter VALUE. The line
+    // id is a content hash, so the digest is partitioning-independent —
+    // the same on this local[4] spec JVM and the driver's local[32].
+    // Regenerate with
+    // `Test/runMain graft.gaf.GoldenMain /root/testdata/sf0.01 a7_counter_dump`
+    // ONLY for an intentional, explained semantics change.
+    val (rows, hashSum) = graft.gaf.GoldenMain.digest(
+      graft.SparkEntry.queries("a7_counter_dump")(spark, "/root/testdata/sf0.01"))
+    assert(rows === 20L)
+    assert(hashSum === new java.math.BigDecimal("5241361472703907309"))
+  }
+
   test("new audit side outputs: inactive, noRatGene, op row lists") {
     val cfg = graft.gaf.Fixtures.mouseConfig(
       java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))

@@ -43,6 +43,13 @@ final case class PipelineConfig(
   */
 object AnnotationPipeline {
 
+  /** Default cap on xdb accession rows eligible for the set-valued
+    * broadcast dim in [[matchGenes]] (override per session with
+    * `graft.match.maxXdbBroadcastRows`). Genome-scale xdb tables are
+    * 1e5–1e7 rows; 2e7 keeps the broadcast under ~1 GB.
+    */
+  val maxXdbBroadcastRows: Long = 20000000L
+
   // ---------------------------------------------------------------- F2/A1
   /** Source-database filter (MAHParser.java:55-67). */
   def filterSources(gaf: DataFrame, sources: Seq[String]): DataFrame =
@@ -225,6 +232,21 @@ object AnnotationPipeline {
     // audit variant (identity: raw matches; any-species: unmatched-line
     // parity with MAHQC.java:81-84) — the plan shape is identical.
     val resolve = resolveOverride.getOrElse(resolveGeneIds(dims, fileSpecies))
+    // Broadcast size guard (mirrors Similarity.maxCentroids): the set dim
+    // has at most one row per xdb accession row, so a bounded count of
+    // the input caps it. A silently oversized broadcast OOMs every
+    // executor with an opaque error; fail loudly at a documented cap
+    // instead (~<1 GB broadcast at genome-typical row widths — past it
+    // this pipeline's regime assumption is wrong and the join needs a
+    // shuffle variant). Overridable for tests/ops via session conf.
+    val xdbCap = gaf.sparkSession.conf
+      .get("graft.match.maxXdbBroadcastRows", maxXdbBroadcastRows.toString)
+      .toLong
+    val xdbRows = dims.xdb.limit((xdbCap min Int.MaxValue - 1).toInt + 1).count()
+    require(xdbRows <= xdbCap,
+      s"xdb accession dim holds > $xdbCap rows — too large for the " +
+        "set-valued broadcast in matchGenes; raise " +
+        "graft.match.maxXdbBroadcastRows only with executor memory to match")
     val xdbSets = broadcast(dims.xdb
       .join(broadcast(resolve), dims.xdb("rgd_id") === resolve("raw_rgd_id"),
         "left")

@@ -79,7 +79,11 @@ object SimilarityQueries extends QueryPack {
       val queries = emb.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
       val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
-      Similarity.lshTopK(queries, corpus, dim = 64, nBits = 4, k = 5)
+      // multi-probe: 7 of 64 buckets ≈ 10.9% scanned; measured recall
+      // 0.40-0.46 vs 0.18-0.28 for the old single-probe nBits=4 at 6.25%
+      // (LshGridMain) — ~2x recall for +4.6pp scan, spec-pinned
+      Similarity.lshTopK(queries, corpus, dim = 64, nBits = 6, k = 5,
+        nProbes = 6)
     })
   )
 

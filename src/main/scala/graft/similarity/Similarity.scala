@@ -168,14 +168,24 @@ object Similarity {
     bits.reduce((a, b) => a + b)
   }
 
-  /** LSH-bucketed ANN top-k: exact rank within the query's bucket only.
-    * Fraction scanned ~ 1/2^nBits per bucket; recall vs brute force is
-    * asserted in SimilaritySpec (multi-probe would raise it further).
+  /** LSH-bucketed ANN top-k: exact rank within the query's probe buckets
+    * only. `nProbes > 0` adds multi-probe: each query also scans the
+    * nProbes single-bit-flip neighbor buckets — the likeliest misses for
+    * hyperplane LSH (a near neighbor lands one sign flip away far more
+    * often than two). Fraction scanned ~ (1 + nProbes) / 2^nBits, so
+    * raising nBits WITH probes gives higher recall at LOWER scan cost
+    * than few wide buckets. The candidate set is a strict superset of
+    * the home bucket's, so recall is monotone in nProbes.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
-              nBits: Int, k: Int): DataFrame = {
+              nBits: Int, k: Int, nProbes: Int = 0): DataFrame = {
     val c = corpus.withColumn("bucket", lshBucket(col("c_vec"), dim, nBits))
-    val q = queries.withColumn("bucket", lshBucket(col("q_vec"), dim, nBits))
+    val home = lshBucket(col("q_vec"), dim, nBits)
+    val probes = (0 until (nProbes min nBits)).map(p =>
+      home.bitwiseXOR(lit(1L << p)))
+    // corpus vectors hold exactly one bucket, probe buckets are distinct
+    // values => each (query, candidate) pair joins at most once
+    val q = queries.withColumn("bucket", explode(array(home +: probes: _*)))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 6))

@@ -117,6 +117,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(b1.toSet === b2.toSet)
   }
 
+  test("multi-probe LSH recall is monotone and lifts the narrow-bucket config") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, k = 5))
+    def recall(nBits: Int, nProbes: Int): Double = {
+      val approx = pairs(Similarity.lshTopK(queries, corpus,
+        dim = 64, nBits = nBits, k = 5, nProbes = nProbes))
+      (exact & approx).size.toDouble / exact.size
+    }
+    val single6 = recall(6, 0)
+    val multi6 = recall(6, 6) // the registered sim_lsh_topk config
+    // candidate superset => recall can only rise with probes
+    assert(multi6 >= single6, s"multi-probe $multi6 < single-probe $single6")
+    // the 7-of-64-buckets config must hold a usable floor (measured 0.46
+    // here and 0.40 at sf0.01 — LshGridMain)
+    assert(multi6 >= 0.3, s"multi-probe LSH recall $multi6 too low")
+  }
+
   test("IVF top-k achieves decent recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 10)

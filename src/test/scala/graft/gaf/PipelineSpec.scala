@@ -141,4 +141,16 @@ class PipelineSpec extends SparkSpec {
     assert(rep2.staleCount === mouseCount)
     assert(kept2.count() === rerun.count() - mouseCount)
   }
+
+  test("matchGenes fails loudly when the xdb dim exceeds the broadcast cap") {
+    val key = "graft.match.maxXdbBroadcastRows"
+    spark.conf.set(key, "1") // fixture xdb has >1 row
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        AnnotationPipeline.matchGenes(
+          Fixtures.mouseGaf(spark), dims, Constants.MOUSE)
+      }
+      assert(ex.getMessage.contains("maxXdbBroadcastRows"))
+    } finally spark.conf.unset(key)
+  }
 }

@@ -59,8 +59,13 @@ object GraftFunctions {
   def rolling_hash64(c: Column): Column =
     bridge.column(RollingHash64Expr(bridge.expression(c)))
 
+  def dot_product(a: Column, b: Column): Column = DotProductExpr.dot(a, b)
+
   /** Register SQL names (idempotent, per session). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash64", exprs => RollingHash64Expr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
+  }
 }

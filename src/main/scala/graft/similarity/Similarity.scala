@@ -18,15 +18,20 @@ import org.apache.spark.sql.functions._
   *    difference between a full-corpus scan per query and a pruned
   *    partition read (bucket = partition key on disk).
   *
-  * All vector math is builtin (`zip_with` + `aggregate`, codegen'd),
-  * computed in double for cross-engine determinism.
+  * All vector math runs through the native codegen'd
+  * [[graft.functions.DotProductExpr]] (higher-order `zip_with` +
+  * `aggregate` evaluates interpreted and allocates per row), computed in
+  * double with a fixed fold order for cross-engine determinism.
   */
 object Similarity {
 
-  /** Sequential-fold dot product (deterministic order). */
+  /** Sequential-fold dot product (deterministic order). Native codegen'd
+    * expression with exact HOF-fold parity — see
+    * [[graft.functions.DotProductExpr]]; NativeExprSpec pins equality
+    * against the `aggregate(zip_with(...))` form it replaced.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductExpr.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -159,11 +164,15 @@ object Similarity {
       z = z ^ (z >>> 31)
       if ((z & 1L) == 0L) 1.0 else -1.0
     }
+    // each projection is ONE codegen'd pass over the vector against a
+    // literal plane (same operand order and sequential sum as the former
+    // per-element expression tree, so buckets are bit-identical) — the
+    // unrolled element_at form grew to nBits*dim terms and fell out of
+    // whole-stage codegen at nBits >= 6 (measured 8x slower)
     val bits = (0 until nBits).map { p =>
-      val proj = (0 until dim).map(d =>
-        element_at(vec, d + 1).cast("double") * lit(comp(p, d)))
-        .reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = typedLit((0 until dim).map(d => comp(p, d)))
+      when(graft.functions.DotProductExpr.dot(vec, plane) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a + b)
   }

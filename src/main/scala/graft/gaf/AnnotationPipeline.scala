@@ -50,6 +50,9 @@ object AnnotationPipeline {
     */
   val maxXdbBroadcastRows: Long = 20000000L
 
+  private val xdbGuardCache = new java.util.concurrent.ConcurrentHashMap[
+    (DataFrame, Long), java.lang.Boolean]()
+
   // ---------------------------------------------------------------- F2/A1
   /** Source-database filter (MAHParser.java:55-67). */
   def filterSources(gaf: DataFrame, sources: Seq[String]): DataFrame =
@@ -108,8 +111,22 @@ object AnnotationPipeline {
     * history to convergence. Exposed so audit paths that need several
     * species filterings of the SAME walk (main + any-species) pay the
     * chain-depth precomputation once.
+    *
+    * Memoized on the dim frames' identity (dims are themselves memoized
+    * per (session, dir) by callers): the depth precompute collects the
+    * dims once per DISTINCT dim set instead of once per matchGenes call.
+    * Bounded — cleared wholesale past 64 entries (spec churn).
     */
+  private val fixpointCache = new java.util.concurrent.ConcurrentHashMap[
+    (DataFrame, DataFrame, Int), DataFrame]()
+
   def resolveFixpoint(dims: Dimensions, maxHops: Int = 20): DataFrame = {
+    if (fixpointCache.size > 64) fixpointCache.clear()
+    fixpointCache.computeIfAbsent((dims.rgdIds, dims.history, maxHops),
+      _ => buildFixpoint(dims, maxHops))
+  }
+
+  private def buildFixpoint(dims: Dimensions, maxHops: Int): DataFrame = {
     val status = dims.rgdIds.filter(col("object_key") === GENES_OBJECT_KEY)
       .select(col("rgd_id"), col("object_status"), col("species_type_key"))
     val histMax = dims.history.groupBy(col("old_rgd_id"))
@@ -242,11 +259,16 @@ object AnnotationPipeline {
     val xdbCap = gaf.sparkSession.conf
       .get("graft.match.maxXdbBroadcastRows", maxXdbBroadcastRows.toString)
       .toLong
-    val xdbRows = dims.xdb.limit((xdbCap min Int.MaxValue - 1).toInt + 1).count()
-    require(xdbRows <= xdbCap,
-      s"xdb accession dim holds > $xdbCap rows — too large for the " +
-        "set-valued broadcast in matchGenes; raise " +
-        "graft.match.maxXdbBroadcastRows only with executor memory to match")
+    // memoized per (xdb frame, cap): one bounded count per distinct dim
+    if (xdbGuardCache.size > 64) xdbGuardCache.clear()
+    xdbGuardCache.computeIfAbsent((dims.xdb, xdbCap), { case (xdb, cap) =>
+      val xdbRows = xdb.limit((cap min Int.MaxValue - 1).toInt + 1).count()
+      require(xdbRows <= cap,
+        s"xdb accession dim holds > $cap rows — too large for the " +
+          "set-valued broadcast in matchGenes; raise " +
+          "graft.match.maxXdbBroadcastRows only with executor memory to match")
+      java.lang.Boolean.TRUE
+    })
     val xdbSets = broadcast(dims.xdb
       .join(broadcast(resolve), dims.xdb("rgd_id") === resolve("raw_rgd_id"),
         "left")

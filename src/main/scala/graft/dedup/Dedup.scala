@@ -67,13 +67,11 @@ object Dedup {
     * seeded integer hashing — is reproducible in any engine with md5,
     * which is what the DuckDB oracle checks.
     */
-  def minhashSignature(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    val hashes = (0 until k).map { j =>
-      array_min(transform(toks, t => md5(concat(lit(s"$j:"), t))))
-    }
-    array(hashes: _*)
-  }
+  def minhashSignature(text: Column, k: Int): Column =
+    // fused native expression — one pass over the token set instead of K
+    // interpreted transform passes; bit-identical hash family (see
+    // MinHashExpr scaladoc + the parity pin in NativeExprSpec)
+    graft.functions.MinHashExpr.minhash(tokens(text), k)
 
   /** LSH band keys: the signature chopped into `bands` groups of
     * `rowsPerBand`, each hashed to one bucket key.

@@ -148,14 +148,11 @@ object Dedup {
   }
 
   // ------------------------------------------------------ ngram jaccard
-  /** Word n-gram shingles (consecutive, space-joined). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles (consecutive, space-joined, distinct) — one
+    * native pass (see ShinglesExpr; parity pinned in NativeExprSpec).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ShinglesExpr.shingles(split(trim(text), "\\s+"), n)
 
   /** Exact shingle-Jaccard pairs >= threshold, with PPJoin-style prefix
     * filtering: each doc indexes only its (|A| - ceil(t*|A|) + 1) rarest
@@ -222,26 +219,12 @@ object Dedup {
 
   // ------------------------------------------------------------ simhash
   /** 64-bit SimHash over the distinct token set: per-bit majority vote of
-    * token hashes (rollingHash64). JVM UDF (bit fold isn't expressible as
-    * builtin columns) but still map-side only — no shuffle.
+    * token hashes (rollingHash64 family). Native codegen'd expression
+    * (formerly a Scala UDF with a serialization boundary) — map-side
+    * only, no shuffle. See [[graft.functions.SimHashExpr]].
     */
-  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((toks: Seq[String]) => {
-      val votes = new Array[Int](64)
-      toks.foreach { t =>
-        var h = 1125899906842597L
-        var i = 0
-        while (i < t.length) { h = 31 * h + t.charAt(i); i += 1 }
-        var b = 0
-        while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-      out
-    })
-
-  def simhashColumn(text: Column): Column = simhash64(tokens(text))
+  def simhashColumn(text: Column): Column =
+    graft.functions.SimHashExpr.simhash64(tokens(text))
 
   /** Near-dup edges by hamming distance <= maxDist, in the same star-edge
     * form as [[minhashCandidates]]:

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.RollingHash64Expr
+import graft.functions.{DotProductExpr, MinHashExpr, NormalizeNfcExpr,
+  RollingHash64Expr, ShinglesExpr, SimHashExpr}
 
 /** SparkSessionExtensions entry point: lets a deployment wire graft's
   * native expressions into every session at build time —
@@ -19,9 +20,23 @@ import graft.functions.RollingHash64Expr
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("rolling_hash64"),
-      new ExpressionInfo(classOf[RollingHash64Expr].getName, "rolling_hash64"),
-      (exprs: Seq[Expression]) => RollingHash64Expr(exprs.head)))
+    def inject(name: String, clazz: Class[_],
+               build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), build))
+
+    inject("rolling_hash64", classOf[RollingHash64Expr],
+      exprs => RollingHash64Expr(exprs.head))
+    inject("normalize_nfc", classOf[NormalizeNfcExpr],
+      exprs => NormalizeNfcExpr(exprs.head))
+    inject("dot_product", classOf[DotProductExpr],
+      exprs => DotProductExpr(exprs(0), exprs(1)))
+    inject("simhash64", classOf[SimHashExpr],
+      exprs => SimHashExpr(exprs.head))
+    // int literal second args: minhash(toks, k) / shingles(toks, n)
+    inject("minhash", classOf[MinHashExpr], exprs =>
+      MinHashExpr(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
+    inject("shingles", classOf[ShinglesExpr], exprs =>
+      ShinglesExpr(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 }

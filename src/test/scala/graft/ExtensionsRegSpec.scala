@@ -24,6 +24,17 @@ class ExtensionsRegSpec extends AnyFunSuite {
       var h = 1125899906842597L
       "hello".foreach(c => h = 31 * h + c)
       assert(got === h)
+      // the full native-function surface resolves in SQL
+      val row = spark.sql(
+        """SELECT normalize_nfc('x') AS n,
+          |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |  simhash64(array('a', 'b')) AS s,
+          |  size(minhash(array('a', 'b'), 4)) AS mk,
+          |  size(shingles(array('a', 'b', 'c'), 2)) AS sh""".stripMargin).head()
+      assert(row.getString(0) === "x")
+      assert(row.getDouble(1) === 11.0)
+      assert(row.getInt(3) === 4)
+      assert(row.getInt(4) === 2)
     } finally {
       // leave the context running for other suites; the extra session
       // object is discarded

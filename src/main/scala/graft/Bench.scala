@@ -19,6 +19,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the two merge aggregations are TypedImperativeAggregates; the
+      // default 128-group fallback makes ObjectHashAggregate effectively
+      // sort-based on genome-scale group counts. 256k groups/partition
+      // is a bounded middle ground (partition sizing keeps per-partition
+      // groups under it at scale).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

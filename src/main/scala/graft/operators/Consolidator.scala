@@ -27,11 +27,15 @@ object Consolidator {
   val fragmentUdf =
     udf((tokens: Seq[String], cap: Int) => TokenOps.fragment(tokens, cap))
 
-  /** Sorted-distinct union of split tokens — codegen-friendly core. */
+  /** Sorted-distinct union of split tokens. The per-row split runs as
+    * the native [[graft.functions.TokenSplitExpr]] (the former
+    * filter/transform/split chain evaluated its lambdas interpreted on
+    * every input row); the set union stays in builtin aggregates with
+    * map-side partials.
+    */
   def tokenSetAgg(tokenCol: Column): Column =
     array_sort(array_distinct(flatten(collect_list(
-      filter(transform(split(tokenCol, "[|,]"), t => trim(t)),
-             t => length(t) > 0)))))
+      graft.functions.TokenSplitExpr.splitTokens(tokenCol)))))
 
   /** @param keyCols  consolidation key (A4: term_acc, rgd_id, ref_rgd_id,
     *                 evidence, qualifier, xref_source, data_src, notes)

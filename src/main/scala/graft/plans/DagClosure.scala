@@ -103,9 +103,26 @@ object DagClosure {
   /** Descendant set of one node (CONNECT BY parity, powering F5's
     * "is term a descendant of GO:0003824" as a broadcast semi-join).
     * Same adaptive strategy as [[closure]] but BFS only from the root.
+    *
+    * Memoized on (edge frame identity, cols, root): qcTermFilters calls
+    * this once per annotate() invocation, and the collect + driver BFS
+    * cost ~1s regardless of ontology size. Bounded, cleared past 64
+    * entries (spec churn builds fresh frames).
     */
+  private val descendantsCache = new java.util.concurrent.ConcurrentHashMap[
+    (DataFrame, String, String, String, Int), DataFrame]()
+
   def descendantsOf(edges: DataFrame, parentCol: String, childCol: String,
                     root: Column, maxIters: Int = 64): DataFrame = {
+    if (descendantsCache.size > 64) descendantsCache.clear()
+    descendantsCache.computeIfAbsent(
+      (edges, parentCol, childCol, root.toString, maxIters),
+      _ => buildDescendantsOf(edges, parentCol, childCol, root, maxIters))
+  }
+
+  private def buildDescendantsOf(edges: DataFrame, parentCol: String,
+                                 childCol: String, root: Column,
+                                 maxIters: Int): DataFrame = {
     val e = edges.select(col(parentCol).as("p"), col(childCol).as("c")).distinct()
     val capped = collectCapped(e)
     if (capped.isDefined) {

@@ -25,9 +25,9 @@ import graft.text.TextAnalysis
 object Dedup {
 
   private def tokens(text: Column): Column =
-    filter(array_distinct(split(lower(trim(text)), "\\s+")),
-      t => length(t) > 0) // empty text -> [] not [""], so empty docs
-                          // don't share a phantom-token signature
+    // native one-pass (parity pinned in NativeExprSpec); empty text ->
+    // [] not [""], so empty docs don't share a phantom-token signature
+    graft.functions.TokensExpr.tokens(text)
 
   /** Ensure the heavy per-doc signature maps (regex tokenize + K-hash /
     * shingle builds) get at least the cluster's default parallelism
@@ -104,8 +104,20 @@ object Dedup {
       // null-skipping concat in the band keys would pair all empty docs)
       .filter(size(tokens(col("t"))) > 0)
       .select(col("id"), minhashSignature(col("t"), k).as("sig"))
-      .select(col("id"), lshBandKeys(col("sig"), bands, rpb).as("keys"))
-      .select(col("id"), explode(col("keys")).as("bucket"))
+      // explode a FOLDABLE band sequence and derive each bucket from the
+      // `sig` ATTRIBUTE: exploding an array built over the signature let
+      // the generator's inferred size>0 filter push down through the
+      // projection and inline the whole K-hash pass once per band
+      // element — a measured k× blowup once the signature became one
+      // opaque native expression (element_at over a literal array used
+      // to simplify per element; over MinHashExpr it cannot)
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), md5(concat_ws("|",
+        col("band").cast("string") +:
+          (0 until rpb).map(r =>
+            element_at(col("sig"), col("band") * rpb + r + 1)): _*))
+        .as("bucket"))
     keyed
       .withColumn("rep", min(col("id")).over(Window.partitionBy(col("bucket"))))
       .filter(col("id") =!= col("rep"))

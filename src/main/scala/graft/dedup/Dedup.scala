@@ -180,8 +180,12 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    // explode_outer + not-null (vs plain explode): the generator's
+    // inferred size>0 filter would re-run the whole shingle build a
+    // second time per row after predicate pushdown inlines it
     val sh = spread(df.select(col(idCol).as("id"), col(textCol).as("t")))
-      .select(col("id"), explode(shingles(col("t"), n)).as("s"))
+      .select(col("id"), explode_outer(shingles(col("t"), n)).as("s"))
+      .filter(col("s").isNotNull)
 
     // Global rarity order attached per shingle, then ONE aggregation builds
     // each doc's full (freq, shingle)-sorted set. This replaces the former

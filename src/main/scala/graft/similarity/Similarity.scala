@@ -122,10 +122,15 @@ object Similarity {
     */
   def ivfProbe(queries: DataFrame, index: DataFrame, centroids: DataFrame,
                k: Int, nProbe: Int): DataFrame = {
+    // explode_outer + not-null: a plain explode's inferred size>0 filter
+    // pushes into the scan and re-evaluates the FULL centroid scoring a
+    // second time per query row (the probe list is never empty anyway —
+    // slice of a non-empty literal-quantizer scoring)
     val probes = queries
       .withColumn("_probe",
-        explode(slice(centroidScores(col("q_vec"), centroidLit(centroids)),
+        explode_outer(slice(centroidScores(col("q_vec"), centroidLit(centroids)),
           1, nProbe)))
+      .filter(col("_probe").isNotNull)
       .select(col("q_id"), col("q_vec"),
         (-col("_probe.neg_id")).as("cent_id"))
 
@@ -193,8 +198,12 @@ object Similarity {
     val probes = (0 until (nProbes min nBits)).map(p =>
       home.bitwiseXOR(lit(1L << p)))
     // corpus vectors hold exactly one bucket, probe buckets are distinct
-    // values => each (query, candidate) pair joins at most once
-    val q = queries.withColumn("bucket", explode(array(home +: probes: _*)))
+    // values => each (query, candidate) pair joins at most once.
+    // explode_outer: see ivfProbe — keeps the inferred generator filter
+    // from re-evaluating all probe projections a second time
+    val q = queries
+      .withColumn("bucket", explode_outer(array(home +: probes: _*)))
+      .filter(col("bucket").isNotNull)
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 6))

@@ -94,10 +94,6 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4): DataFrame = {
     val rpb = k / bands
-    // materialize the signature BEFORE deriving band keys: element_at on
-    // an inline signature expression would re-evaluate the whole K-hash
-    // computation once per band row (no CSE across projections) — a 16x
-    // blowup measured at sf0.1
     val keyed = spread(df.select(col(idCol).as("id"), col(textCol).as("t")))
       // docs with an empty token set have no minhash signature — exclude
       // them here exactly like the oracle's token CTE does (otherwise the

@@ -74,11 +74,14 @@ object Bench {
     try {
       val re = "BENCH_r(\\d+)\\.json".r
       var maxR = 0
-      val it = java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator()
-      while (it.hasNext) it.next().getFileName.toString match {
-        case re(n) => maxR = math.max(maxR, n.toInt)
-        case _     =>
-      }
+      val stream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) it.next().getFileName.toString match {
+          case re(n) => maxR = math.max(maxR, n.toInt)
+          case _     =>
+        }
+      } finally stream.close()
       val sfLabel = java.nio.file.Paths.get(sfDir).getFileName.toString
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"bench_detail_r${maxR + 1}_$sfLabel.json"),

@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => DotProductExpr(exprs(0), exprs(1)))
     inject("simhash64", classOf[SimHashExpr],
       exprs => SimHashExpr(exprs.head))
+    inject("tokens", classOf[graft.functions.TokensExpr],
+      exprs => graft.functions.TokensExpr(exprs.head))
+    inject("split_trim_tokens", classOf[graft.functions.TokenSplitExpr],
+      exprs => graft.functions.TokenSplitExpr(exprs.head))
     // int literal second args: minhash(toks, k) / shingles(toks, n)
     inject("minhash", classOf[MinHashExpr], exprs =>
       MinHashExpr(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))

@@ -38,13 +38,18 @@ object Tables {
     */
   def limitCollect(df: DataFrame, n: Int): Array[org.apache.spark.sql.Row] = {
     val spark = df.sparkSession
-    val key = "spark.sql.limit.initialNumPartitions"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, spark.sparkContext.defaultParallelism)
-    try df.limit(n).collect()
-    finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    // serialized per session: concurrent set/restore of the conf key
+    // could capture another caller's temporary value as "old" and leave
+    // the override applied to the whole session
+    spark.synchronized {
+      val key = "spark.sql.limit.initialNumPartitions"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, spark.sparkContext.defaultParallelism)
+      try df.limit(n).collect()
+      finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
   }
 

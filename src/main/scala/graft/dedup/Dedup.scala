@@ -70,18 +70,28 @@ object Dedup {
   def minhashSignature(text: Column, k: Int): Column =
     // fused native expression — one pass over the token set instead of K
     // interpreted transform passes; bit-identical hash family (see
-    // MinHashExpr scaladoc + the parity pin in NativeExprSpec)
-    graft.functions.MinHashExpr.minhash(tokens(text), k)
+    // MinHashExpr scaladoc + the parity pin in NativeExprSpec). coalesce
+    // restores the column form's null-text contract (k null elements,
+    // never a null array)
+    coalesce(graft.functions.MinHashExpr.minhash(tokens(text), k),
+      array((0 until k).map(_ => lit(null).cast("string")): _*))
+
+  /** One band's bucket key — the single definition of the band-key
+    * format the DuckDB oracle mirrors (md5 of band || '|' || its
+    * signature slice), shared by [[lshBandKeys]] and
+    * [[minhashCandidates]] so they cannot drift apart.
+    */
+  def bandKey(sig: Column, band: Column, rowsPerBand: Int): Column =
+    md5(concat_ws("|",
+      band.cast("string") +:
+        (0 until rowsPerBand).map(r =>
+          element_at(sig, band * rowsPerBand + r + 1)): _*))
 
   /** LSH band keys: the signature chopped into `bands` groups of
     * `rowsPerBand`, each hashed to one bucket key.
     */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      md5(concat_ws("|",
-        lit(b.toString) +:
-          (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
-    }: _*)
+    array((0 until bands).map(b => bandKey(sig, lit(b), rowsPerBand)): _*)
 
   /** Candidate near-dup edges: every bucket member linked to the
     * bucket's min id (star pattern), NOT all-pairs — a bucket of m
@@ -109,11 +119,7 @@ object Dedup {
       // to simplify per element; over MinHashExpr it cannot)
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("id"), md5(concat_ws("|",
-        col("band").cast("string") +:
-          (0 until rpb).map(r =>
-            element_at(col("sig"), col("band") * rpb + r + 1)): _*))
-        .as("bucket"))
+      .select(col("id"), bandKey(col("sig"), col("band"), rpb).as("bucket"))
     keyed
       .withColumn("rep", min(col("id")).over(Window.partitionBy(col("bucket"))))
       .filter(col("id") =!= col("rep"))
@@ -158,9 +164,12 @@ object Dedup {
   // ------------------------------------------------------ ngram jaccard
   /** Word n-gram shingles (consecutive, space-joined, distinct) — one
     * native pass (see ShinglesExpr; parity pinned in NativeExprSpec).
+    * coalesce restores the column form's null-text contract ([], never
+    * a null array).
     */
   def shingles(text: Column, n: Int): Column =
-    graft.functions.ShinglesExpr.shingles(split(trim(text), "\\s+"), n)
+    coalesce(graft.functions.ShinglesExpr.shingles(split(trim(text), "\\s+"), n),
+      array().cast("array<string>"))
 
   /** Exact shingle-Jaccard pairs >= threshold, with PPJoin-style prefix
     * filtering: each doc indexes only its (|A| - ceil(t*|A|) + 1) rarest

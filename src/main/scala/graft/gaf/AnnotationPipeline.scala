@@ -171,7 +171,12 @@ object AnnotationPipeline {
             lit(null).cast("long").as("b"), lit(1).as("t"))),
       2 * cap + 2)
 
-    if (snap.length <= 2 * cap + 1) {
+    // ids that don't cast to long (exotic id schemes, or genuinely null
+    // ids) would NPE / silently shrink the driver maps — the probing
+    // loop below handles any id type, so fall back to it
+    val idsNumeric = snap.forall(r => !r.isNullAt(0))
+
+    if (snap.length <= 2 * cap + 1 && idsNumeric) {
       val active = snap.iterator.filter(_.getInt(2) == 1)
         .map(_.getLong(0)).toSet
       val redir = snap.iterator
@@ -194,7 +199,7 @@ object AnnotationPipeline {
             "(cycle in the history table?)")
       for (_ <- 0 until depth) cur = step(cur)
     } else {
-      // dims exceeded the driver cap: fall back to the probing loop
+      // dims exceeded the driver cap (or non-numeric ids): probing loop
       var hops = 0
       var advancing = true
       while (advancing && hops < maxHops) {
@@ -237,8 +242,13 @@ object AnnotationPipeline {
     // "incoming lines removed") must not depend on physical partitioning
     // — identical results on any cluster layout, pinnable by a digest.
     // Duplicate full lines collapse onto one id, which is exactly the
-    // indistinguishability they have in the source file.
-    val g = gaf.withColumn("_row_id", xxhash64(gaf.columns.map(col): _*))
+    // indistinguishability they have in the source file. Hash the
+    // null-MARKED canonical form (same scheme as GoldenMain.digest):
+    // bare xxhash64 leaves its seed untouched for null columns, so two
+    // distinct lines whose non-null values align in different columns
+    // would collide.
+    val g = gaf.withColumn("_row_id", xxhash64(concat_ws("\u0001",
+      gaf.columns.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
 
     // The J1/J2/J3 fallback chain (MAHQC.java:101-167) as three tiered
     // broadcast left-joins against a set-valued dim (one array of

@@ -315,8 +315,11 @@ object Audit {
     // A4 deltas: "with_info merges" counts merged-away annotations;
     // "incoming lines removed" counts LINES whose every annotation was
     // consolidated into a group kept by another line
-    // (WithInfoConsolidator.java:78-95) — keeper = min line id per group,
-    // mirroring the reference keeping the bucket's first record.
+    // (WithInfoConsolidator.java:78-95). DIVERGENCE, by design: the
+    // reference keeps the bucket's first-ARRIVING record (file order);
+    // this engine does not preserve file order, so keeper = min
+    // content-hash line id — deterministic on any cluster layout, and
+    // identical duplicate lines count once, not per physical line.
     val enrichedN = obsEnriched.get("n").asInstanceOf[Long]
     val mergesN = enrichedN - consolidatedN
     // one window + one groupBy instead of the former two groupBys, two

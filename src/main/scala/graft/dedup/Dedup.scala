@@ -18,9 +18,10 @@ import graft.text.TextAnalysis
   *               distance within prefix buckets
   *  - embedding: cosine near-dup via bucketed pairing (see Similarity)
   *
-  * Every doc-level signature is computed with builtin expressions
-  * (codegen'd md5/transform/aggregate) — no Python, no JVM UDF except the
-  * 64-bit simhash fold.
+  * Every doc-level signature runs as builtin expressions or the native
+  * codegen'd expression family (TokensExpr/ShinglesExpr/MinHashExpr/
+  * SimHashExpr — each parity-pinned in NativeExprSpec) — no Python, no
+  * JVM UDFs, no interpreted higher-order lambdas in the hot maps.
   */
 object Dedup {
 

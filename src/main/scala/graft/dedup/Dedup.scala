@@ -193,15 +193,18 @@ object Dedup {
       .select(col("id"), explode_outer(shingles(col("t"), n)).as("s"))
       .filter(col("s").isNotNull)
 
-    // Global rarity order attached per shingle, then ONE aggregation builds
-    // each doc's full (freq, shingle)-sorted set. This replaces the former
-    // row_number window + separate per-doc count join, and hands
+    // Global rarity order attached per shingle via ONE count-window over
+    // the single sh evaluation (a groupBy+join-back would consume sh
+    // twice — the shingle build would run once per consumer since the
+    // scan-side exchange sits below it), then ONE aggregation builds
+    // each doc's full (freq, shingle)-sorted set. This replaces the
+    // former row_number window + separate per-doc count join, and hands
     // verification a per-doc array so candidate pairs never rejoin the
     // exploded inverted index (the round-2 hotspot: two full-index
     // shuffles per verification). Per-doc array size is bounded by the
     // doc's own shingle count — safe at any corpus scale.
-    val freq = sh.groupBy("s").agg(count(lit(1)).as("s_freq"))
-    val docs = sh.join(freq, "s")
+    val docs = sh
+      .withColumn("s_freq", count(lit(1)).over(Window.partitionBy(col("s"))))
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("s_freq"), col("s")))).as("fs"))
       .select(col("id"),

@@ -208,7 +208,7 @@ object Dedup {
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("s_freq"), col("s")))).as("fs"))
       .select(col("id"),
-        transform(col("fs"), x => x.getField("s")).as("sarr"),
+        col("fs").getField("s").as("sarr"), // builtin array-field extract
         size(col("fs")).as("n_sh"))
       .withColumn("prefix_len", col("n_sh") -
         expr(s"(n_sh * $thresholdNum + $thresholdDen - 1) div $thresholdDen") + 1)

@@ -57,6 +57,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "text analysis must be map-only: " + p)
   }
 
+  test("spread is an identity when input splits already meet parallelism") {
+    // the 100 TB claim: real inputs have more splits than cores, so
+    // spread() must add NO shuffle there — it returns the frame itself
+    val wide = spark.range(1000).toDF("v").repartition(8)
+    assert(graft.Tables.spread(wide) eq wide)
+    // and it does repartition a single-split toy input
+    val narrow = spark.range(1000).toDF("v").coalesce(1)
+    assert(graft.Tables.spread(narrow).rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+  }
+
   test("e2e plan prunes the audit line id and keeps hash aggregation") {
     val p = graft.queries.GafE2eQueries.annotateE2e(spark, sf)
       .queryExecution.executedPlan.toString

@@ -23,10 +23,20 @@ object Tables {
     * partition, which serializes every narrow stage until the first
     * shuffle on a single core); at real scale file splits exceed cores
     * and this is a no-op — no shuffle is added.
+    *
+    * The partition-count probe (`.rdd`) is taken only on exchange-free
+    * plans: on an AQE plan containing shuffles/broadcasts, `.rdd`
+    * materializes the upstream query stages as a side effect of
+    * planning, which would silently execute work. Post-exchange plans
+    * already carry `spark.sql.shuffle.partitions` output partitions, so
+    * the probe would be a no-op for them anyway — they pass through.
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val exchangeFree = !df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    if (exchangeFree && df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   /** `df.limit(n).collect()` as ONE full-parallelism job. Plain

@@ -115,13 +115,15 @@ object AnnotationPipeline {
     * Memoized on the dim frames' identity (dims are themselves memoized
     * per (session, dir) by callers): the depth precompute collects the
     * dims once per DISTINCT dim set instead of once per matchGenes call.
-    * Bounded — cleared wholesale past 64 entries (spec churn).
+    * Freshness contract: identity keying — data re-written under the
+    * same frame object serves the stale fixpoint, see [[graft.Memo]].
+    * Stopped-session entries evicted per call; cleared past 64 entries.
     */
   private val fixpointCache = new java.util.concurrent.ConcurrentHashMap[
     (DataFrame, DataFrame, Int), DataFrame]()
 
   def resolveFixpoint(dims: Dimensions, maxHops: Int = 20): DataFrame = {
-    if (fixpointCache.size > 64) fixpointCache.clear()
+    graft.Memo.maintain(fixpointCache)(_._1.sparkSession)
     fixpointCache.computeIfAbsent((dims.rgdIds, dims.history, maxHops),
       _ => buildFixpoint(dims, maxHops))
   }
@@ -164,17 +166,24 @@ object AnnotationPipeline {
     // the active-id set (separate collects doubled the per-job cost
     // dominating these dim-sized reads)
     val snap = graft.Tables.limitCollect(
-      histMax.select(col("old_rgd_id").cast("long").as("a"),
-          col("redir_rgd_id").cast("long").as("b"), lit(0).as("t"))
+      histMax.select(expr("try_cast(old_rgd_id as long)").as("a"),
+          expr("try_cast(redir_rgd_id as long)").as("b"), lit(0).as("t"),
+          col("redir_rgd_id").isNotNull.as("rn"))
         .unionByName(status.filter(col("object_status") === "ACTIVE")
-          .select(col("rgd_id").cast("long").as("a"),
-            lit(null).cast("long").as("b"), lit(1).as("t"))),
+          .select(expr("try_cast(rgd_id as long)").as("a"),
+            lit(null).cast("long").as("b"), lit(1).as("t"),
+            lit(false).as("rn"))),
       2 * cap + 2)
 
     // ids that don't cast to long (exotic id schemes, or genuinely null
-    // ids) would NPE / silently shrink the driver maps — the probing
-    // loop below handles any id type, so fall back to it
-    val idsNumeric = snap.forall(r => !r.isNullAt(0))
+    // ids) would silently shrink the driver maps — the probing loop
+    // below handles any id type, so fall back to it. The redirect TARGET
+    // needs its own flag (`rn`, pre-cast non-null): a non-numeric
+    // redir_rgd_id try_casts to null and would vanish from the driver
+    // redirect map while step() still advances on it, underestimating
+    // chain depth and truncating chains WITHOUT the convergence error.
+    val idsNumeric = snap.forall(r =>
+      !r.isNullAt(0) && (!r.getBoolean(3) || !r.isNullAt(1)))
 
     if (snap.length <= 2 * cap + 1 && idsNumeric) {
       val active = snap.iterator.filter(_.getInt(2) == 1)
@@ -270,7 +279,7 @@ object AnnotationPipeline {
       .get("graft.match.maxXdbBroadcastRows", maxXdbBroadcastRows.toString)
       .toLong
     // memoized per (xdb frame, cap): one bounded count per distinct dim
-    if (xdbGuardCache.size > 64) xdbGuardCache.clear()
+    graft.Memo.maintain(xdbGuardCache)(_._1.sparkSession)
     xdbGuardCache.computeIfAbsent((dims.xdb, xdbCap), { case (xdb, cap) =>
       val xdbRows = xdb.limit((cap min Int.MaxValue - 1).toInt + 1).count()
       require(xdbRows <= cap,

@@ -276,12 +276,19 @@ object Audit {
     dbg("enrichedFill")(enriched.count())
     val ops = dbg("main")(merged.groupBy(col("_op")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap)
-    val m = obsMatch.get
-    val b = obsBuilt.get
-    val q = obsQc.get
-    val consolidatedN = obsCons.get("n").asInstanceOf[Long]
+    // AQE's empty-relation propagation can prune a CollectMetrics node
+    // wholesale when its input collapses to an empty LocalRelation (empty
+    // GAF input): the Observation then reports NO metrics rather than
+    // zero-valued ones. Every metric observed here is a count, so an
+    // absent key reads as 0 — never as a thrown NoSuchElementException.
+    def cnt(metrics: Map[String, Any])(k: String): Long =
+      metrics.get(k).fold(0L)(_.asInstanceOf[Long])
+    val m = cnt(obsMatch.get) _
+    val b = cnt(obsBuilt.get) _
+    val q = cnt(obsQc.get) _
+    val consolidatedN = cnt(obsCons.get)("n")
     val matchBy = cfg.sources
-      .map(s => s"MATCH BY $s" -> m(s"by_$s").asInstanceOf[Long])
+      .map(s => s"MATCH BY $s" -> m(s"by_$s"))
       .filter(_._2 > 0)
 
     // ---- side passes, only where a different plan is genuinely needed —
@@ -320,7 +327,7 @@ object Audit {
     // this engine does not preserve file order, so keeper = min
     // content-hash line id — deterministic on any cluster layout, and
     // identical duplicate lines count once, not per physical line.
-    val enrichedN = obsEnriched.get("n").asInstanceOf[Long]
+    val enrichedN = cnt(obsEnriched.get)("n")
     val mergesN = enrichedN - consolidatedN
     // one window + one groupBy instead of the former two groupBys, two
     // distincts and an anti-join: a line is kept iff it has an empty-wi
@@ -340,10 +347,13 @@ object Audit {
     // (unique-key full-outer against a unique existing side) and carry
     // identical mergeKey values, so the cached merged table answers this
     // without re-running the two merge aggregations.
+    // coalesce: on an empty incoming side the aggregation input has zero
+    // rows, sum() is null, and a bare getLong would NPE where 0 is meant
     val truncatedF = Future(dbg("truncated")(
       merged.filter(col("_op") =!= "keep")
         .groupBy(mergeKey.map(col): _*).count()
-        .agg((sum(col("count")) - count(lit(1))).cast("long")).head().getLong(0)))
+        .agg(coalesce(sum(col("count")) - count(lit(1)), lit(0L))
+          .cast("long")).head().getLong(0)))
 
     val updOrigF = Future(dbg("updOrig")(merged.filter(col("_op") === "update")
       .join(existing.select(col("full_annot_key"),
@@ -358,18 +368,18 @@ object Audit {
     val updOrigN = Await.result(updOrigF, Duration.Inf)
 
     val rows: Seq[(String, Long)] = Seq(
-      "highLevelGoTerm" -> q("f4").asInstanceOf[Long],
-      "IPIAnnotToCatalyticActivityTerm" -> q("f5").asInstanceOf[Long],
+      "highLevelGoTerm" -> q("f4"),
+      "IPIAnnotToCatalyticActivityTerm" -> q("f5"),
       "unmatchedCounter" -> unmatchedN,
       "inactiveCounter" -> inactiveN,
       "noRatGeneCounter" -> noRatN,
-      "skippedSelfRefAnnots" -> b("selfRef").asInstanceOf[Long],
-      "movedGeneProductFormIdIntoWithInfo" -> b("movedGpfi").asInstanceOf[Long],
-      "skippedIsoAnnots" -> b("skippedIso").asInstanceOf[Long],
-      "clearedAnnotationExtensionForIso" -> b("clearedExt").asInstanceOf[Long],
-      "replacedQualifier_colocalizes_with" -> b("replacedQual").asInstanceOf[Long],
-      "DATA_SRC substitutions" -> b("dataSrcSubst").asInstanceOf[Long],
-      "notFoundInRgdGoTermCount" -> b("unknownTerm").asInstanceOf[Long],
+      "skippedSelfRefAnnots" -> b("selfRef"),
+      "movedGeneProductFormIdIntoWithInfo" -> b("movedGpfi"),
+      "skippedIsoAnnots" -> b("skippedIso"),
+      "clearedAnnotationExtensionForIso" -> b("clearedExt"),
+      "replacedQualifier_colocalizes_with" -> b("replacedQual"),
+      "DATA_SRC substitutions" -> b("dataSrcSubst"),
+      "notFoundInRgdGoTermCount" -> b("unknownTerm"),
       "with_info merges" -> mergesN,
       "incoming lines removed" -> linesRemovedN,
       "  TRUNCATED XREF_SOURCE (XREF_SOURCE LENGTH > 4000)" -> truncatedN,

@@ -106,15 +106,17 @@ object DagClosure {
     *
     * Memoized on (edge frame identity, cols, root): qcTermFilters calls
     * this once per annotate() invocation, and the collect + driver BFS
-    * cost ~1s regardless of ontology size. Bounded, cleared past 64
-    * entries (spec churn builds fresh frames).
+    * cost ~1s regardless of ontology size. Freshness contract: identity
+    * keying means a caller that re-writes the data under `edges` must
+    * pass a NEW frame — see [[graft.Memo]]. Stopped-session entries are
+    * evicted on every call; bounded, cleared past 64 entries.
     */
   private val descendantsCache = new java.util.concurrent.ConcurrentHashMap[
     (DataFrame, String, String, String, Int), DataFrame]()
 
   def descendantsOf(edges: DataFrame, parentCol: String, childCol: String,
                     root: Column, maxIters: Int = 64): DataFrame = {
-    if (descendantsCache.size > 64) descendantsCache.clear()
+    graft.Memo.maintain(descendantsCache)(_._1.sparkSession)
     descendantsCache.computeIfAbsent(
       (edges, parentCol, childCol, root.toString, maxIters),
       _ => buildDescendantsOf(edges, parentCol, childCol, root, maxIters))

@@ -134,6 +134,17 @@ class OpsSpec extends SparkSpec {
     assert(hashSum === new java.math.BigDecimal("5241361472703907309"))
   }
 
+  test("A7 counters on an EMPTY GAF input are all zero (no NPE)") {
+    // empty incoming side: the truncated-xref aggregate's sum() is null
+    // over zero rows — must coalesce to 0, not NPE on getLong
+    val cfg = graft.gaf.Fixtures.mouseConfig(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    val counters = Audit.pipelineCounters(gaf.limit(0), dims, cfg,
+      graft.gaf.Fixtures.emptyFullAnnot(spark))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counters.nonEmpty && counters.values.forall(_ === 0L), counters)
+  }
+
   test("new audit side outputs: inactive, noRatGene, op row lists") {
     val cfg = graft.gaf.Fixtures.mouseConfig(
       java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))

@@ -66,6 +66,11 @@ class PlanSpec extends SparkSpec {
     val narrow = spark.range(1000).toDF("v").coalesce(1)
     assert(graft.Tables.spread(narrow).rdd.getNumPartitions ===
       spark.sparkContext.defaultParallelism)
+    // a plan that already contains an exchange passes through untouched:
+    // probing its partition count via .rdd would materialize the upstream
+    // AQE query stages as a side effect of planning
+    val agged = spark.range(1000).toDF("v").groupBy("v").count()
+    assert(graft.Tables.spread(agged) eq agged)
   }
 
   test("e2e plan prunes the audit line id and keeps hash aggregation") {

@@ -71,4 +71,33 @@ class ResolveGeneIdsSpec extends SparkSpec {
     val m = resolveMap(d)
     assert(m === Map(40 -> 41, 41 -> 41))
   }
+
+  test("non-numeric redirect target falls back to the probing loop") {
+    // exotic id scheme: the SOURCE id is a numeric string but the
+    // redirect TARGET is not. try_cast silently nulls the target, so a
+    // source-column-only guard would keep the driver fast path, drop the
+    // redirect from the driver map, underestimate the chain depth, and
+    // truncate the chain WITHOUT the convergence error. The pre-cast
+    // non-null flag must force the probing loop, which handles any type.
+    import org.apache.spark.sql.types._
+    val strIds = StructType(Seq(
+      StructField("rgd_id", StringType),
+      StructField("object_key", IntegerType),
+      StructField("object_status", StringType),
+      StructField("species_type_key", IntegerType)))
+    val strHist = StructType(Seq(
+      StructField("old_rgd_id", StringType),
+      StructField("new_rgd_id", StringType)))
+    val empty = Fixtures.emptyFullAnnot(spark)
+    val d = Dimensions(
+      rgdIds = df(strIds,
+        Row("1", 1, "RETIRED", MOUSE), Row("ABC", 1, "ACTIVE", MOUSE)),
+      genes = empty, xdb = empty,
+      history = df(strHist, Row("1", "ABC")),
+      ontTerms = empty, ontSynonyms = empty, ontDag = empty,
+      orthologs = empty)
+    val m = AnnotationPipeline.resolveGeneIds(d, MOUSE).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m === Map("1" -> "ABC", "ABC" -> "ABC"))
+  }
 }

@@ -1,0 +1,35 @@
+package graft
+
+/** Committed golden digests for every harness query the driver can only
+  * rows-check (no ANSI-SQL oracle exists: engine-specific hashes, float
+  * scoring, stubbed codec). The digest (row count + sum of per-row
+  * xxhash64 over name-sorted stringified columns, GoldenMain.digest) is
+  * order- and partitioning-independent; each query below is itself
+  * deterministic (rounded scores with id tiebreakers, splitmix64 planes,
+  * content-hash ids), verified by back-to-back identical runs.
+  *
+  * Together with the flagship (E2eSpec) and a2_overflow/a7_counter_dump
+  * (OpsSpec/ConsolidatorSpec) pins, EVERY registered query now has either
+  * a DuckDB oracle or a committed digest — the driver cannot see silent
+  * drift on any of them. Regenerate a value with
+  * `Test/runMain graft.gaf.GoldenMain /root/testdata/sf0.01 <query>`
+  * ONLY for an intentional, explained semantics change.
+  */
+class GoldenDigestsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def check(name: String, rows: Long, hashSum: String): Unit =
+    test(s"$name golden digest at sf0.01") {
+      val (n, s) = gaf.GoldenMain.digest(SparkEntry.queries(name)(spark, sf))
+      assert(n === rows)
+      assert(s === new java.math.BigDecimal(hashSum))
+    }
+
+  check("sim_ivf_topk", 50L, "4935712642958857078")
+  check("sim_lsh_topk", 50L, "-33633429944652742266")
+  check("sim_ivf_build", 23L, "32116996476011932238")
+  check("dedup_simhash_pairs", 15698L, "54519024930998173170")
+  check("text_rolling_fingerprint", 500L, "-15028130188720254520")
+  check("mm_decode_features", 500L, "-78697832182025956956")
+}

@@ -24,13 +24,14 @@ object GoldenMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // second arg: a registered query name to digest instead of the e2e
-    val df = args.drop(1).headOption match {
-      case Some(q) => graft.SparkEntry.queries(q)(spark, d)
-      case None    => graft.queries.GafE2eQueries.annotateE2e(spark, d)
+    // further args: registered query names to digest instead of the e2e
+    if (args.length <= 1) {
+      val (n, s) = digest(graft.queries.GafE2eQueries.annotateE2e(spark, d))
+      println(s"GOLDEN rows=$n hashSum=$s")
+    } else args.drop(1).foreach { q =>
+      val (n, s) = digest(graft.SparkEntry.queries(q)(spark, d))
+      println(s"GOLDEN $q rows=$n hashSum=$s")
     }
-    val (n, s) = digest(df)
-    println(s"GOLDEN rows=$n hashSum=$s")
     spark.stop()
   }
 }

@@ -37,10 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => graft.functions.TokensExpr(exprs.head))
     inject("split_trim_tokens", classOf[graft.functions.TokenSplitExpr],
       exprs => graft.functions.TokenSplitExpr(exprs.head))
-    // int literal second args: minhash(toks, k) / shingles(toks, n)
+    // int literal second args: minhash(toks, k) / shingles(toks, n) /
+    // top_gram_chars(toks, n)
     inject("minhash", classOf[MinHashExpr], exprs =>
       MinHashExpr(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
     inject("shingles", classOf[ShinglesExpr], exprs =>
       ShinglesExpr(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
+    inject("top_gram_chars", classOf[graft.functions.TopGramCharsExpr], exprs =>
+      graft.functions.TopGramCharsExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 }

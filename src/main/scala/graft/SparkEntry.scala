@@ -13,8 +13,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     CoreQueries, PipelineQueries, JoinQueries, AggQueries,
-    TextQueries, DedupQueries, SimilarityQueries, MultimodalQueries,
-    GafE2eQueries
+    TextQueries, CorpusQueries, DedupQueries, SimilarityQueries,
+    MultimodalQueries, GafE2eQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pre-training: assign documents to
+  * fixed-token-budget training sequences ("concat-and-chunk", the
+  * packing GPT-style pipelines actually run — concatenate the token
+  * stream in a deterministic order, cut every `budget` tokens).
+  */
+object Packing {
+
+  /** Assign each row a `(pack_bucket, pack_seq)` pack id: rows stream in
+    * `idCol` order within `pack_bucket = idCol % buckets`, and a row
+    * belongs to the chunk containing its FIRST token —
+    * `pack_seq = floor(tokens_before_it_in_bucket / budget)`. A document
+    * straddling a boundary stays in the chunk it starts in (its tail
+    * spills into the next chunk's budget, exactly like the flat token
+    * stream it models).
+    *
+    * Deterministic: bucket and order derive only from ids. Scale shape:
+    * ONE hash shuffle on `pack_bucket` plus a per-bucket running sum —
+    * each bucket is a single window partition, so `buckets` is the
+    * parallelism knob and must exceed the cluster's cores at scale
+    * (buckets are independent token streams; more buckets = same
+    * semantics, smaller partitions). No driver-side state, no collect.
+    */
+  def packChunks(df: DataFrame, idCol: String, tokenCol: String,
+                 budget: Long, buckets: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    val w = Window.partitionBy(col("pack_bucket")).orderBy(col(idCol))
+    df.withColumn("pack_bucket", pmod(col(idCol), lit(buckets)).cast("int"))
+      .withColumn("_start", sum(col(tokenCol)).over(w) - col(tokenCol))
+      .withColumn("pack_seq", floor(col("_start") / budget).cast("int"))
+      .drop("_start")
+  }
+}

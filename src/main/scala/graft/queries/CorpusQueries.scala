@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Packing, Sampling}
+import graft.text.{CorpusQc, TextAnalysis}
+
+/** Corpus-QC extension queries (BASELINE.json north-star, round 4):
+  * repetition rules, contamination scoring, PII scrubbing, deterministic
+  * sampling, and sequence packing — the remaining operations a
+  * pre-training data pipeline runs that the earlier packs didn't cover.
+  * Every query here has a full DuckDB oracle.
+  */
+object CorpusQueries extends QueryPack {
+
+  /** Benchmark split for the contamination check: every 50th doc plays
+    * the role of an eval set; the rest are the corpus under test.
+    */
+  private val benchMod = 50
+  private val contaminationN = 8
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher-style repetition signals, one codegen'd pass (n = 1..3)
+    "text_repetition" -> ((s, d) => {
+      CorpusQc.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+    }),
+
+    // GPT-3 style benchmark-contamination: distinct 8-gram overlap of
+    // each corpus doc against the benchmark docs' gram set
+    "text_contamination" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      CorpusQc.contaminationScores(
+        docs.filter(pmod($"doc_id", lit(benchMod)) =!= 0),
+        docs.filter(pmod($"doc_id", lit(benchMod)) === 0),
+        "doc_id", "text", contaminationN)
+    }),
+
+    // PII scrub over text with deterministically injected synthetic PII
+    // (the corpus itself is clean words — injection keeps the oracle
+    // non-vacuous: every row exercises all three redaction patterns)
+    "text_pii_scrub" -> ((s, d) => {
+      import s.implicits._
+      val dirty = concat(
+        substring($"text", 1, 40),
+        lit(" contact u"), $"doc_id", lit("@example.com ping 10."),
+        pmod($"doc_id", lit(256)), lit(".0.7 call +1-555-"),
+        lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"), lit(" end"))
+      Tables.documents(s, d)
+        .select($"doc_id", CorpusQc.piiScrub(dirty).as("scrubbed"))
+    }),
+
+    // deterministic content-hash Bernoulli sample, ~10.2% (0x1a/0x100)
+    "sample_hash" -> ((s, d) => {
+      import s.implicits._
+      Sampling.hashSample(Tables.documents(s, d), $"doc_id", "1a")
+        .select($"doc_id", $"lang")
+    }),
+
+    // concat-and-chunk sequence packing: 2048-token budget, 16 buckets
+    "pack_sequences" -> ((s, d) => {
+      import s.implicits._
+      Packing.packChunks(
+        Tables.documents(s, d)
+          .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048, buckets = 16)
+    })
+  )
+
+  // ---- DuckDB oracle forms ------------------------------------------
+  private val toks = "string_split_regex(trim(text), '\\s+')"
+  private def ntoks(t: String = toks) =
+    s"(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE len($t) END)"
+
+  /** Overlapping word n-grams as a DuckDB list comprehension (empty when
+    * the doc has fewer than n tokens — range(1, k) is empty for k <= 1).
+    */
+  private def grams(n: Int) =
+    s"[array_to_string(($toks)[i:i+${n - 1}], ' ') " +
+      s"for i in range(1, ${ntoks()} - ${n - 1} + 1)]"
+
+  private def repCols(n: Int): String = {
+    val total = s"(${ntoks()} - ${n - 1})"
+    // max over grams of count*chars via DuckDB's histogram aggregate
+    val topChars = "coalesce(list_max([length(e.key) * e.value " +
+      s"for e in map_entries(list_aggregate(${grams(n)}, 'histogram'))]), 0)"
+    s"""  CASE WHEN $total > 0
+       |    THEN round(1.0 - len(list_distinct(${grams(n)})) / $total, 6)
+       |    ELSE 0.0 END AS dup_${n}gram_frac,
+       |  CASE WHEN length(text) > 0
+       |    THEN round($topChars / length(text), 6)
+       |    ELSE 0.0 END AS top_${n}gram_frac""".stripMargin
+  }
+
+  override def oracleSql: Map[String, String] = Map(
+
+    "text_repetition" ->
+      s"""SELECT doc_id, ${ntoks()} AS n_tokens,
+         |${Seq(1, 2, 3).map(repCols).mkString(",\n")}
+         |FROM documents""".stripMargin,
+
+    "text_contamination" -> {
+      val g8 = grams(contaminationN)
+      s"""WITH bench AS (
+         |  SELECT DISTINCT unnest(list_distinct($g8)) AS _gram
+         |  FROM documents WHERE doc_id % $benchMod = 0
+         |), docg AS (
+         |  SELECT doc_id, list_distinct($g8) AS _grams
+         |  FROM documents WHERE doc_id % $benchMod <> 0
+         |), hits AS (
+         |  SELECT doc_id, count(*) AS n_contaminated
+         |  FROM (SELECT doc_id, unnest(_grams) AS _gram FROM docg)
+         |  JOIN bench USING (_gram) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, len(d._grams) AS n_grams,
+         |  coalesce(h.n_contaminated, 0) AS n_contaminated,
+         |  CASE WHEN len(d._grams) > 0
+         |    THEN round(coalesce(h.n_contaminated, 0) / len(d._grams), 6)
+         |    ELSE 0.0 END AS contamination_frac
+         |FROM docg d LEFT JOIN hits h USING (doc_id)""".stripMargin
+    },
+
+    "text_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    substring(text, 1, 40) || ' contact u' || doc_id ||
+         |      '@example.com ping 10.' || (doc_id % 256) || '.0.7 call +1-555-' ||
+         |      lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' end',
+         |    '${CorpusQc.emailPattern}', '<EMAIL>', 'g'),
+         |    '${CorpusQc.ipv4Pattern}', '<IP>', 'g'),
+         |    '${CorpusQc.phonePattern}', '<PHONE>', 'g') AS scrubbed
+         |FROM documents""".stripMargin,
+
+    "sample_hash" ->
+      "SELECT doc_id, lang FROM documents WHERE md5(doc_id::VARCHAR) < '1a'",
+
+    "pack_sequences" ->
+      s"""SELECT doc_id, ${ntoks()} AS n_tokens,
+         |  (doc_id % 16)::INT AS pack_bucket,
+         |  floor((sum(${ntoks()}) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
+         |         - ${ntoks()}) / 2048)::INT AS pack_seq
+         |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,110 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level quality control for a pre-training data pipeline:
+  * repetition rules, benchmark-contamination scoring, and PII scrubbing.
+  * The per-document operators are pure column expressions (one codegen'd
+  * pass over the corpus scan, map-only at any scale); contamination is
+  * the one join-shaped op — a broadcast hash join against the benchmark
+  * n-gram set plus one aggregation shuffle on the doc id.
+  */
+object CorpusQc {
+
+  /** Raw (non-distinct) whitespace token array; empty text yields [] —
+    * a bare split would yield [""] and count a phantom token.
+    */
+  def rawTokens(text: Column): Column =
+    when(length(trim(coalesce(text, lit("")))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Gopher/MassiveText-style repetition signals (Rae et al. 2021,
+    * §A1.1) for word n-grams of width `ns` (defaults 1..3), per document:
+    *
+    *  - `dup_{n}gram_frac`: fraction of the document's overlapping
+    *    n-grams that are repeats of an earlier one
+    *    (`1 - distinct/total`; 0 for documents shorter than n tokens);
+    *  - `top_{n}gram_frac`: character mass of the dominant n-gram
+    *    (max over grams of `count * chars`, [[graft.functions.TopGramCharsExpr]])
+    *    divided by the document's character length. Occurrences OVERLAP
+    *    for n > 1, so a pathologically repetitive doc can score > 1 —
+    *    fine for a threshold filter, deterministic without a tiebreak.
+    *
+    * Fractions are rounded to 6 places so results are bit-stable across
+    * engines. All columns compute in ONE whole-stage-codegen projection —
+    * no shuffle, no UDF: the natural pre-filter shape at 100 TB.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val toks = rawTokens(col(textCol))
+    val nToks = size(toks)
+    val chars = length(coalesce(col(textCol), lit("")))
+    val cols = ns.flatMap { n =>
+      val total = nToks - (n - 1) // overlapping n-grams when nToks >= n
+      val distinctN = size(graft.functions.ShinglesExpr.shingles(toks, n))
+      val dup = when(total > 0,
+        round(lit(1.0) - distinctN.cast("double") / total, 6))
+        .otherwise(lit(0.0))
+      val top = when(chars > 0,
+        round(graft.functions.TopGramCharsExpr.topGramChars(toks, n)
+          .cast("double") / chars, 6))
+        .otherwise(lit(0.0))
+      Seq(dup.as(s"dup_${n}gram_frac"), top.as(s"top_${n}gram_frac"))
+    }
+    df.select(col(idCol) +: nToks.as("n_tokens") +: cols: _*)
+  }
+
+  /** Benchmark-contamination scoring (the GPT-3 style n-gram overlap
+    * check): for every corpus document, the fraction of its DISTINCT
+    * word n-grams that also occur anywhere in `benchmark`. Documents
+    * with fewer than n tokens score 0 over 0 grams.
+    *
+    * Plan shape for 100 TB: the benchmark side (eval sets are tiny
+    * relative to a corpus) collapses to a distinct n-gram dim that
+    * broadcasts; the corpus explodes its shingles map-side into the
+    * broadcast probe, and the only shuffle is the per-doc count
+    * aggregation. Nothing is quadratic and the corpus is scanned once.
+    */
+  def contaminationScores(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(graft.dedup.Dedup.shingles(col(textCol), n)).as("_gram"))
+      .distinct()
+    val docGrams = corpus.select(col(idCol),
+      graft.dedup.Dedup.shingles(col(textCol), n).as("_grams"))
+    docGrams
+      .select(col(idCol), size(col("_grams")).as("n_grams"),
+        explode_outer(col("_grams")).as("_gram"))
+      .join(broadcast(benchGrams.withColumn("_hit", lit(1))),
+        Seq("_gram"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(col("_hit")).as("n_contaminated"))
+      .withColumn("contamination_frac",
+        when(col("n_grams") > 0,
+          round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  /** PII scrub patterns — portable across Java regex (Spark) and RE2
+    * (DuckDB/production scrubbers): no backrefs, no lookaround.
+    * Application order matters: emails first (their domains would
+    * otherwise feed the phone pattern's digit runs), then IPs (dotted
+    * digits), then phones.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val phonePattern = "\\+?\\d[\\d\\-() ]{6,}\\d"
+
+  /** Redact emails, IPv4 addresses and phone-like digit runs. One
+    * codegen'd projection (regexp_replace chain), map-only.
+    */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+}

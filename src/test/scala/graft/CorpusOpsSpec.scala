@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Packing, Sampling}
+import graft.text.CorpusQc
+
+/** Semantics of the round-4 corpus-QC family: repetition rules,
+  * contamination scoring, PII scrub, deterministic sampling, sequence
+  * packing. Cross-engine value parity is separately pinned by the DuckDB
+  * oracles (text_repetition / text_contamination / text_pii_scrub /
+  * sample_hash / pack_sequences).
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------- repetition
+  test("repetition stats on a fully repetitive doc") {
+    // "a a a a" (7 chars): 4 words, 1 distinct; 3 bigrams all "a a";
+    // top masses: 4*1, 3*3, 2*5 chars
+    val r = CorpusQc.repetitionStats(
+      Seq((1L, "a a a a")).toDF("doc_id", "text"), "doc_id", "text")
+      .head()
+    assert(r.getAs[Int]("n_tokens") === 4)
+    assert(r.getAs[Double]("dup_1gram_frac") === 0.75)
+    assert(r.getAs[Double]("top_1gram_frac") === 0.571429)
+    assert(r.getAs[Double]("dup_2gram_frac") === 0.666667)
+    // overlapping occurrences: mass 3*3=9 over 7 chars exceeds 1
+    assert(r.getAs[Double]("top_2gram_frac") === 1.285714)
+    assert(r.getAs[Double]("dup_3gram_frac") === 0.5)
+    assert(r.getAs[Double]("top_3gram_frac") === 1.428571)
+  }
+
+  test("repetition stats: no repeats, empty text, and sub-n docs") {
+    val df = CorpusQc.repetitionStats(
+      Seq((1L, "x y"), (2L, ""), (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val noRep = df(1L)
+    assert(noRep.getAs[Double]("dup_1gram_frac") === 0.0)
+    assert(noRep.getAs[Double]("top_1gram_frac") === 0.333333) // "x" of "x y"
+    // 2 tokens: one bigram (distinct), zero trigrams -> all zero
+    assert(noRep.getAs[Double]("dup_2gram_frac") === 0.0)
+    assert(noRep.getAs[Double]("dup_3gram_frac") === 0.0)
+    assert(noRep.getAs[Double]("top_3gram_frac") === 0.0)
+    Seq(2L, 3L).foreach { id =>
+      val r = df(id)
+      assert(r.getAs[Int]("n_tokens") === 0)
+      Seq("dup_1gram_frac", "top_1gram_frac", "dup_2gram_frac",
+        "top_2gram_frac").foreach(c => assert(r.getAs[Double](c) === 0.0, c))
+    }
+  }
+
+  test("top_gram_chars native expr matches the interpreted lambda form") {
+    // the builtin equivalent: max over distinct grams of count * chars
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+    val grams = array_distinct(transform(
+      sequence(lit(0), size($"toks") - 2),
+      i => concat_ws(" ", slice($"toks", i + 1, lit(2)))))
+    val lambda = coalesce(array_max(transform(grams, g =>
+      size(filter(transform(
+        sequence(lit(0), size($"toks") - 2),
+        i => concat_ws(" ", slice($"toks", i + 1, lit(2)))), x => x === g))
+        .cast("long") * length(g))), lit(0L))
+    val mism = docs.select(
+      graft.functions.TopGramCharsExpr.topGramChars($"toks", 2).as("native"),
+      when(size($"toks") >= 2, lambda).otherwise(lit(0L)).as("builtin"))
+      .filter($"native" =!= $"builtin").count()
+    assert(mism === 0L)
+  }
+
+  test("top_gram_chars stays inside whole-stage codegen") {
+    val plan = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(graft.functions.TopGramCharsExpr
+        .topGramChars(split(trim($"text"), "\\s+"), 2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(plan.contains("top_gram_chars"), plan)
+  }
+
+  // ---------------------------------------------------- contamination
+  test("contamination: identical, disjoint, and sub-n corpus docs") {
+    val bench = Seq((100L, "q w e r t y u i o p")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "q w e r t y u i o p"),       // identical: all 3 8-grams hit
+      (2L, "aa bb cc dd ee ff gg hh ii"), // disjoint: 0 of 2
+      (3L, "too short")                   // < 8 tokens: 0 grams
+    ).toDF("doc_id", "text")
+    val got = CorpusQc.contaminationScores(corpus, bench, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("n_grams"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Double]("contamination_frac")))).toMap
+    assert(got(1L) === ((3, 3L, 1.0)))
+    assert(got(2L) === ((2, 0L, 0.0)))
+    assert(got(3L) === ((0, 0L, 0.0)))
+  }
+
+  // -------------------------------------------------------- PII scrub
+  test("pii scrub redacts emails, IPs and phones, in that order") {
+    val out = Seq(
+      "mail bob.smith@corp.io or 192.168.0.1 or +44 20 7946 0958 ok",
+      "clean words only here").toDF("text")
+      .select(CorpusQc.piiScrub($"text").as("s"))
+      .as[String].collect()
+    assert(out.contains("mail <EMAIL> or <IP> or <PHONE> ok"), out.toSeq)
+    assert(out.contains("clean words only here"))
+  }
+
+  // --------------------------------------------------------- sampling
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+
+  test("hash sample is deterministic, salted, and near its rate") {
+    val a = Sampling.hashSample(docs, $"doc_id", "80")
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, $"doc_id", "80")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a === b)                       // pure function of the data
+    assert(a.size > 200 && a.size < 300,  // 0x80/0x100 = 50% of 500
+      s"rate drifted: ${a.size}/500")
+    // a lower threshold is a strict subset (same hash, tighter cut)
+    val sub = Sampling.hashSample(docs, $"doc_id", "40")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(sub.subsetOf(a))
+    // a different salt draws an independent sample
+    val salted = Sampling.hashSample(docs, $"doc_id", "80", salt = "v2")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(salted !== a)
+  }
+
+  test("stratified hash sample: unlisted strata drop, listed keep rate") {
+    val strat = Sampling.stratifiedHashSample(
+      docs, $"doc_id", $"lang", Map("en" -> "ff"))
+    assert(strat.filter($"lang" =!= "en").count() === 0)
+    val en = docs.filter($"lang" === "en").count()
+    val kept = strat.count()
+    assert(kept > 0 && kept <= en)
+  }
+
+  // ---------------------------------------------------------- packing
+  test("pack chunks: budget boundaries and straddling docs") {
+    val df = Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 9L), (4L, 3L))
+      .toDF("doc_id", "n_tokens")
+    // one bucket, budget 10: starts 0,4,8,12,21 -> seqs 0,0,0,1,2
+    val got = Packing.packChunks(df, "doc_id", "n_tokens", 10L, 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("pack_seq"))
+      .toMap
+    assert(got === Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 2))
+  }
+
+  test("pack chunks: buckets are independent id-ordered streams") {
+    val df = (0L until 8L).map(i => (i, 6L)).toDF("doc_id", "n_tokens")
+    val got = Packing.packChunks(df, "doc_id", "n_tokens", 10L, 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("pack_bucket"), r.getAs[Int]("pack_seq"))).toSet
+    // evens in bucket 0 at starts 0,6,12,18; odds in bucket 1 likewise
+    assert(got === Set(
+      (0L, 0, 0), (2L, 0, 0), (4L, 0, 1), (6L, 0, 1),
+      (1L, 1, 0), (3L, 1, 0), (5L, 1, 1), (7L, 1, 1)))
+  }
+}

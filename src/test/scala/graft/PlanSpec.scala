@@ -73,6 +73,28 @@ class PlanSpec extends SparkSpec {
     assert(graft.Tables.spread(agged) eq agged)
   }
 
+  test("repetition stats fuse into a single map-only codegen stage") {
+    val p = plan(SparkEntry.queries("text_repetition")(spark, sf))
+    assert(p.contains("*(1)"), p)
+    assert(!p.contains("Exchange"), "repetition must be map-only: " + p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "repetition must stay native: " + p)
+  }
+
+  test("contamination broadcasts the benchmark gram dim") {
+    val p = plan(SparkEntry.queries("text_contamination")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "benchmark side must broadcast, not shuffle the corpus: " + p)
+  }
+
+  test("sequence packing shuffles once, on the pack bucket") {
+    val p = plan(SparkEntry.queries("pack_sequences")(spark, sf))
+    assert(p.contains("hashpartitioning(pack_bucket"), p)
+    // exactly one exchange: the bucket partitioning feeding the window
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+  }
+
   test("e2e plan prunes the audit line id and keeps hash aggregation") {
     val p = graft.queries.GafE2eQueries.annotateE2e(spark, sf)
       .queryExecution.executedPlan.toString

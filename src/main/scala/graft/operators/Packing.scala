@@ -33,7 +33,10 @@ object Packing {
     val w = Window.partitionBy(col("pack_bucket")).orderBy(col(idCol))
     df.withColumn("pack_bucket", pmod(col(idCol), lit(buckets)).cast("int"))
       .withColumn("_start", sum(col(tokenCol)).over(w) - col(tokenCol))
-      .withColumn("pack_seq", floor(col("_start") / budget).cast("int"))
+      // pack_seq stays LONG: a bucket's cumulative token count over a
+      // 100 TB corpus divided by a ~2k budget overflows int (~4.4e12
+      // tokens per bucket is enough)
+      .withColumn("pack_seq", floor(col("_start") / budget))
       .drop("_start")
   }
 }

@@ -140,7 +140,7 @@ object CorpusQueries extends QueryPack {
       s"""SELECT doc_id, ${ntoks()} AS n_tokens,
          |  (doc_id % 16)::INT AS pack_bucket,
          |  floor((sum(${ntoks()}) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
-         |         - ${ntoks()}) / 2048)::INT AS pack_seq
+         |         - ${ntoks()}) / 2048)::BIGINT AS pack_seq
          |FROM documents""".stripMargin
   )
 }

@@ -142,19 +142,19 @@ class CorpusOpsSpec extends SparkSpec {
       .toDF("doc_id", "n_tokens")
     // one bucket, budget 10: starts 0,4,8,12,21 -> seqs 0,0,0,1,2
     val got = Packing.packChunks(df, "doc_id", "n_tokens", 10L, 1)
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("pack_seq"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_seq"))
       .toMap
-    assert(got === Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 2))
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
   }
 
   test("pack chunks: buckets are independent id-ordered streams") {
     val df = (0L until 8L).map(i => (i, 6L)).toDF("doc_id", "n_tokens")
     val got = Packing.packChunks(df, "doc_id", "n_tokens", 10L, 2)
       .collect().map(r => (r.getAs[Long]("doc_id"),
-        r.getAs[Int]("pack_bucket"), r.getAs[Int]("pack_seq"))).toSet
+        r.getAs[Int]("pack_bucket"), r.getAs[Long]("pack_seq"))).toSet
     // evens in bucket 0 at starts 0,6,12,18; odds in bucket 1 likewise
     assert(got === Set(
-      (0L, 0, 0), (2L, 0, 0), (4L, 0, 1), (6L, 0, 1),
-      (1L, 1, 0), (3L, 1, 0), (5L, 1, 1), (7L, 1, 1)))
+      (0L, 0, 0L), (2L, 0, 0L), (4L, 0, 1L), (6L, 0, 1L),
+      (1L, 1, 0L), (3L, 1, 0L), (5L, 1, 1L), (7L, 1, 1L)))
   }
 }

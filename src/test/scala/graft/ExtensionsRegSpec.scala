@@ -30,11 +30,14 @@ class ExtensionsRegSpec extends AnyFunSuite {
           |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
           |  simhash64(array('a', 'b')) AS s,
           |  size(minhash(array('a', 'b'), 4)) AS mk,
-          |  size(shingles(array('a', 'b', 'c'), 2)) AS sh""".stripMargin).head()
+          |  size(shingles(array('a', 'b', 'c'), 2)) AS sh,
+          |  top_gram_chars(array('a', 'b', 'a', 'b'), 2) AS tg""".stripMargin)
+        .head()
       assert(row.getString(0) === "x")
       assert(row.getDouble(1) === 11.0)
       assert(row.getInt(3) === 4)
       assert(row.getInt(4) === 2)
+      assert(row.getLong(5) === 6L) // "a b" twice, 3 chars each
     } finally {
       // leave the context running for other suites; the extra session
       // object is discarded

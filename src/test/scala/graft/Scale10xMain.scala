@@ -18,8 +18,12 @@ object Scale10xMain {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    // partition sizing is THE scale knob: at high fan-out factors the
+    // merge aggregations' per-partition state must fit the executor
+    // heap, so partitions scale with data volume (SPARK_GRAFT_SHUFFLE)
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

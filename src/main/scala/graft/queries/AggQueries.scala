@@ -167,6 +167,18 @@ object AggQueries extends QueryPack {
           sum($"value".cast("decimal(20,6)")).cast("double").as("sum_value"))
     }),
 
+    // Streaming first-occurrence dedup, batch form (the deterministic
+    // row_number shape of IncrementalStream.dedupStream; streaming
+    // parity on MemoryStream is asserted in StreamingSpec)
+    "ev_dedup_first" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .withColumn("_rn", row_number().over(w)).filter($"_rn" === 1)
+        .select($"event_id", $"user_id", $"event_type")
+    }),
+
     // As-of join: each event aligned to the latest order of "its"
     // customer at or before the event time (snapshot alignment op)
     "asof_event_order" -> ((s, d) => {
@@ -260,6 +272,12 @@ object AggQueries extends QueryPack {
         |  event_type, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev_dedup_first" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _rn
+        |  FROM events) WHERE _rn = 1""".stripMargin,
 
     "asof_event_order" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey

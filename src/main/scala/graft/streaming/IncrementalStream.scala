@@ -74,6 +74,27 @@ object IncrementalStream {
       .agg(count(lit(1)).as("cnt"),
         sum(col(valueCol).cast("decimal(20,6)")).cast("double").as("sum_value"))
 
+  /** Streaming exact dedup — first occurrence per key wins, the
+    * continuous form of the corpus exact-dedup operator (an ingest
+    * pipeline dedups each crawl batch against everything already seen).
+    * Composes builtins, no custom state function needed:
+    *
+    *  - `bounded = true` (the 100 TB shape):
+    *    `dropDuplicatesWithinWatermark` — keyed state is dropped once
+    *    the event-time watermark passes it, so state is proportional to
+    *    the watermark window, not corpus history. A duplicate arriving
+    *    AFTER its original aged out re-emits: the documented tradeoff of
+    *    every bounded streaming dedup.
+    *  - `bounded = false`: exact `dropDuplicates` — state grows with
+    *    distinct keys forever; only for bounded key domains.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                  watermarkDelay: String, bounded: Boolean = true): DataFrame = {
+    val wm = events.withWatermark(tsCol, watermarkDelay)
+    if (bounded) wm.dropDuplicatesWithinWatermark(keyCols)
+    else wm.dropDuplicates(keyCols)
+  }
+
   /** foreachBatch incremental MERGE: applies the batch classify-merge
     * (graft.operators.MergeSink) to each micro-batch against a parquet
     * snapshot — the streaming deployment shape of the reference's daily

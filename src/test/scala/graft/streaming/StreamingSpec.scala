@@ -95,6 +95,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream keeps first arrival per key; bounded state re-admits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val q = IncrementalStream.dedupStream(
+      input.toDF().toDF("key", "ts"), Seq("key"), "ts",
+      watermarkDelay = "2 minutes")
+      .writeStream.format("memory").queryName("dd_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("a", ts("2026-01-01 00:00:00")),
+        ("b", ts("2026-01-01 00:00:10")))
+      q.processAllAvailable()
+      // duplicates inside the watermark window are dropped
+      input.addData(("a", ts("2026-01-01 00:00:30")),
+        ("c", ts("2026-01-01 00:01:00")))
+      q.processAllAvailable()
+      val first = spark.table("dd_out").select($"key").as[String].collect()
+      assert(first.sorted.toSeq === Seq("a", "b", "c"))
+      assert(first.length === 3, "duplicate 'a' must be dropped")
+      // advance event time far past a's state TTL, then re-send it:
+      // bounded state re-admits — the documented watermark tradeoff
+      input.addData(("d", ts("2026-01-01 00:30:00")))
+      q.processAllAvailable()
+      input.addData(("a", ts("2026-01-01 00:31:00")))
+      q.processAllAvailable()
+      val keys = spark.table("dd_out").select($"key").as[String].collect()
+      assert(keys.count(_ == "a") === 2,
+        "aged-out key must re-admit under bounded state")
+    } finally q.stop()
+  }
+
+  test("dedupStream batch parity: streaming output keys = ev_dedup_first") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // feed the sf0.001 events through the stream in event-time order so
+    // first-arrival == min-ts: the streaming result must carry exactly
+    // the batch query's (user_id) key set, one row each. Unbounded
+    // (exact) form — the bounded form would age keys out between
+    // batches (the events span ~60h vs any practical watermark) and
+    // re-admit them, which is its documented semantics, not a bug.
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("event_ts", org.apache.spark.sql.functions
+        .to_timestamp(org.apache.spark.sql.functions.col("ts") / 1e9))
+      .select($"user_id", $"event_ts").orderBy($"event_ts")
+      .as[(Long, Timestamp)].collect()
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = IncrementalStream.dedupStream(
+      input.toDF().toDF("user_id", "event_ts"), Seq("user_id"), "event_ts",
+      watermarkDelay = "10 minutes", bounded = false)
+      .writeStream.format("memory").queryName("ddp_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ev.grouped(200).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamKeys = spark.table("ddp_out")
+        .select($"user_id").as[Long].collect().sorted.toSeq
+      val batchKeys = graft.SparkEntry
+        .queries("ev_dedup_first")(spark, "/root/testdata/sf0.001")
+        .select($"user_id").as[Long].collect().sorted.toSeq
+      assert(streamKeys === batchKeys)
+    } finally q.stop()
+  }
+
   test("mergeEachBatch applies the classify-merge per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -24,17 +24,25 @@ object Tables {
     * shuffle on a single core); at real scale file splits exceed cores
     * and this is a no-op — no shuffle is added.
     *
-    * The partition-count probe (`.rdd`) is taken only on exchange-free
-    * plans: on an AQE plan containing shuffles/broadcasts, `.rdd`
-    * materializes the upstream query stages as a side effect of
-    * planning, which would silently execute work. Post-exchange plans
-    * already carry `spark.sql.shuffle.partitions` output partitions, so
-    * the probe would be a no-op for them anyway — they pass through.
+    * The partition-count probe (`.rdd`) is taken only on scan/map-shaped
+    * plans: on an AQE plan containing exchanges, `.rdd` materializes the
+    * upstream query stages as a side effect of planning, which would
+    * silently execute work. The check walks the OPTIMIZED LOGICAL plan
+    * for shuffle/broadcast-inducing operators (the physical `sparkPlan`
+    * is pre-EnsureRequirements and never shows Exchange nodes);
+    * conservative false positives just pass through — spread()'s
+    * contract is only to widen toy SCANS, and post-exchange plans carry
+    * their own partitioning.
     */
   def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val exchangeFree = !df.queryExecution.sparkPlan.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    val exchangeFree = !df.queryExecution.optimizedPlan.exists {
+      case r: Repartition => r.shuffle // coalesce (shuffle=false) is narrow
+      case _: Join | _: Aggregate | _: Distinct | _: Sort | _: Window |
+           _: RepartitionOperation => true
+      case _ => false
+    }
     if (exchangeFree && df.rdd.getNumPartitions < target) df.repartition(target)
     else df
   }

@@ -39,27 +39,10 @@ case class ShinglesExpr(child: Expression, n: Int)
     val len = input.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
-    val toks = new Array[String](len)
+    val toks = GramOps.tokens(input)
     var i = 0
-    while (i < len) {
-      toks(i) = if (input.isNullAt(i)) null else input.getUTF8String(i).toString
-      i += 1
-    }
-    i = 0
     while (i <= len - n) {
-      val sb = new java.lang.StringBuilder()
-      var j = 0
-      var first = true
-      while (j < n) {
-        val t = toks(i + j)
-        if (t != null) { // array_join skips null elements
-          if (!first) sb.append(' ')
-          sb.append(t)
-          first = false
-        }
-        j += 1
-      }
-      seen.add(sb.toString)
+      seen.add(GramOps.gram(toks, i, n)) // array_join skips null elements
       i += 1
     }
     val out = new Array[Any](seen.size)

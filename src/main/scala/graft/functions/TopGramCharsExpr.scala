@@ -41,28 +41,11 @@ case class TopGramCharsExpr(child: Expression, n: Int)
   def compute(input: ArrayData): Long = {
     val len = input.numElements()
     if (len < n) return 0L
-    val toks = new Array[String](len)
-    var i = 0
-    while (i < len) {
-      toks(i) = if (input.isNullAt(i)) null else input.getUTF8String(i).toString
-      i += 1
-    }
+    val toks = GramOps.tokens(input)
     val counts = new java.util.HashMap[String, Long]()
-    i = 0
+    var i = 0
     while (i <= len - n) {
-      val sb = new java.lang.StringBuilder()
-      var j = 0
-      var first = true
-      while (j < n) {
-        val t = toks(i + j)
-        if (t != null) {
-          if (!first) sb.append(' ')
-          sb.append(t)
-          first = false
-        }
-        j += 1
-      }
-      counts.merge(sb.toString, 1L, (a, b) => a + b)
+      counts.merge(GramOps.gram(toks, i, n), 1L, (a, b) => a + b)
       i += 1
     }
     var best = 0L

@@ -23,11 +23,18 @@ object Sampling {
     */
   def hashSample(df: DataFrame, key: Column, thresholdHex: String,
                  salt: String = ""): DataFrame = {
-    require(thresholdHex.nonEmpty &&
-      thresholdHex.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
-      s"thresholdHex must be lowercase hex, got '$thresholdHex'")
+    validateThreshold(thresholdHex)
     df.filter(sampleHash(key, salt) < lit(thresholdHex))
   }
+
+  /** Uppercase hex would compare below all lowercase digests (silent
+    * rate bias) and anything past 32 chars outruns the md5 digest and
+    * breaks the documented rate formula — reject both loudly.
+    */
+  private def validateThreshold(thresholdHex: String): Unit =
+    require(thresholdHex.nonEmpty && thresholdHex.length <= 32 &&
+      thresholdHex.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"thresholdHex must be 1-32 chars of lowercase hex, got '$thresholdHex'")
 
   /** The digest the sample is keyed on (exposed so callers can stratify
     * or bucket on it).
@@ -42,6 +49,7 @@ object Sampling {
   def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
                            thresholds: Map[String, String],
                            salt: String = ""): DataFrame = {
+    thresholds.values.foreach(validateThreshold)
     val cases = thresholds.foldLeft(lit(null).cast("string")) {
       case (acc, (value, thr)) => when(stratum === value, lit(thr)).otherwise(acc)
     }

@@ -86,14 +86,19 @@ object IncrementalStream {
     *    AFTER its original aged out re-emits: the documented tradeoff of
     *    every bounded streaming dedup.
     *  - `bounded = false`: exact `dropDuplicates` — state grows with
-    *    distinct keys forever; only for bounded key domains.
+    *    distinct keys forever; only for bounded key domains. NO
+    *    watermark is applied on this branch (`watermarkDelay` is
+    *    ignored): a watermarked ts column would make the dedup operator
+    *    drop late-arriving rows entirely, so a key whose only
+    *    occurrence arrives late would silently never be emitted —
+    *    breaking the exactness the branch exists for.
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
-                  watermarkDelay: String, bounded: Boolean = true): DataFrame = {
-    val wm = events.withWatermark(tsCol, watermarkDelay)
-    if (bounded) wm.dropDuplicatesWithinWatermark(keyCols)
-    else wm.dropDuplicates(keyCols)
-  }
+                  watermarkDelay: String, bounded: Boolean = true): DataFrame =
+    if (bounded)
+      events.withWatermark(tsCol, watermarkDelay)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
 
   /** foreachBatch incremental MERGE: applies the batch classify-merge
     * (graft.operators.MergeSink) to each micro-batch against a parquet

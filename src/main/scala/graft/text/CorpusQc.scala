@@ -12,13 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQc {
 
-  /** Raw (non-distinct) whitespace token array; empty text yields [] —
-    * a bare split would yield [""] and count a phantom token.
+  /** One tokenizer definition for the whole text family — see
+    * [[TextAnalysis.rawTokens]].
     */
-  def rawTokens(text: Column): Column =
-    when(length(trim(coalesce(text, lit("")))) === 0,
-      array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+  def rawTokens(text: Column): Column = TextAnalysis.rawTokens(text)
 
   /** Gopher/MassiveText-style repetition signals (Rae et al. 2021,
     * §A1.1) for word n-grams of width `ns` (defaults 1..3), per document:

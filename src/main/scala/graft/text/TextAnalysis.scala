@@ -9,12 +9,19 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count (0 for empty/whitespace-only text — a bare
-    * `split` would yield [""] and count a phantom token).
+  /** Raw (non-distinct) whitespace token array; empty/whitespace-only
+    * text yields [] — a bare `split` would yield [""] and count a
+    * phantom token. THE tokenizer definition: tokenCount and the
+    * corpus-QC ops (repetition, packing) all derive from it, so their
+    * token semantics cannot drift apart.
     */
-  def tokenCount(text: Column): Column =
-    when(length(trim(coalesce(text, lit("")))) === 0, 0)
-      .otherwise(size(split(trim(text), "\\s+")))
+  def rawTokens(text: Column): Column =
+    when(length(trim(coalesce(text, lit("")))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count (0 for empty/whitespace-only text). */
+  def tokenCount(text: Column): Column = size(rawTokens(text))
 
   /** BPE-ish subword count: words, numbers, punctuation runs, and
     * contractions counted as separate tokens (a cheap proxy for a GPT-2

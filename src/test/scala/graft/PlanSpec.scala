@@ -62,15 +62,24 @@ class PlanSpec extends SparkSpec {
     // spread() must add NO shuffle there — it returns the frame itself
     val wide = spark.range(1000).toDF("v").repartition(8)
     assert(graft.Tables.spread(wide) eq wide)
-    // and it does repartition a single-split toy input
+    // and it does repartition single-split toy inputs — both the real
+    // call-site shape (a small one-file parquet scan) and a coalesce(1)
+    val scan = Tables.documents(spark, sf)
+    assert(graft.Tables.spread(scan).rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
     val narrow = spark.range(1000).toDF("v").coalesce(1)
     assert(graft.Tables.spread(narrow).rdd.getNumPartitions ===
       spark.sparkContext.defaultParallelism)
-    // a plan that already contains an exchange passes through untouched:
-    // probing its partition count via .rdd would materialize the upstream
-    // AQE query stages as a side effect of planning
-    val agged = spark.range(1000).toDF("v").groupBy("v").count()
-    assert(graft.Tables.spread(agged) eq agged)
+    // a plan that contains a shuffle passes through untouched EVEN when
+    // its output partitioning sits below parallelism (2 < 4 here):
+    // probing it via .rdd would materialize the upstream AQE query
+    // stages as a side effect of planning
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val agged = spark.range(1000).toDF("v").groupBy("v").count()
+      assert(graft.Tables.spread(agged) eq agged)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
   }
 
   test("repetition stats fuse into a single map-only codegen stage") {

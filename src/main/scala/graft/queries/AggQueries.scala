@@ -13,6 +13,15 @@ import graft.operators.{AnnotMerge, Consolidator}
   */
 object AggQueries extends QueryPack {
 
+  /** 6h idle gap for ev_sessionize (median inter-event gap in the
+    * harness events table is ~7.3h, so roughly half the gaps break
+    * sessions — non-vacuous on both sides). Micros, not nanos: DuckDB
+    * reads the parquet timestamp at microsecond precision, so the
+    * oracle comparison must run on the truncated clock both engines
+    * can see.
+    */
+  private val sessionGapUs = 6L * 3600 * 1000000L
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A3: NOTES==XREF nulling (MAHDL.java:129-134)
@@ -179,6 +188,15 @@ object AggQueries extends QueryPack {
         .select($"event_id", $"user_id", $"event_type")
     }),
 
+    // Gap sessionization, batch form (6h gap over nanos-as-long ts;
+    // streaming parity of IncrementalStream.sessionizeStream asserted
+    // in StreamingSpec)
+    "ev_sessionize" -> ((s, d) => {
+      graft.operators.Sessionize.byGap(
+        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_id", gap = sessionGapUs)
+    }),
+
     // As-of join: each event aligned to the latest order of "its"
     // customer at or before the event time (snapshot alignment op)
     "asof_event_order" -> ((s, d) => {
@@ -278,6 +296,22 @@ object AggQueries extends QueryPack {
         |  SELECT event_id, user_id, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _rn
         |  FROM events) WHERE _rn = 1""".stripMargin,
+
+    "ev_sessionize" ->
+      s"""WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+        |b AS (SELECT user_id, tus, event_id,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > $sessionGapUs
+        |         THEN 1 ELSE 0 END AS _nb
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT user_id, tus,
+        |    CAST(sum(_nb) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, min(tus) AS session_start,
+        |  max(tus) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "asof_event_order" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey

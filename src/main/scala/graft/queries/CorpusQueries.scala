@@ -66,8 +66,21 @@ object CorpusQueries extends QueryPack {
         Tables.documents(s, d)
           .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tokens")),
         "doc_id", "n_tokens", budget = 2048, buckets = 16)
+    }),
+
+    // temperature-scaled language mixture weights (alpha = 0.3): the
+    // sampling-rate table a multilingual pre-training run feeds its
+    // data loader
+    "corpus_mix_weights" -> ((s, d) => {
+      import s.implicits._
+      CorpusQc.mixtureWeights(
+        Tables.documents(s, d)
+          .select($"lang", TextAnalysis.tokenCount($"text").as("n_tokens")),
+        "lang", "n_tokens", alpha = mixAlpha)
     })
   )
+
+  private val mixAlpha = 0.3
 
   // ---- DuckDB oracle forms ------------------------------------------
   private val toks = "string_split_regex(trim(text), '\\s+')"
@@ -141,6 +154,17 @@ object CorpusQueries extends QueryPack {
          |  (doc_id % 16)::INT AS pack_bucket,
          |  floor((sum(${ntoks()}) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
          |         - ${ntoks()}) / 2048)::BIGINT AS pack_seq
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "corpus_mix_weights" ->
+      s"""WITH d AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(${ntoks()}) AS BIGINT) AS domain_tokens
+         |  FROM documents GROUP BY 1),
+         |p AS (SELECT *, CAST(domain_tokens AS DOUBLE)
+         |    / sum(domain_tokens) OVER () AS _p FROM d),
+         |a AS (SELECT *, pow(_p, $mixAlpha) AS _pa FROM p)
+         |SELECT lang, n_docs, domain_tokens, round(_p, 6) AS share,
+         |  round(_pa / sum(_pa) OVER (), 6) AS mix_weight
+         |FROM a""".stripMargin
   )
 }

@@ -76,8 +76,29 @@ object TextQueries extends QueryPack {
           split(lower(trim($"text")), "\\s+"))).as("token"))
         .groupBy($"token").agg(count(lit(1)).as("df"))
         .filter($"df" >= 100)
+    }),
+
+    // sliding-window chunking: 64-token windows advancing by 48 (16-token
+    // overlap) — the context-length preprocessing step; map-only explode
+    "text_chunk_overlap" -> ((s, d) => {
+      graft.text.Chunker.chunkByTokens(
+        Tables.documents(s, d), "doc_id", "text",
+        width = chunkWidth, stride = chunkStride)
+    }),
+
+    // BM25 ranking against a fixed query-term set with DF spread (rare
+    // "dup" vs common "spark"/"merge"); deterministic rounded-score top-k
+    "text_bm25_topk" -> ((s, d) => {
+      graft.text.Ranking.bm25TopK(
+        Tables.documents(s, d), "doc_id", "text",
+        terms = bm25Terms, k = bm25K)
     })
   )
+
+  private val chunkWidth = 64
+  private val chunkStride = 48
+  private val bm25Terms = Seq("dup", "spark", "merge")
+  private val bm25K = 50
 
   private val toks = "string_split_regex(trim(text), '\\s+')"
   private val ltoks = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -161,7 +182,43 @@ object TextQueries extends QueryPack {
       "text_vocab_topdf" ->
         s"""SELECT token, count(*) AS df FROM (
            |  SELECT DISTINCT doc_id, unnest($ltoks) AS token FROM documents)
-           |GROUP BY 1 HAVING count(*) >= 100""".stripMargin
+           |GROUP BY 1 HAVING count(*) >= 100""".stripMargin,
+
+      "text_chunk_overlap" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS _toks, $ntoks AS n FROM documents),
+           |s AS (SELECT doc_id, _toks,
+           |        unnest(range(0, n, $chunkStride)) AS _start FROM t)
+           |SELECT doc_id, CAST(_start // $chunkStride AS INT) AS chunk_id,
+           |  len(_toks[_start + 1 : _start + $chunkWidth]) AS n_chunk_tokens,
+           |  array_to_string(_toks[_start + 1 : _start + $chunkWidth], ' ')
+           |    AS chunk_text
+           |FROM s""".stripMargin,
+
+      // constants are spelled as the same arithmetic Spark evaluates
+      // ((1.2 + 1.0), not 2.2) so both engines fold to the identical
+      // IEEE double before the round(4)
+      "text_bm25_topk" -> {
+        val terms = bm25Terms.zipWithIndex
+        val dfs = terms.map { case (t, i) =>
+          s"count(*) FILTER (WHERE list_contains(_toks, '$t')) AS _df_$i"
+        }.mkString(",\n  ")
+        val score = terms.map { case (t, i) =>
+          val tf = s"CAST(len(list_filter(_toks, x -> x = '$t')) AS DOUBLE)"
+          s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(_df_$i AS DOUBLE) + 0.5)
+             |      / (CAST(_df_$i AS DOUBLE) + 0.5))
+             |    * ($tf * (1.2 + 1.0))
+             |    / ($tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl))"""
+            .stripMargin
+        }.mkString("\n    + ")
+        s"""WITH t AS (SELECT doc_id, $toks AS _toks, $ntoks AS dl FROM documents),
+           |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+           |  $dfs FROM t),
+           |scored AS (SELECT doc_id, round(
+           |    $score, 4) AS score
+           |  FROM t, stats)
+           |SELECT doc_id, score FROM scored WHERE score > 0
+           |ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
+      }
     )
   }
 }

@@ -74,6 +74,63 @@ object IncrementalStream {
       .agg(count(lit(1)).as("cnt"),
         sum(col(valueCol).cast("decimal(20,6)")).cast("double").as("sum_value"))
 
+  final case class SessionEvent(key: Long, tsNs: Long, ts: Timestamp)
+  final case class SessionState(nextId: Long, start: Long, last: Long, n: Long)
+  final case class SessionOut(key: Long, session_id: Long,
+                              session_start: Long, session_end: Long,
+                              n_events: Long)
+
+  /** Streaming gap sessionization — the continuous form of
+    * [[graft.operators.Sessionize.byGap]], same output schema and same
+    * session numbering (a key's sessions count from 1 in time order).
+    * Sessions close either when a later event reveals a gap > gapNs
+    * (emitted immediately) or when the event-time watermark passes
+    * last + gap (event-time timeout — deterministic and replayable,
+    * like touchExpire). State per key is one open session + a counter,
+    * partitioned by key across executors; batch parity is asserted in
+    * StreamingSpec.
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapNs: Long,
+                       watermarkDelay: String = "0 seconds")
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapNs / 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            // the counter survives in a fresh zero-width state record so
+            // a later event continues the numbering; it carries no open
+            // session (n = 0) and no timeout, so it is inert until then
+            state.update(SessionState(s.nextId + 1, 0L, 0L, 0L))
+            Iterator(SessionOut(key, s.nextId, s.start, s.last, s.n))
+          } else {
+            val evs = it.map(_.tsNs).toArray.sorted
+            val init = state.getOption.getOrElse(SessionState(1L, 0L, 0L, 0L))
+            val closed = Vector.newBuilder[SessionOut]
+            var cur = init
+            evs.foreach { t =>
+              cur = if (cur.n == 0L) cur.copy(start = t, last = t, n = 1L)
+              else if (t - cur.last > gapNs) {
+                closed += SessionOut(key, cur.nextId, cur.start, cur.last, cur.n)
+                SessionState(cur.nextId + 1, t, t, 1L)
+              } else cur.copy(last = math.max(cur.last, t), n = cur.n + 1L)
+            }
+            state.update(cur)
+            if (cur.n > 0L)
+              state.setTimeoutTimestamp(math.max(
+                cur.last / 1000000L + gapMs,
+                state.getCurrentWatermarkMs() + 1L))
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup — first occurrence per key wins, the
     * continuous form of the corpus exact-dedup operator (an ingest
     * pipeline dedups each crawl batch against everything already seen).

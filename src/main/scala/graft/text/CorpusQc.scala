@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level quality control for a pre-training data pipeline:
@@ -104,4 +105,34 @@ object CorpusQc {
         regexp_replace(text, emailPattern, "<EMAIL>"),
         ipv4Pattern, "<IP>"),
       phonePattern, "<PHONE>")
+
+  /** Temperature-scaled domain mixture weights (the mT5/XLM-R sampling
+    * rule, Conneau et al. 2020 §3.1): given a per-doc weight column
+    * (token counts), compute each domain's share p_d of the corpus and
+    * the resampling weight p_d^alpha / sum(p^alpha). alpha < 1 upsamples
+    * low-resource domains; alpha = 1 is proportional sampling.
+    *
+    * Scale: ONE map-side-combined aggregation shuffle on the domain key
+    * reduces the corpus to #domains rows; the share/weight window runs
+    * on that reduced frame (domain counts are small by construction —
+    * languages, sources — so the single-partition window is on dozens
+    * of rows, never on data).
+    */
+  def mixtureWeights(df: DataFrame, domainCol: String, weightCol: String,
+                     alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    val w = Window
+      .partitionBy(lit(1)) // all domains: the frame is #domains rows
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byDomain = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).cast("long").as("domain_tokens"))
+    byDomain
+      .withColumn("_p",
+        col("domain_tokens").cast("double") / sum("domain_tokens").over(w))
+      .withColumn("_pa", pow(col("_p"), lit(alpha)))
+      .select(col(domainCol), col("n_docs"), col("domain_tokens"),
+        round(col("_p"), 6).as("share"),
+        round(col("_pa") / sum("_pa").over(w), 6).as("mix_weight"))
+  }
 }

@@ -157,4 +157,111 @@ class CorpusOpsSpec extends SparkSpec {
       (0L, 0, 0L), (2L, 0, 0L), (4L, 0, 1L), (6L, 0, 1L),
       (1L, 1, 0L), (3L, 1, 0L), (5L, 1, 1L), (7L, 1, 1L)))
   }
+
+  // --------------------------------------------------------- chunking
+  test("chunkByTokens: window/stride layout, short tail, empty docs") {
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.text.Chunker
+      .chunkByTokens(df, "doc_id", "text", width = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Int]("n_chunk_tokens"), r.getAs[String]("chunk_text")))
+      .toSet
+    // doc 1: starts 0,3,6,9 -> three full windows + a 1-token tail
+    assert(got === Set(
+      (1L, 0, 4, "t0 t1 t2 t3"), (1L, 1, 4, "t3 t4 t5 t6"),
+      (1L, 2, 4, "t6 t7 t8 t9"), (1L, 3, 1, "t9"),
+      (2L, 0, 3, "only three tokens")))
+  }
+
+  test("chunkByTokens covers every token with the exact window layout") {
+    val chunks = graft.text.Chunker.chunkByTokens(
+      docs, "doc_id", "text", width = 64, stride = 48)
+    val per = chunks.groupBy($"doc_id")
+      .agg(sum($"n_chunk_tokens").as("sum_chunk"),
+        count(lit(1)).as("n_chunks"),
+        max($"chunk_id").as("max_id"))
+    val n = graft.text.TextAnalysis.tokenCount($"text")
+    // exact layout per doc: one chunk per start in {0,48,...} < n, each
+    // min(64, n - start) tokens — covers every token, dense chunk ids
+    val expected = docs.select($"doc_id", n.as("n_tokens"),
+      ceil(n.cast("double") / 48).cast("long").as("exp_chunks"),
+      aggregate(sequence(lit(0), n - 1, lit(48)), lit(0L),
+        (acc, s) => acc + least(lit(64), n - s)).as("exp_sum"))
+      .filter($"n_tokens" > 0)
+    val joined = per.join(expected, "doc_id")
+    assert(joined.count() === docs.filter(n > 0).count())
+    val bad = joined.filter(
+      $"sum_chunk" =!= $"exp_sum" || $"n_chunks" =!= $"exp_chunks" ||
+        $"max_id" =!= $"n_chunks" - 1).count()
+    assert(bad === 0L)
+  }
+
+  test("chunking plan is map-only: no exchange, one generate") {
+    val plan = graft.text.Chunker.chunkByTokens(
+      docs, "doc_id", "text", 64, 48)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
+  // ------------------------------------------------------------- bm25
+  test("bm25: rare term outranks common ones; non-matching docs absent") {
+    val df = Seq(
+      (1L, "rare word alpha beta gamma"),
+      (2L, "common common common word beta"),
+      (3L, "common word beta gamma delta"),
+      (4L, "nothing matches here at all"))
+      .toDF("doc_id", "text")
+    val got = graft.text.Ranking
+      .bm25TopK(df, "doc_id", "text", Seq("rare", "common"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L))
+    // doc 1 holds the corpus's only "rare" -> highest idf mass wins
+    assert(got.head._1 === 1L)
+    // doc 2 has 3x "common" vs doc 3's 1x, same length -> ranks above
+    val byId = got.toMap
+    assert(byId(2L) > byId(3L))
+    // ordering is by rounded score desc
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("bm25 top-k cut is deterministic and k-bounded on the corpus") {
+    val a = graft.text.Ranking.bm25TopK(
+      docs, "doc_id", "text", Seq("dup", "spark", "merge"), k = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = graft.text.Ranking.bm25TopK(
+      docs, "doc_id", "text", Seq("dup", "spark", "merge"), k = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === b)
+    assert(a.size === 50)
+    assert(a.forall(_._2 > 0.0))
+  }
+
+  // -------------------------------------------------- mixture weights
+  test("mixture weights: shares and weights sum to 1; alpha flattens") {
+    val df = Seq.fill(90)(("en", 100L)) ++ Seq.fill(9)(("de", 100L)) ++
+      Seq.fill(1)(("fr", 100L))
+    val input = df.toDF("lang", "n_tokens")
+    val w3 = CorpusQc.mixtureWeights(input, "lang", "n_tokens", 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("share"),
+          r.getAs[Double]("mix_weight")))).toMap
+    assert(w3("en")._1 === 90L)
+    assert(math.abs(w3.values.map(_._2).sum - 1.0) < 1e-5)
+    assert(math.abs(w3.values.map(_._3).sum - 1.0) < 1e-5)
+    // alpha < 1 upsamples the tail: fr's weight exceeds its share
+    assert(w3("fr")._3 > w3("fr")._2)
+    assert(w3("en")._3 < w3("en")._2)
+    // alpha = 1 is proportional sampling: weight == share
+    val w1 = CorpusQc.mixtureWeights(input, "lang", "n_tokens", 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("share"), r.getAs[Double]("mix_weight")))).toMap
+    w1.values.foreach { case (share, weight) =>
+      assert(math.abs(share - weight) < 2e-6)
+    }
+  }
 }

@@ -104,6 +104,25 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size === 1, p)
   }
 
+  test("bm25 broadcasts the 1-row stats frame and heap-selects top-k") {
+    val p = plan(SparkEntry.queries("text_bm25_topk")(spark, sf))
+    // top-k must be per-partition heaps + driver merge, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the corpus-stats row joins back by broadcast; the corpus is never
+    // shuffled for the scoring pass
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("mixture weights reduce on the domain key before any window") {
+    val p = plan(SparkEntry.queries("corpus_mix_weights")(spark, sf))
+    // corpus-wide pass is ONE map-side-combined agg on lang; the two
+    // whole-frame windows run on the reduced #domains rows
+    assert(p.contains("hashpartitioning(lang"), p)
+    val windowAboveAgg = p.indexOf("Window") < p.indexOf("HashAggregate")
+    assert(windowAboveAgg, "window must consume the reduced agg: " + p)
+  }
+
   test("e2e plan prunes the audit line id and keeps hash aggregation") {
     val p = graft.queries.GafE2eQueries.annotateE2e(spark, sf)
       .queryExecution.executedPlan.toString

@@ -160,6 +160,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream batch parity: sessions = Sessionize.byGap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapNs = 6L * 3600 * 1000000000L
+    val dir = "/root/testdata/sf0.001"
+    // feed the events in event-time order; a far-future sentinel (key
+    // -1) then advances the watermark past every open session's timeout
+    val ev = graft.Tables.events(spark, dir)
+      .select($"user_id", $"ts").orderBy($"ts")
+      .as[(Long, Long)].collect()
+    def toSe(key: Long, tsNs: Long) = IncrementalStream.SessionEvent(
+      key, tsNs, new Timestamp(tsNs / 1000000L))
+    val input = MemoryStream[IncrementalStream.SessionEvent]
+    val q = IncrementalStream
+      .sessionizeStream(input.toDS(), gapNs, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ev.grouped(250).foreach { chunk =>
+        input.addData(chunk.map { case (k, t) => toSe(k, t) }.toSeq)
+        q.processAllAvailable()
+      }
+      val far = ev.map(_._2).max + 1000L * gapNs
+      // two sentinel batches: the first advances the watermark, the
+      // second gives the engine a trigger at which timeouts fire
+      input.addData(toSe(-1L, far)); q.processAllAvailable()
+      input.addData(toSe(-1L, far + 1)); q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .filter($"key" >= 0)
+        .select($"key", $"session_id", $"session_start", $"session_end",
+          $"n_events")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batch = graft.operators.Sessionize.byGap(
+        graft.Tables.events(spark, dir), "user_id", "ts", "event_id", gapNs)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("mergeEachBatch applies the classify-merge per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -43,6 +43,32 @@ class SessionizeSpec extends SparkSpec {
     assert(exchanges === 1, plan)
   }
 
+  test("byGap agrees with Spark's builtin session_window") {
+    // same gap semantics as groupBy(session_window(...)): a session
+    // window spans [first event, last event + gap); byGap additionally
+    // numbers each key's sessions, which the builtin cannot. (Boundary
+    // nuance: the builtin starts a new session at diff == gap, byGap
+    // at diff > gap — no event pair in the committed table sits on the
+    // exact-microsecond boundary, so the comparison is deterministic.)
+    val gapUs = 6L * 3600 * 1000000L
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ev_ts", timestamp_micros($"ts_us"))
+    val builtin = ev
+      .groupBy(session_window($"ev_ts", "6 hours"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"session_window.start").as("s"),
+        unix_micros($"session_window.end").as("e"), $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val ours = Sessionize.byGap(ev, "user_id", "ts_us", "event_id", gapUs)
+      .select($"user_id", $"session_start".as("s"),
+        ($"session_end" + gapUs).as("e"), $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(ours === builtin)
+  }
+
   test("byGap session count is monotone in shrinking gap") {
     val df = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val wide = Sessionize.byGap(df, "user_id", "ts", "event_id",

@@ -42,6 +42,38 @@ object Sampling {
   def sampleHash(key: Column, salt: String = ""): Column =
     md5(concat(lit(salt), key.cast("string")).cast("binary"))
 
+  /** Deterministic train/val/test split assignment: buckets the sample
+    * digest by cumulative thresholds, so every row gets exactly one
+    * split label as a pure function of (salt, key) — stable across
+    * runs, partitionings, and engines, and consistent with
+    * [[hashSample]] on the same key/salt. `splits` is ordered
+    * (name, weight): weights must be positive and sum to 1 (±1e-9).
+    * Each non-final split's rate is exact to 16^-8 ≈ 2.3e-10 (the
+    * cumulative fraction rounded to an 8-hex-digit threshold); the
+    * final split takes the remainder, so assignment is exhaustive.
+    * Map-only codegen'd CASE chain, no shuffle.
+    */
+  def assignSplit(key: Column, splits: Seq[(String, Double)],
+                  salt: String = ""): Column = {
+    require(splits.size >= 2, s"need at least 2 splits, got ${splits.size}")
+    require(splits.forall(_._2 > 0), s"split weights must be positive: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names must be distinct: ${splits.map(_._1)}")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      f"split weights must sum to 1, got $total%.12f")
+    val h = sampleHash(key, salt)
+    val cums = splits.init.map(_._2).scanLeft(0.0)(_ + _).tail
+    val rest = splits.tail.init.map(_._1).zip(cums.tail)
+    rest.foldLeft(when(h < lit(hex8(cums.head)), splits.head._1)) {
+      case (acc, (name, cum)) => acc.when(h < lit(hex8(cum)), name)
+    }.otherwise(splits.last._1)
+  }
+
+  /** Cumulative fraction -> 8-hex-digit digest threshold. */
+  private def hex8(frac: Double): String =
+    f"${math.round(frac * 4294967296.0)}%08x"
+
   /** Per-stratum rates: `thresholds` maps a stratum value (e.g. a lang
     * code) to its hex threshold; unlisted strata are dropped. One
     * codegen'd filter — the map becomes a CASE chain, not a join.

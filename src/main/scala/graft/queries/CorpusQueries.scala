@@ -59,6 +59,15 @@ object CorpusQueries extends QueryPack {
         .select($"doc_id", $"lang")
     }),
 
+    // deterministic 80/10/10 train/val/test assignment on the same
+    // content-hash family as sample_hash
+    "sample_split" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        Sampling.assignSplit($"doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    }),
+
     // concat-and-chunk sequence packing: 2048-token budget, 16 buckets
     "pack_sequences" -> ((s, d) => {
       import s.implicits._
@@ -148,6 +157,15 @@ object CorpusQueries extends QueryPack {
 
     "sample_hash" ->
       "SELECT doc_id, lang FROM documents WHERE md5(doc_id::VARCHAR) < '1a'",
+
+    // thresholds = round(cum * 16^8) in hex: 0.8 -> cccccccd, 0.9 ->
+    // e6666666 (same arithmetic as Sampling.hex8)
+    "sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN md5(doc_id::VARCHAR) < 'cccccccd' THEN 'train'
+        |       WHEN md5(doc_id::VARCHAR) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "pack_sequences" ->
       s"""SELECT doc_id, ${ntoks()} AS n_tokens,

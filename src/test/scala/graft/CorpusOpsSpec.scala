@@ -127,6 +127,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(salted !== a)
   }
 
+  test("split assignment is exhaustive, disjoint, and near its weights") {
+    val split = Sampling.assignSplit($"doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = docs.select($"doc_id", split.as("split"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test")) // exhaustive
+    assert(counts.values.sum === 500)
+    assert(counts("train") > 350 && counts("train") < 450,
+      s"train rate drifted: $counts")
+    // same digest family: the train bucket IS hashSample at cccccccd
+    val trainIds = docs.select($"doc_id", split.as("split"))
+      .filter($"split" === "train").select($"doc_id").as[Long].collect().toSet
+    val sampled = Sampling.hashSample(docs, $"doc_id", "cccccccd")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(trainIds === sampled)
+    // stable under repartitioning (pure function of the key)
+    val re = docs.repartition(7).select($"doc_id", split.as("split"))
+      .filter($"split" === "train").select($"doc_id").as[Long].collect().toSet
+    assert(re === trainIds)
+  }
+
+  test("split assignment rejects bad weight vectors") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit($"doc_id", Seq("a" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit($"doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit($"doc_id", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit($"doc_id", Seq("a" -> 1.1, "b" -> -0.1))
+    }
+  }
+
   test("stratified hash sample: unlisted strata drop, listed keep rate") {
     val strat = Sampling.stratifiedHashSample(
       docs, $"doc_id", $"lang", Map("en" -> "ff"))

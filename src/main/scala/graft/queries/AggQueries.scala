@@ -214,6 +214,31 @@ object AggQueries extends QueryPack {
         .select($"event_id", $"user_id", $"o_orderkey")
     }),
 
+    // Bucketed range join: each event paired with every order of its
+    // customer whose 3-day service window contains the event time — the
+    // point-in-interval op a pure range predicate would plan as a
+    // nested loop. Windows are anchored into the events table's clock
+    // (orders are 1995-2001, events Jan 2024 — disjoint clocks, so the
+    // natural o_orderdate window would be vacuously empty): each order
+    // opens at 2024-01-01 + (o_orderkey % 28) days. 2-day buckets keep
+    // interval fan-out at <= 3 index rows.
+    "range_event_order" -> ((s, d) => {
+      import s.implicits._
+      val dayUs = 86400L * 1000000L
+      val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+      val events = Tables.events(s, d)
+        .select($"event_id", $"user_id", expr("ts div 1000").as("ev_us"))
+      val orders = Tables.orders(s, d).select(
+        $"o_orderkey", $"o_custkey".as("user_id"),
+        (lit(baseUs) + ($"o_orderkey" % 28) * dayUs).as("win_start"),
+        (lit(baseUs) + ($"o_orderkey" % 28) * dayUs + 3 * dayUs)
+          .as("win_end"))
+      graft.operators.RangeJoin.pointInInterval(
+        events, orders, "ev_us", "win_start", "win_end",
+        bucketWidth = 2 * dayUs, keys = Seq("user_id"))
+        .select($"event_id", $"user_id", $"o_orderkey")
+    }),
+
     // U4 guard inputs: the two scalar counts the threshold brake compares
     "u4_threshold_counts" -> ((s, d) => {
       import s.implicits._
@@ -319,6 +344,17 @@ object AggQueries extends QueryPack {
         |SELECT e.event_id, e.user_id, o.o_orderkey
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "range_event_order" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM events e JOIN (
+        |  SELECT o_orderkey, o_custkey,
+        |    TIMESTAMP '2024-01-01'
+        |      + ((o_orderkey % 28)::INT * INTERVAL 1 DAY) AS win_start
+        |  FROM orders) o
+        |  ON e.user_id = o.o_custkey
+        | AND e.ts >= o.win_start
+        | AND e.ts < o.win_start + INTERVAL 3 DAY""".stripMargin,
 
     "u4_threshold_counts" ->
       """SELECT (SELECT count(*) FROM orders

@@ -157,6 +157,33 @@ object IncrementalStream {
         .dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Watermarked stream-stream interval join: each left event
+    * inner-joined to right events with the matching key whose timestamp
+    * lies in `[leftTs - lookback, leftTs]` — the continuous form of the
+    * batch temporal joins (AsOfJoin / RangeJoin) for two LIVE streams,
+    * e.g. attributing each click to the views that preceded it.
+    *
+    * Both sides carry watermarks and the join condition includes the
+    * time range, which is what lets Spark BOUND the join state: buffered
+    * right rows age out once the watermark passes `rightTs + lookback`,
+    * left rows as soon as the watermark passes `leftTs`. A stream-stream
+    * join without the range condition keeps both sides' state forever —
+    * the unbounded-state mistake this helper exists to prevent.
+    *
+    * Column names must be distinct across the two sides (rename before
+    * calling, as with any self-join) so the output schema is unambiguous.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         lookback: String,
+                         watermarkDelay: String = "0 seconds"): DataFrame =
+    left.withWatermark(leftTs, watermarkDelay)
+      .join(right.withWatermark(rightTs, watermarkDelay),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+          col(rightTs) <= col(leftTs))
+
   /** foreachBatch incremental MERGE: applies the batch classify-merge
     * (graft.operators.MergeSink) to each micro-batch against a parquet
     * snapshot — the streaming deployment shape of the reference's daily

@@ -38,11 +38,36 @@ object CorpusScaleMain {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // CPU calibration: the host throttles sporadically (observed: the
+    // same op swinging 4s <-> 248s with idle-CPU symptoms); a run is
+    // only comparable when these spins match the quiet baseline
+    // (~0.1-0.3s single, similar at 32x on a quiet 32-core host)
+    def spin(): Double = {
+      val t0 = System.nanoTime(); var x = 0L; var i = 0
+      while (i < 300000000) { x += i; i += 1 }
+      if (x == 42L) println("?") // keep the loop un-eliminable
+      (System.nanoTime() - t0) / 1e9
+    }
+    val one = spin()
+    val many = {
+      val t0 = System.nanoTime()
+      val ts = (1 to 32).map(_ => new Thread(() => spin()))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"CORPUS_SCALE calib_1t=$one%.2fs calib_32t=$many%.2fs")
+
+    // repartition before persist: the source parquet is one tiny file,
+    // so the exploded cache would otherwise be ONE partition and every
+    // op's pre-shuffle scan would run serially — a probe artifact, not
+    // the layout a real corpus arrives in
+    val par = spark.sparkContext.defaultParallelism
     val docs = Tables.documents(spark, d)
       .withColumn("_rep", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("doc_id", $"doc_id" * factor + $"_rep")
       .withColumn("text", concat(lit("u"), $"doc_id", lit(" "), $"text"))
       .drop("_rep")
+      .repartition(par)
       .persist() // isolate op cost from the fan-out itself
     val nDocs = docs.count()
 
@@ -51,6 +76,7 @@ object CorpusScaleMain {
       .withColumn("user_id", $"user_id" * factor + $"_rep")
       .withColumn("event_id", $"event_id" * factor + $"_rep")
       .drop("_rep")
+      .repartition(par)
       .persist()
     val nEvents = events.count()
 
@@ -84,6 +110,41 @@ object CorpusScaleMain {
     time("sessionize", nEvents) {
       graft.operators.Sessionize.byGap(events, "user_id", "ts", "event_id",
         6L * 3600 * 1000000000L)
+    }
+    // temporal joins: each event against the (fanned) per-user session
+    // intervals — sessions-as-dimension is the realistic right side, and
+    // it scales WITH the events, so both join inputs grow with factor.
+    // Persisted so the join timings don't re-pay sessionize. The asof
+    // timing forces the carried payload with head() on a value the
+    // optimizer cannot constant-fold: a count() over the aggregate (or
+    // over the bare window output) lets Catalyst prune the unused
+    // window columns and collapse the plan to a row count — the first
+    // draft of this probe "measured" exactly that, 0.6s for 10M rows
+    // (AsofProfMain shows the honest number is ~10-15s at 100x).
+    val sessions = graft.operators.Sessionize
+      .byGap(events, "user_id", "ts", "event_id", 6L * 3600 * 1000000000L)
+      .select(col("user_id"), col("session_id"), col("session_start"),
+        (col("session_end") + 1L).as("session_end_x"))
+      .persist()
+    sessions.count()
+    locally {
+      val t0 = System.nanoTime()
+      val matched = graft.operators.AsOfJoin.asOf(
+        events.select(col("event_id"), col("user_id"), col("ts")),
+        sessions.withColumnRenamed("session_start", "s_ts")
+          .drop("session_end_x"),
+        key = "user_id", leftTs = "ts", rightTs = "s_ts",
+        payload = Seq("session_id"))
+        .agg(count(col("session_id"))).head().getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"CORPUS_SCALE op=asof_join factor=$factor in=$nEvents " +
+        f"out=$matched wall=$sec%.1fs rate=${nEvents / sec}%.0f rows/s")
+    }
+    time("range_join", nEvents) {
+      graft.operators.RangeJoin.pointInInterval(
+        events.select(col("event_id"), col("user_id"), col("ts")),
+        sessions, "ts", "session_start", "session_end_x",
+        bucketWidth = 6L * 3600 * 1000000000L, keys = Seq("user_id"))
     }
     spark.stop()
   }

@@ -25,6 +25,7 @@ object MinhashProfMain {
       .withColumn("doc_id", $"doc_id" * factor + $"_rep")
       .withColumn("text", concat(lit("u"), $"doc_id", lit(" "), $"text"))
       .drop("_rep")
+      .repartition(spark.sparkContext.defaultParallelism)
       .persist()
     println(s"PROF fanout n=${docs.count()} parts=${docs.rdd.getNumPartitions}")
 
@@ -53,6 +54,17 @@ object MinhashProfMain {
       .select($"rep".as("id_a"), $"id".as("id_b"))
     time("window_edges") { edges.count() }
     time("distinct") { edges.distinct().count() }
+
+    // alternative star-edge build: partial-aggregated min + join back —
+    // map-side combinable and AQE-skew-splittable where the window form
+    // serializes the mega-bucket into one sort partition
+    val reps = keyed.groupBy($"bucket").agg(min($"id").as("rep"))
+    val edges2 = keyed.join(reps, "bucket")
+      .filter($"id" =!= $"rep")
+      .select($"rep".as("id_a"), $"id".as("id_b"))
+    time("aggjoin_edges") { edges2.count() }
+    time("aggjoin_distinct") { edges2.distinct().count() }
+    time("aggjoin_distinct_warm") { edges2.distinct().count() }
     time("full_op") { dedup.Dedup.minhashCandidates(docs, "doc_id", "text").count() }
     // bucket-size distribution: is there a mega-bucket?
     val dist = keyed.groupBy("bucket").count()

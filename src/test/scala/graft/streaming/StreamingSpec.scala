@@ -199,6 +199,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream batch parity on the harness events table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // clicks attributed to the views of the same user in the preceding
+    // 6 hours — fed in event-time order so the inner join can emit and
+    // age state as the watermark advances
+    val ev = graft.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        timestamp_micros(expr("ts div 1000")).as("ets"))
+      .orderBy($"ets")
+      .as[(Long, Long, String, Timestamp)].collect()
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val joined = IncrementalStream.intervalJoinStream(
+      clicks.toDF().toDF("c_user", "c_id", "c_ts"),
+      views.toDF().toDF("v_user", "v_id", "v_ts"),
+      "c_user", "v_user", "c_ts", "v_ts",
+      lookback = "6 hours", watermarkDelay = "1 minute")
+    val q = joined.select($"c_id", $"v_id")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ev.grouped(300).foreach { chunk =>
+        clicks.addData(chunk.collect {
+          case (u, id, "click", t) => (u, id, t) }.toSeq)
+        views.addData(chunk.collect {
+          case (u, id, "view", t) => (u, id, t) }.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ij_out")
+        .as[(Long, Long)].collect().toSet
+      val all = graft.Tables.events(spark, dir)
+        .select($"user_id", $"event_id", $"event_type",
+          timestamp_micros(expr("ts div 1000")).as("ets"))
+      val batch = all.filter($"event_type" === "click")
+        .toDF("c_user", "c_id", "c_type", "c_ts")
+        .join(all.filter($"event_type" === "view")
+          .toDF("v_user", "v_id", "v_type", "v_ts"),
+          $"c_user" === $"v_user" &&
+            $"v_ts" >= $"c_ts" - expr("INTERVAL 6 HOURS") &&
+            $"v_ts" <= $"c_ts")
+        .select($"c_id", $"v_id").as[(Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty) // non-vacuous on the committed table
+    } finally q.stop()
+  }
+
   test("mergeEachBatch applies the classify-merge per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

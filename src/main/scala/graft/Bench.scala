@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
 
 /** Benchmark main (driver contract): times every registered query at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
@@ -8,8 +9,70 @@ import org.apache.spark.sql.SparkSession
   * A warmup action runs first so the first timed query doesn't absorb
   * JVM/codegen/parquet-footer warmup; queries run in sorted name order
   * for stable attribution.
+  *
+  * Measurement hygiene (round-4 postmortem — BASELINE.md):
+  *
+  *   - The timed action is a full-row digest,
+  *     `agg(bit_xor(xxhash64(struct(cols*)))).head()`, NOT `count()`: count
+  *     lets Catalyst prune payload columns and with them entire joins /
+  *     windows (an as-of join "ran" in 0.6 s for ~3 s of real work), so
+  *     every timed plan now executes its complete operator graph. Queries
+  *     whose output types xxhash64 can't hash fall back to `foreach`,
+  *     which also materializes every column. NOTE: totals are therefore
+  *     not directly comparable to rounds ≤4, which timed `count()`.
+  *   - The host CPU-throttles sporadically (observed: identical work
+  *     swinging 4 s <-> 248 s with idle-CPU symptoms). The JSON line
+  *     carries spin-calibration and /proc/loadavg fields so a reader can
+  *     tell "engine regressed" from "host was sick": quiet baselines are
+  *     calib_1t ~0.1 s and calib_32t ~0.25 s. If any calibration around
+  *     a timed pass exceeds ~2x those, the whole pass re-runs once and
+  *     the faster pass is reported, with "throttled" set from the
+  *     calibrations around the pass that was kept.
   */
 object Bench {
+  /** Un-eliminable fixed-work spin; wall seconds it takes are a direct
+    * read of how much CPU the host is actually granting (quiet ~0.1 s).
+    */
+  private def spin(): Double = {
+    val t0 = System.nanoTime(); var x = 0L; var i = 0
+    while (i < 300000000) { x += i; i += 1 }
+    if (x == 42L) println("?") // keep the loop un-eliminable
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** (single-thread, 32-thread) spin wall times. The 32x form catches
+    * throttling that only bites under full-width load.
+    */
+  private def calibrate(): (Double, Double) = {
+    val one = spin()
+    val t0 = System.nanoTime()
+    val ts = (1 to 32).map(_ => new Thread(() => spin()))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (one, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .trim.split("\\s+").take(3).mkString(",")
+    catch { case _: Throwable => "" }
+
+  // quiet-host baselines x2 (see scaladoc); either exceeding its bound
+  // marks the surrounding pass as suspect
+  private val Calib1tMax = 0.25
+  private val Calib32tMax = 0.6
+  private def suspect(c: (Double, Double)): Boolean =
+    c._1 > Calib1tMax || c._2 > Calib32tMax
+
+  /** Forces the COMPLETE plan: digest-aggregates every output column (so
+    * pruning can't drop payload work). `useForeach` is precomputed in the
+    * warm pass for outputs xxhash64 can't hash (e.g. map columns).
+    */
+  private def consume(df: DataFrame, useForeach: Boolean): Unit =
+    if (useForeach) df.foreach(_ => ())
+    else df.select(xxhash64(struct(df.columns.map(col): _*)).as("_h"))
+      .agg(expr("bit_xor(_h)")).head() // bit_xor: no ANSI long overflow
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -29,10 +92,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg()
 
     // warm pass: touch every table, then run each query once so the timed
     // pass measures steady state (codegen compiled, footers cached, JIT
-    // warm) — the regime a long-running cluster job actually operates in
+    // warm) — the regime a long-running cluster job actually operates in.
+    // Also decides per-query whether the digest action applies or the
+    // query needs the foreach fallback.
     Tables.names.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => }
     }
@@ -42,21 +108,54 @@ object Bench {
     val opsDumps = Set("a7_counter_dump")
     val sorted = SparkEntry.queries.toSeq
       .filterNot(q => opsDumps(q._1)).sortBy(_._1)
-    sorted.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
-    }
+    val useForeach = sorted.map { case (name, fn) =>
+      val fallback =
+        try { consume(fn(spark, sfDir), useForeach = false); false }
+        catch {
+          case _: Throwable =>
+            try { consume(fn(spark, sfDir), useForeach = true); true }
+            catch { case _: Throwable => false }
+        }
+      name -> fallback
+    }.toMap
 
-    val results = sorted.map { case (name, fn) =>
+    def timedPass(): Seq[(String, Double)] = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try consume(fn(spark, sfDir), useForeach(name))
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    // timed pass bracketed by calibrations; if either bracket looks
+    // throttled, run one more pass and keep the faster (with ITS brackets)
+    var calPre = calibrate()
+    var pass = timedPass()
+    var calPost = calibrate()
+    var passes = 1
+    if (suspect(calPre) || suspect(calPost)) {
+      val calPre2 = calibrate()
+      val pass2 = timedPass()
+      val calPost2 = calibrate()
+      passes = 2
+      if (pass2.map(_._2).sum < pass.map(_._2).sum) {
+        calPre = calPre2; pass = pass2; calPost = calPost2
+      }
+    }
+    val results = pass
+    val throttled = suspect(calPre) || suspect(calPost)
+    val loadEnd = loadavg()
+
     def fmt(v: Double): String = f"$v%.3f"
     def line(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""action":"digest","queries":$qs,"sf":"$sfDir",""" +
+        s""""calib_1t_pre":${fmt(calPre._1)},"calib_32t_pre":${fmt(calPre._2)},""" +
+        s""""calib_1t_post":${fmt(calPost._1)},"calib_32t_post":${fmt(calPost._2)},""" +
+        s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+        s""""passes":$passes,"throttled":$throttled}"""
     }
     // full per-query detail goes to a file (the driver's stdout capture
     // keeps only the tail, which would truncate a 79-entry line — the

@@ -102,10 +102,12 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => }
     }
-    // ops dumps execute many driver actions by design (audit side passes);
-    // they are correctness-checked via Verify but excluded from the timed
-    // loop so the bench measures the query surface, not the ops surface
-    val opsDumps = Set("a7_counter_dump")
+    // ops dumps execute many driver actions by design (audit side passes;
+    // the merge replay is a SINK writing parquet snapshots); they are
+    // correctness-checked via Verify but excluded from the timed loop so
+    // the bench measures the query surface, not the ops surface — and so
+    // the replay's writeback doesn't contaminate neighboring timings
+    val opsDumps = Set("a7_counter_dump", "ev_merge_replay")
     val sorted = SparkEntry.queries.toSeq
       .filterNot(q => opsDumps(q._1)).sortBy(_._1)
     val useForeach = sorted.map { case (name, fn) =>

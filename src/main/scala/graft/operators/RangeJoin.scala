@@ -40,6 +40,11 @@ object RangeJoin {
                       bucketWidth: Long, keys: Seq[String] = Nil,
                       maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // the internal bucket column would silently shadow (withColumn
+    // replaces) a caller column of the same name and misjoin
+    require(!left.columns.contains("_bucket") &&
+      !right.columns.contains("_bucket"),
+      "inputs must not carry a _bucket column (internal name)")
     val w = lit(bucketWidth)
     val bFirst = floorDiv(col(rightStart), w)
     // half-open: the bucket of the last contained point, end - 1

@@ -239,6 +239,77 @@ object AggQueries extends QueryPack {
         .select($"event_id", $"user_id", $"o_orderkey")
     }),
 
+    // Stream-stream interval join, batch form (clicks attributed to the
+    // same user's views in the preceding 6h — the exact pairs
+    // IncrementalStream.intervalJoinStream emits; streaming parity on
+    // MemoryStream is asserted in StreamingSpec). Micros on both sides
+    // so the DuckDB oracle sees the same clock. The plan is an
+    // equi-join on user_id with the range as post-filter — shuffle on
+    // the key, never a nested loop.
+    "ev_interval_join" -> ((s, d) => {
+      import s.implicits._
+      val lookbackUs = 6L * 3600 * 1000000L
+      val ev = Tables.events(s, d).select($"user_id", $"event_id",
+        $"event_type", expr("ts div 1000").as("tus"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("c_id"), $"tus".as("c_tus"))
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"event_id".as("v_id"),
+          $"tus".as("v_tus"))
+      clicks.join(views, $"user_id" === $"v_user" &&
+          $"v_tus" >= $"c_tus" - lookbackUs && $"v_tus" <= $"c_tus")
+        .select($"user_id", $"c_id", $"v_id")
+    }),
+
+    // foreachBatch incremental MERGE, driven through the SAME batch body
+    // the streaming sink runs (IncrementalStream.replayMerge ->
+    // applyBatch), over a 3-batch replay with batch 1 delivered twice —
+    // the crash-replay the guard exists for. Rows-only for the driver
+    // (MERGE output carries engine-assigned surrogate keys); the full
+    // result is pinned by a committed golden digest. Branch coverage:
+    // batch 0 inserts, batch 1 updates (notes changes) + inserts, its
+    // replay must no-op, batch 2 touches + inserts.
+    "ev_merge_replay" -> ((s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ev_merge_replay").toString
+      val snap = s"$tmp/snapshot"
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        graft.gaf.Dims.fullAnnot).write.mode("overwrite").parquet(snap)
+      // unique key fields derive purely from (o_orderkey, o_custkey), so
+      // the same order re-appearing in a later batch MATCHES its
+      // existing row; notes is the updatable field that flips the
+      // update-vs-touch classification
+      def slice(mods: Seq[Int],
+                notes: org.apache.spark.sql.Column): DataFrame = {
+        val cols = graft.gaf.Dims.fullAnnot
+        val base = Tables.orders(s, d).filter(($"o_orderkey" % 100)
+            .isin(mods.map(Integer.valueOf): _*))
+          .select(
+            concat(lit("GO:"), ($"o_orderkey" % 997).cast("string")).as("term_acc"),
+            $"o_custkey".cast("int").as("annotated_object_rgd_id"),
+            lit(1).as("ref_rgd_id"),
+            $"o_orderpriority".as("evidence"),
+            concat(lit("K:"), $"o_orderkey").as("xref_source"),
+            notes.as("notes"))
+        cols.fieldNames.foldLeft(base) { (df, c) =>
+          if (df.columns.contains(c)) df
+          else df.withColumn(c, lit(null).cast(cols(c).dataType))
+        }.select(cols.fieldNames.toSeq
+          .diff(Seq("full_annot_key", "created_date", "last_modified_date",
+            "created_by", "last_modified_by")).map(col): _*)
+      }
+      val b0 = slice(Seq(0), lit("v0"))
+      val b1 = slice(Seq(0, 1),
+        when($"o_orderkey" % 100 === 0, lit("v1")).otherwise(lit("v0")))
+      val b2 = slice(Seq(1, 2), lit("v0"))
+      val runTs = () => new java.sql.Timestamp(1767225600000L) // 2026-01-01 UTC
+      val resultDir = graft.streaming.IncrementalStream.replayMerge(
+        Seq(0L -> b0, 1L -> b1, 1L -> b1, 2L -> b2), snap, runTs,
+        createdBy = 190)
+      s.read.parquet(resultDir)
+    }),
+
     // U4 guard inputs: the two scalar counts the threshold brake compares
     "u4_threshold_counts" -> ((s, d) => {
       import s.implicits._
@@ -355,6 +426,14 @@ object AggQueries extends QueryPack {
         |  ON e.user_id = o.o_custkey
         | AND e.ts >= o.win_start
         | AND e.ts < o.win_start + INTERVAL 3 DAY""".stripMargin,
+
+    "ev_interval_join" ->
+      """SELECT c.user_id, c.event_id AS c_id, v.event_id AS v_id
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND epoch_us(v.ts) >= epoch_us(c.ts) - 21600000000
+        | AND epoch_us(v.ts) <= epoch_us(c.ts)""".stripMargin,
 
     "u4_threshold_counts" ->
       """SELECT (SELECT count(*) FROM orders

@@ -89,12 +89,32 @@ object IncrementalStream {
     * like touchExpire). State per key is one open session + a counter,
     * partitioned by key across executors; batch parity is asserted in
     * StreamingSpec.
+    *
+    * Late events (admitted by a nonzero watermarkDelay): an event older
+    * than the open session is absorbed into it, widening BOTH bounds
+    * (start takes math.min, last math.max). EXACT batch parity holds
+    * when events arrive in time order per key (or watermarkDelay = 0),
+    * and more generally whenever arrival displacement stays under the
+    * gap: an event arriving more than `gap` before the open session's
+    * span belongs to an EARLIER (possibly already-emitted) session in
+    * batch semantics, but streaming absorbs it into the current one —
+    * emitted sessions are immutable. The shuffled-within-delay case is
+    * exercised in StreamingSpec.
+    *
+    * State cost: with `retainNumbering = true` (the default, needed for
+    * batch-identical session_id), every key that ever times out leaves
+    * a permanent zero-width record carrying its session counter — state
+    * grows with DISTINCT KEY cardinality forever, not with event volume.
+    * That is the honest price of stable numbering over an unbounded
+    * stream; for unbounded key domains pass `retainNumbering = false`,
+    * which removes state entirely at timeout (bounded state, but a
+    * key's numbering restarts at 1 after each idle period).
     */
   def sessionizeStream(events: Dataset[SessionEvent], gapNs: Long,
-                       watermarkDelay: String = "0 seconds")
+                       watermarkDelay: String = "0 seconds",
+                       retainNumbering: Boolean = true)
       : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = gapNs / 1000000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
@@ -104,10 +124,13 @@ object IncrementalStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            // the counter survives in a fresh zero-width state record so
-            // a later event continues the numbering; it carries no open
-            // session (n = 0) and no timeout, so it is inert until then
-            state.update(SessionState(s.nextId + 1, 0L, 0L, 0L))
+            // with retainNumbering the counter survives in a fresh
+            // zero-width state record so a later event continues the
+            // numbering; it carries no open session (n = 0) and no
+            // timeout, so it is inert until then (see scaladoc: this is
+            // the per-distinct-key-forever state mode)
+            if (retainNumbering)
+              state.update(SessionState(s.nextId + 1, 0L, 0L, 0L))
             Iterator(SessionOut(key, s.nextId, s.start, s.last, s.n))
           } else {
             val evs = it.map(_.tsNs).toArray.sorted
@@ -119,12 +142,17 @@ object IncrementalStream {
               else if (t - cur.last > gapNs) {
                 closed += SessionOut(key, cur.nextId, cur.start, cur.last, cur.n)
                 SessionState(cur.nextId + 1, t, t, 1L)
-              } else cur.copy(last = math.max(cur.last, t), n = cur.n + 1L)
+              } else cur.copy(start = math.min(cur.start, t),
+                last = math.max(cur.last, t), n = cur.n + 1L)
             }
             state.update(cur)
             if (cur.n > 0L)
+              // round the ns deadline UP to whole ms: truncation would
+              // let the timeout fire up to ~2ms before last + gap, and
+              // an event landing in that sliver would start a spurious
+              // new session
               state.setTimeoutTimestamp(math.max(
-                cur.last / 1000000L + gapMs,
+                (cur.last + gapNs + 999999L) / 1000000L,
                 state.getCurrentWatermarkMs() + 1L))
             closed.result().iterator
           }
@@ -248,6 +276,24 @@ object IncrementalStream {
       merged.write.mode("overwrite")
         .parquet(s"${snapshotDir}_v$batchId")
     }
+  }
+
+  /** Deterministic replay harness for the foreachBatch MERGE: applies
+    * each (batchId, batch) in order through the SAME body
+    * [[applyBatch]] the streaming sink runs, including the crash-replay
+    * guard (a repeated batchId must be a no-op — pass one twice to
+    * exercise it). Returns the latest committed snapshot directory.
+    * This is exactly what the micro-batch engine does when a restart
+    * re-delivers batches from the checkpoint, minus the trigger loop —
+    * the harness form that lets the driver correctness-check the sink
+    * per round (`ev_merge_replay`).
+    */
+  def replayMerge(batches: Seq[(Long, DataFrame)], snapshotDir: String,
+                  runTs: () => Timestamp, createdBy: Int): String = {
+    batches.foreach { case (id, b) =>
+      applyBatch(b, id, snapshotDir, runTs, createdBy)
+    }
+    latestSnapshotDir(batches.head._2.sparkSession, snapshotDir)
   }
 
   def mergeEachBatch(incoming: DataFrame, snapshotDir: String,

@@ -32,4 +32,5 @@ class GoldenDigestsSpec extends SparkSpec {
   check("dedup_simhash_pairs", 15698L, "54519024930998173170")
   check("text_rolling_fingerprint", 500L, "-15028130188720254520")
   check("mm_decode_features", 500L, "-78697832182025956956")
+  check("ev_merge_replay", 450L, "6725000057474321672")
 }

@@ -199,6 +199,89 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream parity under shuffled-within-delay arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // events arrive out of order by a bounded jitter (<= 20s), admitted
+    // by a 30s watermark delay; displacement stays under the 100s gap,
+    // so batch parity must hold exactly (the documented contract —
+    // late same-session events widen [start, last] via min/max)
+    val gapNs = 100L * 1000000000L
+    val events = (for {
+      k <- 1 to 12
+      sess <- 0 until 4
+      i <- 0 until (1 + (k + sess) % 4)
+    } yield {
+      // sessions >= ~960s apart; within-session spacing 10s < jitter
+      // window so real reorderings occur both within and across batches
+      val base = (sess * 1000L + k * 3L) * 1000000000L
+      (k.toLong, base + i * 10L * 1000000000L)
+    }).toVector
+    def jit(k: Long, t: Long): Long =
+      math.abs((k * 2654435761L + t) % 20000000000L)
+    val arrival = events.sortBy { case (k, t) => t + jit(k, t) }
+    assert(arrival != events.sortBy(_._2), "jitter must actually reorder")
+
+    def toSe(key: Long, tsNs: Long) = IncrementalStream.SessionEvent(
+      key, tsNs, new Timestamp(tsNs / 1000000L))
+    val input = MemoryStream[IncrementalStream.SessionEvent]
+    val q = IncrementalStream
+      .sessionizeStream(input.toDS(), gapNs, watermarkDelay = "30 seconds")
+      .writeStream.format("memory").queryName("sess_shuf_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      arrival.grouped(7).foreach { chunk =>
+        input.addData(chunk.map { case (k, t) => toSe(k, t) })
+        q.processAllAvailable()
+      }
+      val far = events.map(_._2).max + 1000L * gapNs
+      input.addData(toSe(-1L, far)); q.processAllAvailable()
+      input.addData(toSe(-1L, far + 1)); q.processAllAvailable()
+      val streamed = spark.table("sess_shuf_out")
+        .filter($"key" >= 0)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batch = graft.operators.Sessionize.byGap(
+        events.zipWithIndex
+          .map { case ((k, t), i) => (k, t, i.toLong) }
+          .toDF("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id", gapNs)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("sessionizeStream retainNumbering=false drops state at timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapNs = 60L * 1000000000L
+    // events must sit ABOVE the initial zero watermark: a first event at
+    // ts = 0 (the epoch) is filtered as late before the operator sees it
+    val base = 1000000L * 1000000000L
+    def toSe(key: Long, tsNs: Long) = IncrementalStream.SessionEvent(
+      key, base + tsNs, new Timestamp((base + tsNs) / 1000000L))
+    val input = MemoryStream[IncrementalStream.SessionEvent]
+    val q = IncrementalStream
+      .sessionizeStream(input.toDS(), gapNs, retainNumbering = false)
+      .writeStream.format("memory").queryName("sess_renum_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(toSe(5L, 0L)); q.processAllAvailable()
+      // watermark far past 0 + gap -> session times out, state removed
+      input.addData(toSe(9L, 500L * 1000000000L)); q.processAllAvailable()
+      input.addData(toSe(9L, 501L * 1000000000L)); q.processAllAvailable()
+      // key 5 returns after its state was dropped: numbering restarts
+      input.addData(toSe(5L, 600L * 1000000000L)); q.processAllAvailable()
+      val far = 5000L * 1000000000L
+      input.addData(toSe(-1L, far)); q.processAllAvailable()
+      input.addData(toSe(-1L, far + 1)); q.processAllAvailable()
+      val ids = spark.table("sess_renum_out").filter($"key" === 5L)
+        .select($"session_id").as[Long].collect().toSeq.sorted
+      assert(ids === Seq(1L, 1L),
+        "without numbering retention both sessions number from 1; table: " +
+          spark.table("sess_renum_out").collect().mkString("; "))
+    } finally q.stop()
+  }
+
   test("intervalJoinStream batch parity on the harness events table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

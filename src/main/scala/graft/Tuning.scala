@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Input-adaptive shuffle sizing (BASELINE.md, 1000x postmortem).
+  *
+  * The first real scale wall found in this engine was NOT a plan defect:
+  * at 600 M input lines the merge aggregations' per-partition state
+  * outgrew `heap / spark.sql.shuffle.partitions` at the default 32
+  * partitions, and raising the partition count (32 -> 256) at the SAME
+  * 8 GiB heap fixed it with identical output and throughput. AQE cannot
+  * make that repair on its own: coalescing starts from
+  * `initialPartitionNum` (default = shuffle.partitions) and only MERGES
+  * partitions — an oversized aggregation partition is never split. So
+  * the durable fix is a LARGE initial partition count that AQE coalesces
+  * down to the advisory size at runtime: small inputs still end up with
+  * a handful of post-coalesce partitions, huge inputs keep enough
+  * partitions that per-partition state stays bounded by
+  * `~advisory-bytes` regardless of total volume — no manual knob.
+  *
+  * `autoShuffle` installs that default once per session (a caller's
+  * explicit initialPartitionNum always wins), floored at 64x the session
+  * parallelism and raised further when the caller's input-size estimate
+  * says the scan alone warrants more.
+  */
+object Tuning {
+
+  /** AQE's post-coalesce target (spark.sql.adaptive.advisoryPartitionSizeInBytes
+    * default); also the per-initial-partition budget the floor aims at.
+    */
+  val AdvisoryBytes: Long = 64L << 20
+
+  private val Floor = 2048
+  private val Cap = 65536
+  private val Key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+
+  /** Catalyst's upper-bound size estimate for a frame's plan (file sizes
+    * for parquet scans; generators/fan-outs are NOT reflected — the
+    * parallelism floor covers those).
+    */
+  def estimatedBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Install the input-adaptive initial partition count on the session
+    * unless the user already set one. No-op when AQE is off (a fixed
+    * large partition count WITHOUT runtime coalescing would tax every
+    * small query). Returns the installed (or pre-existing) value.
+    */
+  def autoShuffle(spark: SparkSession, scanBytes: BigInt = 0): Int = {
+    spark.conf.getOption(Key) match {
+      case Some(v) => v.toInt
+      case None if spark.conf.get("spark.sql.adaptive.enabled", "true") != "true" =>
+        spark.conf.get("spark.sql.shuffle.partitions").toInt
+      case None =>
+        val fromBytes =
+          (scanBytes / AdvisoryBytes).min(BigInt(Cap)).toInt
+        val p = math.min(Cap, math.max(Floor,
+          math.max(spark.sparkContext.defaultParallelism * 64, fromBytes)))
+        spark.conf.set(Key, p.toString)
+        p
+    }
+  }
+}

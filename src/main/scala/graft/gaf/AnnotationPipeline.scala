@@ -481,6 +481,11 @@ object AnnotationPipeline {
 
   /** Full per-species plan: GAF rows in, merge-ready annotations out. */
   def annotate(gaf: DataFrame, dims: Dimensions, cfg: PipelineConfig): DataFrame = {
+    // plan-build-time partition sizing: the 1000x probe OOM'd the merge
+    // aggregations at 32 fixed partitions; an input-adaptive AQE initial
+    // partition count makes that unreachable at default config
+    // (graft.Tuning scaladoc, BASELINE.md scale table)
+    graft.Tuning.autoShuffle(gaf.sparkSession, graft.Tuning.estimatedBytes(gaf))
     val filtered = qcTermFilters(filterSources(gaf, cfg.sources), dims)
     val matched = matchGenes(filtered, dims, cfg.speciesTypeKey)
     val enriched = qcAndEnrich(buildAnnotations(matched, dims, cfg), dims, cfg)

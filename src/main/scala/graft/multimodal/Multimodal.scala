@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * columns + typed metadata, with decode / feature-extract as
   * partition-local batch transforms.
   *
-  * The decode step is STUBBED (no image/audio codecs in this
-  * environment): [[stubDecode]] derives a deterministic fake feature
-  * vector from the bytes. Everything around it — schema, batch shape,
-  * partition-local iteration, column pruning — is the real production
-  * plumbing: swap `decodeBatch` for a JNI/codec call and nothing else
-  * changes. (The reference pipeline has no media path; this implements
-  * the north-star extension from BASELINE.json.)
+  * Image METADATA decode is REAL (`javax.imageio` header reads,
+  * [[imageDims]]); only feature extraction is STUBBED (no pixel/audio
+  * codecs in this environment): [[stubDecode]] derives a deterministic
+  * fake feature vector from the bytes. Everything around it — schema,
+  * batch shape, partition-local iteration, column pruning — is the real
+  * production plumbing: swap `stubDecode` for a JNI/codec call and
+  * nothing else changes. (The reference pipeline has no media path;
+  * this implements the north-star extension from BASELINE.json.)
   *
   * Scale notes: media bytes dominate row size, so the transform is
   * `mapPartitions` over an iterator (never materializes a partition),
@@ -35,7 +36,43 @@ object Multimodal {
 
   final case class MediaFeature(
       media_id: Long, media_type: String, n_bytes: Int,
-      checksum: Long, feature: Array[Float])
+      checksum: Long, decoded_width: Option[Int],
+      decoded_height: Option[Int], feature: Array[Float])
+
+  /** REAL image-header decode via `javax.imageio` (ships in the JDK —
+    * no external codec needed): width/height for payloads whose magic
+    * bytes say PNG/JPEG/GIF/BMP, header-only (`reader.getWidth(0)`
+    * reads dimensions without decoding pixel data — O(header) per row,
+    * not O(pixels)). Non-image payloads skip the reader entirely via
+    * the magic sniff and yield None. This shrinks the stubbed surface
+    * to what is genuinely absent in this environment: pixel/audio/video
+    * FEATURE extraction ([[stubDecode]]).
+    */
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def magic(sig: Int*): Boolean =
+      bytes.length >= sig.length &&
+        sig.zipWithIndex.forall { case (b, i) => (bytes(i) & 0xff) == b }
+    val looksImage = magic(0x89, 'P', 'N', 'G') ||
+      magic(0xff, 0xd8, 0xff) || magic('G', 'I', 'F', '8') ||
+      magic('B', 'M')
+    if (!looksImage) None
+    else {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } finally r.dispose()
+        }
+      } catch { case _: Exception => None } // truncated/corrupt header
+      finally in.close()
+    }
+  }
 
   /** Deterministic stand-in for a codec: folds the payload into an
     * 8-dim pseudo-feature. Replace with a real decoder at deployment —
@@ -71,8 +108,9 @@ object Multimodal {
           // per-batch codec setup would go here
           batch.iterator.map { case (id, tpe, payload) =>
             val bytes = if (payload == null) Array.emptyByteArray else payload
+            val dims = imageDims(bytes)
             MediaFeature(id, tpe, bytes.length, checksum64(bytes),
-              stubDecode(bytes))
+              dims.map(_._1), dims.map(_._2), stubDecode(bytes))
           }
         }
       }

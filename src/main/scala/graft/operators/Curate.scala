@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.{CorpusQc, TextAnalysis}
+
+/** End-to-end corpus curation — the LLM-pipeline flagship composition,
+  * the analog of the GAF pipeline's `annotate()`: raw documents in,
+  * training-ready packed sequences out.
+  *
+  *   quality filters -> repetition rules -> exact dedup -> LSH near-dup
+  *   clustering -> benchmark-contamination gate -> train/val/test split
+  *   -> per-split sequence packing
+  *
+  * Every stage is one of the already-verified operators; this object
+  * only composes them, so the shuffle budget is the sum of its parts
+  * and stays FIXED regardless of corpus size (PlanSpec pins it):
+  *
+  *  - QC + repetition: map-only codegen'd filter on the scan, no shuffle
+  *  - exact dedup: 1 shuffle (fingerprint window)
+  *  - LSH clustering: bucket-window + distinct + component join
+  *    (star edges, never all-pairs; components driver-bounded <= 1M
+  *    edges with a loud distributed fallback)
+  *  - contamination: broadcast bench-gram dim + 1 doc-id agg shuffle
+  *  - split assignment: map-only (content hash)
+  *  - packing: 1 bucket-window shuffle, scoped per split
+  *
+  * At 100 TB each stage's documented scale story carries over unchanged;
+  * the composition adds no driver actions and no new shuffle beyond the
+  * stages' own.
+  */
+object Curate {
+
+  /** Thresholds for the gate stages. Defaults follow the published
+    * heuristics the individual operators cite (Gopher §A1.1 repetition,
+    * GPT-3 style 8-gram contamination). The LSH default is
+    * precision-leaning for CURATION use — 2 bands x 8 rows: a band
+    * collision needs 8 matching minhashes, so unrelated docs rarely
+    * link (measured: the loose 4x4 banding chained the harness corpus's
+    * template family plus its false positives into ONE component and
+    * collapsed 419 QC survivors to a single keeper; 2x8 keeps 51).
+    * Recall-leaning dedup (catch more near-dups, risk over-merging)
+    * belongs to [[Dedup.dedupCorpus]]'s own 4x4 default.
+    */
+  final case class CurateConfig(
+      minTokens: Int = 20,
+      maxPunctRatio: Double = 0.1,
+      minStopwordRatio: Double = 0.0,
+      maxDup3gramFrac: Double = 0.5,
+      maxTop2gramFrac: Double = 0.2,
+      contaminationN: Int = 8,
+      maxContaminationFrac: Double = 0.1,
+      minhashK: Int = 16,
+      bands: Int = 2,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      packBudget: Long = 2048,
+      packBuckets: Int = 16)
+
+  /** Run the full curation over `docs` against a benchmark (eval-set)
+    * table. Returns one row per surviving document: the input columns
+    * minus `textCol` (narrowed like any training-manifest write), plus
+    * `split`, `n_tokens`, `pack_bucket`, `pack_seq`.
+    */
+  def curate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+             textCol: String,
+             cfg: CurateConfig = CurateConfig()): DataFrame = {
+    val text = col(textCol)
+
+    // map-only gates: length/punct/stopword quality + Gopher repetition
+    val qc = docs.filter(
+      TextAnalysis.tokenCount(text) >= cfg.minTokens &&
+        TextAnalysis.punctRatio(text) < cfg.maxPunctRatio &&
+        TextAnalysis.stopwordRatio(text) > cfg.minStopwordRatio &&
+        CorpusQc.dupGramFrac(text, 3) <= cfg.maxDup3gramFrac &&
+        CorpusQc.topGramFrac(text, 2) <= cfg.maxTop2gramFrac)
+
+    // exact dedup + LSH near-dup clustering over a NARROW (id, text)
+    // projection, reduced to a keeper-id MANIFEST that is persisted:
+    // the manifest feeds two consumers (the kept-rows semi-join and,
+    // transitively, the contamination gate), and without
+    // materialization the whole dedup subtree executes once per
+    // consumer (measured — plan-level exchange reuse does not fire
+    // across the self-join's re-aliased attributes). Persisting the
+    // ids-only frame is the in-session form of what a deployment does
+    // between stages (write the manifest, read it back): bounded at
+    // one long per surviving document, evicted LRU. Single-execution
+    // is pinned in PlanSpec.
+    val keeperIds = Dedup.dedupCorpus(
+        qc.select(col(idCol), col(textCol)), idCol, textCol,
+        cfg.minhashK, cfg.bands)
+      .select(col(idCol))
+      .persist()
+    val kept = qc.join(keeperIds, Seq(idCol), "left_semi")
+
+    // contamination gate against the benchmark's distinct n-gram dim
+    val clean = kept.join(
+      CorpusQc.contaminationScores(
+          kept.select(col(idCol), col(textCol)), benchmark, idCol, textCol,
+          cfg.contaminationN)
+        .filter(col("contamination_frac") <= cfg.maxContaminationFrac)
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+
+    // deterministic split, then pack token streams WITHIN each split
+    val withSplit = clean
+      .withColumn("split", Sampling.assignSplit(col(idCol), cfg.splits))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(text))
+    Packing.packChunks(withSplit, idCol, "n_tokens",
+        cfg.packBudget, cfg.packBuckets, extraKeys = Seq("split"))
+      .drop(textCol)
+  }
+}

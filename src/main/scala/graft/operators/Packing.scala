@@ -27,10 +27,15 @@ object Packing {
     * semantics, smaller partitions). No driver-side state, no collect.
     */
   def packChunks(df: DataFrame, idCol: String, tokenCol: String,
-                 budget: Long, buckets: Int): DataFrame = {
+                 budget: Long, buckets: Int,
+                 extraKeys: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     require(buckets > 0, s"bucket count must be positive, got $buckets")
-    val w = Window.partitionBy(col("pack_bucket")).orderBy(col(idCol))
+    // extraKeys scope the token streams (e.g. pack WITHIN a train/val/
+    // test split so sequences never mix splits) — same single shuffle,
+    // the keys just join the partitioning
+    val w = Window.partitionBy((extraKeys :+ "pack_bucket").map(col): _*)
+      .orderBy(col(idCol))
     df.withColumn("pack_bucket", pmod(col(idCol), lit(buckets)).cast("int"))
       .withColumn("_start", sum(col(tokenCol)).over(w) - col(tokenCol))
       // pack_seq stays LONG: a bucket's cumulative token count over a

@@ -77,6 +77,31 @@ object CorpusQueries extends QueryPack {
         "doc_id", "n_tokens", budget = 2048, buckets = 16)
     }),
 
+    // End-to-end curation flagship (the LLM-pipeline analog of
+    // gaf_pipeline_e2e): QC/repetition gates -> exact dedup -> LSH
+    // clustering -> contamination gate -> split -> per-split packing,
+    // all through graft.operators.Curate. Rows-only for the driver
+    // (the LSH/union-find composition has no tractable SQL oracle);
+    // digest-pinned in GoldenDigestsSpec, per-gate non-vacuity and the
+    // fixed shuffle budget pinned in CorpusOpsSpec/PlanSpec.
+    "corpus_curate_e2e" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      // contamination at n=3 / 0.06: the synthetic corpus's template
+      // docs share almost no n>=4 grams (measured: 241 of 419 QC
+      // survivors overlap the bench set at n=3, one at n=5), so 3-grams
+      // are the scale where the gate is non-vacuous here — the
+      // real-world default stays 8 (CurateConfig)
+      graft.operators.Curate.curate(
+          docs.filter(pmod($"doc_id", lit(benchMod)) =!= 0),
+          docs.filter(pmod($"doc_id", lit(benchMod)) === 0),
+          "doc_id", "text",
+          graft.operators.Curate.CurateConfig(
+            contaminationN = 3, maxContaminationFrac = 0.06))
+        .select($"doc_id", $"lang", $"split", $"n_tokens",
+          $"pack_bucket", $"pack_seq")
+    }),
+
     // temperature-scaled language mixture weights (alpha = 0.3): the
     // sampling-rate table a multilingual pre-training run feeds its
     // data loader

@@ -23,10 +23,14 @@ object MultimodalQueries extends QueryPack {
 
     "mm_decode_features" -> ((s, d) => {
       import s.implicits._
+      // decoded_width/height surface the imageio header decode: null
+      // here (utf-8 payloads are not images — the sniff skips them);
+      // real-PNG decoding is exercised in ExtensionsSpec
       Multimodal.decodeFeatures(
           Multimodal.fromText(Tables.documents(s, d), "doc_id", "text"))
         .toDF()
         .select($"media_id", $"n_bytes", $"checksum",
+          $"decoded_width", $"decoded_height",
           round(element_at($"feature", 1), 4).as("f0"))
     }),
 

@@ -29,8 +29,13 @@ object SimilarityQueries extends QueryPack {
     val emb = Tables.embeddings(s, d)
     val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
     val stride = math.max(1, math.sqrt(emb.count().toDouble).toLong)
-    val centroids = emb.filter($"vec_id" % stride === 0)
+    val seeds = emb.filter($"vec_id" % stride === 0)
       .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+    // quantizer TRAINING: two Lloyd iterations over a deterministic 50%
+    // hash-sample refine the seed picks before the one full-corpus
+    // assignment (recall uplift vs raw seeds is pinned in ExtensionsSpec)
+    val sample = graft.operators.Sampling.hashSample(corpus, $"c_id", "8", "ivf")
+    val centroids = Similarity.trainIvfCentroids(sample, seeds, iterations = 2)
     (Similarity.buildIvfIndex(corpus, centroids), centroids)
   }
 

@@ -101,6 +101,51 @@ object Similarity {
       (-best.getField("neg_id")).as("cent_id"))
   }
 
+  /** Lloyd (k-means) refinement of the coarse quantizer, as plain
+    * DataFrame aggregations. Per iteration: every sample vector is
+    * assigned to its nearest centroid (map-side argmin against the
+    * literal quantizer — zero shuffle, like [[assignToCentroids]]), then
+    * each centroid moves to the member mean (posexplode to (cent_id,
+    * dim) cells -> one agg shuffle to |centroids|·dim rows -> re-pack).
+    * Cluster identity (cent_id) persists across iterations; a cluster
+    * that captures no sample keeps its previous position. Dimension
+    * means are computed in DECIMAL (exact, order-independent) and cast
+    * back to double, so the trained quantizer is bit-deterministic
+    * under any partitioning — trainable-but-reproducible, which is what
+    * lets the downstream index/probe queries stay digest-pinned.
+    *
+    * Train on a hash-sample of the corpus
+    * ([[graft.operators.Sampling.hashSample]]): Lloyd converges on
+    * cluster SHAPE, which a deterministic sample captures at a fraction
+    * of the assignment cost; the full corpus is only assigned once, by
+    * [[buildIvfIndex]], against the trained quantizer. Iterations are
+    * driver-sequential by nature (each needs the previous centroids
+    * collected — bounded by [[maxCentroids]], the quantizer is
+    * broadcast-scale by definition).
+    */
+  def trainIvfCentroids(sample: DataFrame, seeds: DataFrame,
+                        iterations: Int = 2, id: String = "c_id",
+                        vec: String = "c_vec"): DataFrame = {
+    require(iterations >= 0, s"negative iterations: $iterations")
+    val vectors = sample.select(col(id).as("v_id"), col(vec).as("v_vec"))
+    var cents = seeds.select(col("cent_id"), col("cent_vec"))
+    (1 to iterations).foreach { _ =>
+      val means = assignToCentroids(vectors, cents)
+        .select(col("cent_id"), posexplode(col("v_vec")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("x").cast("decimal(27,10)")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"),
+          transform(col("pm"), p => p.getField("m").cast("double"))
+            .as("new_vec"))
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("new_vec"), col("cent_vec")).as("cent_vec"))
+    }
+    cents
+  }
+
   /** Build the IVF index: the corpus with its bucket assignment,
     * `(c_id, c_vec, cent_id)`. This is the expensive half of IVF —
     * |corpus| × |centroids| cosines — and it is a one-time cost amortized

@@ -36,22 +36,32 @@ object CorpusQc {
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
-    val toks = rawTokens(col(textCol))
-    val nToks = size(toks)
-    val chars = length(coalesce(col(textCol), lit("")))
     val cols = ns.flatMap { n =>
-      val total = nToks - (n - 1) // overlapping n-grams when nToks >= n
-      val distinctN = size(graft.functions.ShinglesExpr.shingles(toks, n))
-      val dup = when(total > 0,
-        round(lit(1.0) - distinctN.cast("double") / total, 6))
-        .otherwise(lit(0.0))
-      val top = when(chars > 0,
-        round(graft.functions.TopGramCharsExpr.topGramChars(toks, n)
-          .cast("double") / chars, 6))
-        .otherwise(lit(0.0))
-      Seq(dup.as(s"dup_${n}gram_frac"), top.as(s"top_${n}gram_frac"))
+      Seq(dupGramFrac(col(textCol), n).as(s"dup_${n}gram_frac"),
+        topGramFrac(col(textCol), n).as(s"top_${n}gram_frac"))
     }
-    df.select(col(idCol) +: nToks.as("n_tokens") +: cols: _*)
+    df.select(col(idCol) +: size(rawTokens(col(textCol))).as("n_tokens") +:
+      cols: _*)
+  }
+
+  /** `dup_{n}gram_frac` as a bare column (the [[repetitionStats]]
+    * signals, usable directly in a filter — [[graft.operators.Curate]]).
+    */
+  def dupGramFrac(text: Column, n: Int): Column = {
+    val toks = rawTokens(text)
+    val total = size(toks) - (n - 1) // overlapping n-grams when nToks >= n
+    val distinctN = size(graft.functions.ShinglesExpr.shingles(toks, n))
+    when(total > 0, round(lit(1.0) - distinctN.cast("double") / total, 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** `top_{n}gram_frac` as a bare column — see [[repetitionStats]]. */
+  def topGramFrac(text: Column, n: Int): Column = {
+    val chars = length(coalesce(text, lit("")))
+    when(chars > 0,
+      round(graft.functions.TopGramCharsExpr.topGramChars(rawTokens(text), n)
+        .cast("double") / chars, 6))
+      .otherwise(lit(0.0))
   }
 
   /** Benchmark-contamination scoring (the GPT-3 style n-gram overlap

@@ -279,6 +279,46 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   // -------------------------------------------------- mixture weights
+  test("curate: end-to-end composition gates, splits and packs") {
+    import org.apache.spark.sql.functions.pmod
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(pmod($"doc_id", lit(50)) =!= 0)
+    val bench = docs.filter(pmod($"doc_id", lit(50)) === 0)
+    val cfg = graft.operators.Curate.CurateConfig(
+      contaminationN = 3, maxContaminationFrac = 0.06)
+    val out = graft.operators.Curate.curate(corpus, bench, "doc_id", "text",
+      cfg)
+    val rows = out.collect()
+    val nCorpus = corpus.count()
+    assert(rows.nonEmpty, "curation must keep documents")
+    assert(rows.length < nCorpus, "curation must drop documents")
+    // the dedup stages bite beyond the map-only QC gates alone
+    val qcOnly = corpus.filter(
+      graft.text.TextAnalysis.tokenCount($"text") >= 20 &&
+        graft.text.TextAnalysis.punctRatio($"text") < 0.1 &&
+        graft.text.TextAnalysis.stopwordRatio($"text") > 0.0 &&
+        graft.text.CorpusQc.dupGramFrac($"text", 3) <= 0.5 &&
+        graft.text.CorpusQc.topGramFrac($"text", 2) <= 0.2).count()
+    assert(qcOnly < nCorpus, "QC gates must be non-vacuous")
+    assert(rows.length < qcOnly, "dedup stages must drop beyond QC")
+    // field contracts
+    assert(rows.forall(_.getAs[Int]("n_tokens") >= 20))
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits("train"))
+    assert(rows.forall(_.getAs[Long]("pack_seq") >= 0))
+    // packing never mixes splits inside a (split, bucket) stream: seqs
+    // count from 0 within every split
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+    bySplit.foreach { case (s, rs) =>
+      assert(rs.map(_.getAs[Long]("pack_seq")).min === 0L, s"split $s")
+    }
+    // deterministic end to end
+    val again = graft.operators.Curate
+      .curate(corpus, bench, "doc_id", "text", cfg).collect()
+    assert(rows.map(_.toString).sorted.toSeq ===
+      again.map(_.toString).sorted.toSeq)
+  }
+
   test("mixture weights: shares and weights sum to 1; alpha flattens") {
     val df = Seq.fill(90)(("en", 100L)) ++ Seq.fill(9)(("de", 100L)) ++
       Seq.fill(1)(("fr", 100L))

@@ -117,6 +117,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(b1.toSet === b2.toSet)
   }
 
+  test("IVF Lloyd training lifts recall over the raw seed centroids") {
+    // the registered sim_ivf config (k=5, nProbe=3, 2 iterations over a
+    // 50% hash-sample) at sf0.01: recall@5 rises 0.368 -> 0.440
+    // (IvfTrainProbeMain). Everything here is deterministic — exact
+    // decimal means in training, rounded sims, id tiebreaks — so the
+    // measured values are pinned, not just the inequality.
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val queries = emb.filter($"vec_id" < 25)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val stride = math.max(1, math.sqrt(emb.count().toDouble).toLong)
+    val seeds = emb.filter($"vec_id" % stride === 0)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+    val sample = graft.operators.Sampling
+      .hashSample(corpus, $"c_id", "8", "ivf")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, k = 5))
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val got = pairs(Similarity.ivfTopK(queries, corpus, cents,
+        k = 5, nProbe = 3))
+      (exact & got).size.toDouble / exact.size
+    }
+    val untrained = recall(seeds)
+    val trained = recall(Similarity.trainIvfCentroids(sample, seeds,
+      iterations = 2))
+    assert(trained > untrained,
+      s"training must lift recall: $untrained -> $trained")
+    assert(math.abs(untrained - 0.368) < 0.001, s"untrained=$untrained")
+    assert(math.abs(trained - 0.440) < 0.001, s"trained=$trained")
+  }
+
   test("multi-probe LSH recall is monotone and lifts the narrow-bucket config") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 10)
@@ -169,6 +203,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(f1.map(_.checksum).toSeq === f2.map(_.checksum).toSeq)
     assert(f1.head.n_bytes === 11)
     assert(f1.head.feature.length === 8)
+  }
+
+  test("imageio header decode reads real PNG/JPEG dims, skips non-images") {
+    // a real 7x5 PNG and 9x4 JPEG, generated in-memory through the same
+    // JDK codec stack a deployment would read with
+    def imgBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out))
+      out.toByteArray
+    }
+    assert(Multimodal.imageDims(imgBytes(7, 5, "png")) === Some((7, 5)))
+    assert(Multimodal.imageDims(imgBytes(9, 4, "jpg")) === Some((9, 4)))
+    assert(Multimodal.imageDims("not an image".getBytes) === None)
+    assert(Multimodal.imageDims(Array.emptyByteArray) === None)
+    // truncated header: magic passes, reader must fail soft to None
+    assert(Multimodal.imageDims(imgBytes(7, 5, "png").take(12)) === None)
+
+    // end-to-end through the batched decode: dims surface as columns
+    val media = Seq((1L, "image", imgBytes(7, 5, "png")),
+        (2L, "image", "plain text".getBytes))
+      .toDF("media_id", "media_type", "payload")
+    val got = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    assert(got(0).decoded_width === Some(7))
+    assert(got(0).decoded_height === Some(5))
+    assert(got(1).decoded_width === None)
   }
 
   test("frame sampling emits one row per step offset") {

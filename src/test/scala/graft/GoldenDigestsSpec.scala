@@ -26,11 +26,16 @@ class GoldenDigestsSpec extends SparkSpec {
       assert(s === new java.math.BigDecimal(hashSum))
     }
 
-  check("sim_ivf_topk", 50L, "4935712642958857078")
+  // sim_ivf_* re-pinned r5: the quantizer is now Lloyd-TRAINED
+  // (Similarity.trainIvfCentroids — deterministic decimal means);
+  // mm_decode_features re-pinned r5: real imageio width/height columns
+  // joined the output (null for the non-image harness payloads)
+  check("sim_ivf_topk", 50L, "-30697647038325938886")
   check("sim_lsh_topk", 50L, "-33633429944652742266")
-  check("sim_ivf_build", 23L, "32116996476011932238")
+  check("sim_ivf_build", 23L, "-12966050742423290877")
   check("dedup_simhash_pairs", 15698L, "54519024930998173170")
   check("text_rolling_fingerprint", 500L, "-15028130188720254520")
-  check("mm_decode_features", 500L, "-78697832182025956956")
+  check("mm_decode_features", 500L, "28829225139155658480")
   check("ev_merge_replay", 450L, "6725000057474321672")
+  check("corpus_curate_e2e", 48L, "2569338463195615679")
 }

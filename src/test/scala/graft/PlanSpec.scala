@@ -133,6 +133,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), "merge agg fell back to sort")
   }
 
+  test("curate composition: fixed shuffle budget, dedup subtree reused") {
+    val df = SparkEntry.queries("corpus_curate_e2e")(spark, sf)
+    df.collect() // AQE: the final plan (incl. exchange reuse) exists after execution
+    val p = df.queryExecution.executedPlan.toString
+    // the keeper-id manifest must be MATERIALIZED (persisted) so the
+    // dedup subtree executes once, not once per consumer — both
+    // consumers read the cache
+    assert("InMemoryTableScan|TableCacheQueryStage".r.findAllIn(p).size >= 2,
+      "expected both consumers on the cached keeper manifest: " + p)
+    // composition-wide shuffle budget: fixed by construction (stage sum),
+    // independent of corpus size — a regression adding a shuffle fails
+    // here. Budget: dedup fingerprint window + LSH bucket window +
+    // edge distinct + cluster/keeper aggs + contamination doc agg +
+    // pack window, plus AQE bookkeeping stages.
+    val distinctStages = "ShuffleQueryStage \\d+".r.findAllIn(p)
+      .toSeq.distinct.size
+    assert(distinctStages <= 12,
+      s"curate shuffle budget grew to $distinctStages: " + p)
+  }
+
   test("signature expressions evaluate once per row (no generator filter blowup)") {
     // the inferred size>0 filter of a plain explode inlines the full
     // signature expression through the projection — once per band

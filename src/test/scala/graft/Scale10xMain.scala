@@ -20,7 +20,10 @@ object Scale10xMain {
     val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     // partition sizing is THE scale knob: at high fan-out factors the
     // merge aggregations' per-partition state must fit the executor
-    // heap, so partitions scale with data volume (SPARK_GRAFT_SHUFFLE)
+    // heap. Since round 5 annotate() installs an input-adaptive AQE
+    // initial partition count itself (graft.Tuning), so the probe runs
+    // at DEFAULT config; SPARK_GRAFT_SHUFFLE remains as an A/B override
+    // (it pins the non-AQE baseline partition count).
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))

@@ -24,12 +24,18 @@ object Scale10xMain {
     // initial partition count itself (graft.Tuning), so the probe runs
     // at DEFAULT config; SPARK_GRAFT_SHUFFLE remains as an A/B override
     // (it pins the non-AQE baseline partition count).
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // when the A/B override is set, pin the AQE initial partition count
+    // to it as well — otherwise annotate()'s autoShuffle would install
+    // its own and the env var would no longer reproduce the manual
+    // baseline it exists to compare against
+    sys.env.get("SPARK_GRAFT_SHUFFLE").foreach(n => builder.config(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     import graft.queries.GafE2eQueries._

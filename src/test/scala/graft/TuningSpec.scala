@@ -10,10 +10,10 @@ class TuningSpec extends SparkSpec {
     spark.conf.unset(Key)
     try {
       val p = Tuning.autoShuffle(spark, Tuning.estimatedBytes(Seq(1).toDF("x")))
-      assert(p === 2048, "local[4]: 64x parallelism is under the 2048 floor")
-      assert(spark.conf.get(Key) === "2048")
+      assert(p === 32, "local[4]: 8x parallelism floor (measured optimum)")
+      assert(spark.conf.get(Key) === "32")
       // second call sees the installed value, not a recompute
-      assert(Tuning.autoShuffle(spark) === 2048)
+      assert(Tuning.autoShuffle(spark) === 32)
 
       spark.conf.set(Key, "77")
       assert(Tuning.autoShuffle(spark) === 77, "explicit setting wins")
@@ -23,9 +23,9 @@ class TuningSpec extends SparkSpec {
   test("autoShuffle scales with the caller's byte estimate") {
     spark.conf.unset(Key)
     try {
-      // 1 TiB estimate / 64 MiB advisory = 16384 initial partitions
+      // 1 TiB estimate / 256 MiB per-partition target = 4096 partitions
       val p = Tuning.autoShuffle(spark, BigInt(1L << 40))
-      assert(p === 16384)
+      assert(p === 4096)
       spark.conf.unset(Key)
       // the cap bounds runaway estimates
       assert(Tuning.autoShuffle(spark, BigInt(1L << 60)) === 65536)

@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   *     a timed pass exceeds ~2x those, the whole pass re-runs once and
   *     the faster pass is reported, with "throttled" set from the
   *     calibrations around the pass that was kept.
+  *   - A query that THROWS in the timed pass reports its elapsed time
+  *     negated and is listed in "failed"; the printed total sums only
+  *     successful queries, so breakage can't read as speedup.
+  *   - As of round 6 the two ops dumps (`a7_counter_dump`,
+  *     `ev_merge_replay`) are on the timed surface (run last in each
+  *     pass to keep the replay's parquet writeback away from neighboring
+  *     timings) — totals gain their ~real cost vs round 5's 94-query
+  *     surface.
   */
 object Bench {
   /** Un-eliminable fixed-work spin; wall seconds it takes are a direct
@@ -103,13 +111,14 @@ object Bench {
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => }
     }
     // ops dumps execute many driver actions by design (audit side passes;
-    // the merge replay is a SINK writing parquet snapshots); they are
-    // correctness-checked via Verify but excluded from the timed loop so
-    // the bench measures the query surface, not the ops surface — and so
-    // the replay's writeback doesn't contaminate neighboring timings
+    // the merge replay is a SINK writing parquet snapshots). They ARE on
+    // the timed surface (untimed surface is where cost hides — round-4/5
+    // lesson) but pinned to run LAST within each pass, so the replay's
+    // writeback can't contaminate neighboring query timings.
     val opsDumps = Set("a7_counter_dump", "ev_merge_replay")
-    val sorted = SparkEntry.queries.toSeq
-      .filterNot(q => opsDumps(q._1)).sortBy(_._1)
+    val sorted = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
+      (if (opsDumps(n)) 1 else 0, n)
+    }
     val useForeach = sorted.map { case (name, fn) =>
       val fallback =
         try { consume(fn(spark, sfDir), useForeach = false); false }
@@ -121,11 +130,16 @@ object Bench {
       name -> fallback
     }.toMap
 
+    // a FAILED query reports its elapsed-until-throw time NEGATED, so a
+    // broken query can't masquerade as a fast one and deflate the total
+    // (failures are additionally listed in the JSON's "failed" field)
     def timedPass(): Seq[(String, Double)] = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try consume(fn(spark, sfDir), useForeach(name))
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { consume(fn(spark, sfDir), useForeach(name)); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -dt)
     }
 
     // timed pass bracketed by calibrations; if either bracket looks
@@ -139,7 +153,8 @@ object Bench {
       val pass2 = timedPass()
       val calPost2 = calibrate()
       passes = 2
-      if (pass2.map(_._2).sum < pass.map(_._2).sum) {
+      if (pass2.map(r => math.abs(r._2)).sum <
+          pass.map(r => math.abs(r._2)).sum) {
         calPre = calPre2; pass = pass2; calPost = calPost2
       }
     }
@@ -148,12 +163,16 @@ object Bench {
     val loadEnd = loadavg()
 
     def fmt(v: Double): String = f"$v%.3f"
+    val failed = results.collect { case (k, v) if v < 0 => k }.sorted
     def line(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      // total covers successful queries only; failures are negated in the
+      // per-query map and enumerated in "failed"
+      val total = results.map(_._2).filter(_ > 0).sum
+      val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""action":"digest","queries":$qs,"sf":"$sfDir",""" +
+        s""""action":"digest","failed":$fs,"queries":$qs,"sf":"$sfDir",""" +
         s""""calib_1t_pre":${fmt(calPre._1)},"calib_32t_pre":${fmt(calPre._2)},""" +
         s""""calib_1t_post":${fmt(calPost._1)},"calib_32t_post":${fmt(calPost._2)},""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
@@ -188,7 +207,7 @@ object Bench {
         java.nio.file.Paths.get(s"bench_detail_r${maxR + 1}_$sfLabel.json"),
         detail.getBytes("UTF-8"))
     } catch { case _: Throwable => }
-    val headline = results.sortBy(-_._2).take(12).sortBy(_._1)
+    val headline = results.sortBy(r => -math.abs(r._2)).take(12).sortBy(_._1)
     println(line(headline))
     spark.stop()
   }

@@ -47,6 +47,14 @@ object Tuning {
   private val Cap = 65536
   private val Key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
 
+  /** Marker recording the value [[autoShuffle]] itself installed, so a
+    * later call can distinguish its own default from a user override:
+    * self-installed values are raised monotonically (a session that runs
+    * a small input first must not pin the sizing at the floor for a later
+    * huge input), while a user-set value always wins untouched.
+    */
+  private val SelfInstalledKey = "graft.tuning.autoShuffle.selfInstalled"
+
   /** Catalyst's upper-bound size estimate for a frame's plan (file sizes
     * for parquet scans; generators/fan-outs are NOT reflected — the
     * parallelism floor covers those).
@@ -57,19 +65,25 @@ object Tuning {
   /** Install the input-adaptive initial partition count on the session
     * unless the user already set one. No-op when AQE is off (a fixed
     * large partition count WITHOUT runtime coalescing would tax every
-    * small query). Returns the installed (or pre-existing) value.
+    * small query). Values this method installed itself are raised
+    * monotonically on later calls (max of existing and newly computed),
+    * so the bytes-derived term stays live for the whole session; a
+    * user-set value is never touched. Returns the effective value.
     */
   def autoShuffle(spark: SparkSession, scanBytes: BigInt = 0): Int = {
+    if (spark.conf.get("spark.sql.adaptive.enabled", "true") != "true")
+      return spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val fromBytes =
+      (scanBytes / TargetPartitionBytes).min(BigInt(Cap)).toInt
+    val computed = math.min(Cap, math.max(
+      spark.sparkContext.defaultParallelism * FloorPerCore, fromBytes))
     spark.conf.getOption(Key) match {
-      case Some(v) => v.toInt
-      case None if spark.conf.get("spark.sql.adaptive.enabled", "true") != "true" =>
-        spark.conf.get("spark.sql.shuffle.partitions").toInt
-      case None =>
-        val fromBytes =
-          (scanBytes / TargetPartitionBytes).min(BigInt(Cap)).toInt
-        val p = math.min(Cap, math.max(
-          spark.sparkContext.defaultParallelism * FloorPerCore, fromBytes))
+      case Some(v) if !spark.conf.getOption(SelfInstalledKey).contains(v) =>
+        v.toInt // user override — leave untouched
+      case existing =>
+        val p = math.max(existing.map(_.toInt).getOrElse(0), computed)
         spark.conf.set(Key, p.toString)
+        spark.conf.set(SelfInstalledKey, p.toString)
         p
     }
   }

@@ -57,7 +57,12 @@ object Multimodal {
       magic('B', 'M')
     if (!looksImage) None
     else {
-      val in = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+      // the factory defaults to a FileCacheImageInputStream backed by a
+      // temp file — per-row disk I/O in the hot decode loop (and a null
+      // return when no SPI is registered). The payload is already fully
+      // in memory, so the memory-cache stream is strictly better here.
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)

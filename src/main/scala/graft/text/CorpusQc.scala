@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level quality control for a pre-training data pipeline:
@@ -123,26 +122,28 @@ object CorpusQc {
     * low-resource domains; alpha = 1 is proportional sampling.
     *
     * Scale: ONE map-side-combined aggregation shuffle on the domain key
-    * reduces the corpus to #domains rows; the share/weight window runs
-    * on that reduced frame (domain counts are small by construction —
-    * languages, sources — so the single-partition window is on dozens
-    * of rows, never on data).
+    * reduces the corpus to #domains rows; the corpus-wide totals are
+    * 1-row aggregates of that reduced frame joined back by crossJoin
+    * (the [[Ranking.bm25TopK]] pattern — a global WINDOW over the same
+    * rows would compute identically but logs Spark's
+    * "No Partition Defined ... single partition" warning on every run,
+    * and the 1-row-broadcast form is the one that still reads correctly
+    * if a caller ever feeds a high-cardinality domain key).
     */
   def mixtureWeights(df: DataFrame, domainCol: String, weightCol: String,
                      alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
-    val w = Window
-      .partitionBy(lit(1)) // all domains: the frame is #domains rows
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val byDomain = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(weightCol)).cast("long").as("domain_tokens"))
-    byDomain
-      .withColumn("_p",
-        col("domain_tokens").cast("double") / sum("domain_tokens").over(w))
+    val withP = byDomain
+      .crossJoin(byDomain.agg(sum("domain_tokens").as("_tot")))
+      .withColumn("_p", col("domain_tokens").cast("double") / col("_tot"))
       .withColumn("_pa", pow(col("_p"), lit(alpha)))
+    withP
+      .crossJoin(withP.agg(sum("_pa").as("_pa_tot")))
       .select(col(domainCol), col("n_docs"), col("domain_tokens"),
         round(col("_p"), 6).as("share"),
-        round(col("_pa") / sum("_pa").over(w), 6).as("mix_weight"))
+        round(col("_pa") / col("_pa_tot"), 6).as("mix_weight"))
   }
 }

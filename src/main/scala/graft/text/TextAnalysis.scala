@@ -88,9 +88,13 @@ object TextAnalysis {
       (lang, size(array_intersect(toks, typedLit(words))))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(lit("und")) { case (acc, (lang, score)) =>
-      // ties resolve to the alphabetically-first language (sorted fold)
-      when(score > 0 && score === best && acc === "und", lit(lang)).otherwise(acc)
+    // reverse fold builds when(en)...when(es).otherwise("und") with the
+    // alphabetically-FIRST language outermost, so ties resolve to it —
+    // without comparing the accumulator to "und" (which on the first
+    // iteration is lit("und") and logs Spark's trivially-true-predicate
+    // warning on every query)
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(acc)
     }
   }
 

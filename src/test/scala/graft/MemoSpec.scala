@@ -2,14 +2,22 @@ package graft
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
 
 /** The shared memo-maintenance helper behind the three dimension memos
   * (DagClosure.descendantsCache, AnnotationPipeline.fixpointCache /
   * xdbGuardCache): identity-keyed entries must not outlive their owning
   * SparkSession, and an unbounded spec-churn cache clears wholesale.
+  *
+  * NOT a [[SparkSpec]]: the stopped-session scenario must stop a session,
+  * and caching the fixture's lazy `spark` reference would leave later
+  * tests (or a reordered run) holding a dead session. Every test here
+  * resolves the live session through [[SparkSpec.session]] at call time,
+  * and the stop test restores through the same factory, so suite
+  * isolation doesn't depend on execution order or hand-copied config.
   */
-class MemoSpec extends SparkSpec {
+class MemoSpec extends AnyFunSuite {
 
   private def cacheWith(df: DataFrame, n: Int) = {
     val c = new ConcurrentHashMap[(DataFrame, Long), java.lang.Boolean]
@@ -18,6 +26,7 @@ class MemoSpec extends SparkSpec {
   }
 
   test("maintain keeps live-session entries and clears past the cap") {
+    val spark = SparkSpec.session()
     import spark.implicits._
     val df = Seq(1, 2).toDF("x")
     val small = cacheWith(df, 3)
@@ -29,10 +38,11 @@ class MemoSpec extends SparkSpec {
     assert(big.isEmpty, "an over-cap cache clears wholesale")
   }
 
-  // LAST test in the suite: stops the shared context, then restores a
-  // fresh default session so later suites in the same JVM are unaffected
-  // (suites run sequentially in sbt's single forked test JVM)
   test("maintain evicts entries whose owning session has stopped") {
+    // stops the JVM's active session (a SparkContext is JVM-global, so a
+    // "private" session still shares it), then restores through the same
+    // factory later suites use — their getOrCreate sees a live session
+    val spark = SparkSpec.session()
     import spark.implicits._
     val df = Seq(1).toDF("x")
     val cache = cacheWith(df, 2)
@@ -41,14 +51,6 @@ class MemoSpec extends SparkSpec {
       Memo.maintain(cache)(_._1.sparkSession)
       assert(cache.isEmpty,
         "entries keyed by frames of a stopped session must be evicted")
-    } finally {
-      SparkSession.builder()
-        .master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    }
+    } finally SparkSpec.session()
   }
 }

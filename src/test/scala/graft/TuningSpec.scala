@@ -4,36 +4,58 @@ package graft
 class TuningSpec extends SparkSpec {
 
   private val Key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+  private val Marker = "graft.tuning.autoShuffle.selfInstalled"
+
+  private def reset(): Unit = { spark.conf.unset(Key); spark.conf.unset(Marker) }
 
   test("autoShuffle installs the parallelism floor and respects overrides") {
     import spark.implicits._
-    spark.conf.unset(Key)
+    reset()
     try {
       val p = Tuning.autoShuffle(spark, Tuning.estimatedBytes(Seq(1).toDF("x")))
       assert(p === 32, "local[4]: 8x parallelism floor (measured optimum)")
       assert(spark.conf.get(Key) === "32")
-      // second call sees the installed value, not a recompute
+      // second small call keeps the installed value
       assert(Tuning.autoShuffle(spark) === 32)
 
       spark.conf.set(Key, "77")
       assert(Tuning.autoShuffle(spark) === 77, "explicit setting wins")
-    } finally spark.conf.unset(Key)
+    } finally reset()
+  }
+
+  test("self-installed value raises monotonically; user override never moves") {
+    reset()
+    try {
+      // small-input-first session: floor installed...
+      assert(Tuning.autoShuffle(spark) === 32)
+      // ...then a huge input arrives: the bytes term must still fire
+      // (round-5 advice: first-call-wins partially recreated the OOM the
+      // feature exists to prevent)
+      assert(Tuning.autoShuffle(spark, BigInt(1L << 40)) === 4096,
+        "self-installed floor raised by a later byte estimate")
+      // never lowers
+      assert(Tuning.autoShuffle(spark) === 4096)
+
+      // a user-set value is immovable in BOTH directions
+      spark.conf.set(Key, "64")
+      assert(Tuning.autoShuffle(spark, BigInt(1L << 40)) === 64)
+    } finally reset()
   }
 
   test("autoShuffle scales with the caller's byte estimate") {
-    spark.conf.unset(Key)
+    reset()
     try {
       // 1 TiB estimate / 256 MiB per-partition target = 4096 partitions
       val p = Tuning.autoShuffle(spark, BigInt(1L << 40))
       assert(p === 4096)
-      spark.conf.unset(Key)
+      reset()
       // the cap bounds runaway estimates
       assert(Tuning.autoShuffle(spark, BigInt(1L << 60)) === 65536)
-    } finally spark.conf.unset(Key)
+    } finally reset()
   }
 
   test("autoShuffle is a no-op with AQE off") {
-    spark.conf.unset(Key)
+    reset()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val p = Tuning.autoShuffle(spark, BigInt(1L << 40))
@@ -42,7 +64,7 @@ class TuningSpec extends SparkSpec {
         "no initial partition count installed without runtime coalescing")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.unset(Key)
+      reset()
     }
   }
 }

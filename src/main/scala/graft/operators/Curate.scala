@@ -70,6 +70,15 @@ object Curate {
   def curate(docs: DataFrame, benchmark: DataFrame, idCol: String,
              textCol: String,
              cfg: CurateConfig = CurateConfig()): DataFrame = {
+    // plan-build-time partition sizing, same as annotate(): the dedup /
+    // packing aggregations carry per-partition state, so a huge corpus
+    // at a fixed 32-partition default is the exact shape that OOM'd the
+    // GAF flagship at 1000x (graft.Tuning scaladoc). The shingle/band
+    // explodes inside are invisible to the scan-bytes estimate — the
+    // parallelism floor plus AQE coalescing covers that documented
+    // boundary (probed at 1x/10x/100x, BASELINE.md curate table).
+    graft.Tuning.autoShuffle(docs.sparkSession,
+      graft.Tuning.estimatedBytes(docs))
     val text = col(textCol)
 
     // map-only gates: length/punct/stopword quality + Gopher repetition

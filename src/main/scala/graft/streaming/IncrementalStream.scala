@@ -98,8 +98,11 @@ object IncrementalStream {
     * gap: an event arriving more than `gap` before the open session's
     * span belongs to an EARLIER (possibly already-emitted) session in
     * batch semantics, but streaming absorbs it into the current one —
-    * emitted sessions are immutable. The shuffled-within-delay case is
-    * exercised in StreamingSpec.
+    * emitted sessions are immutable. StreamingSpec exercises both the
+    * shuffled-within-delay (exact parity) case and the beyond-gap
+    * displacement case, where the divergence is pinned exactly: one
+    * streamed-only absorbing session vs the batch-side sessions it
+    * merged, with already-emitted sessions and event totals identical.
     *
     * State cost: with `retainNumbering = true` (the default, needed for
     * batch-identical session_id), every key that ever times out leaves

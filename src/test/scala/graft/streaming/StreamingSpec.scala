@@ -250,6 +250,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream displacement > gap: divergence bounded to the " +
+      "absorbing session, one streamed-only session per displaced event run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The documented divergence contract (IncrementalStream scaladoc):
+    // an event arriving more than `gap` before the open session's span
+    // belongs to an earlier session in batch semantics, but streaming
+    // absorbs it into the CURRENT open session (emitted sessions are
+    // immutable). This case feeds exactly that shape and asserts the
+    // bound: already-emitted sessions match batch verbatim, no event is
+    // lost (n_events totals equal), and the only divergent rows are the
+    // absorbing session (streamed side) vs the would-have-been sessions
+    // (batch side) on the displaced key.
+    val gapNs = 100L * 1000000000L
+    val base = 1000000L * 1000000000L
+    def sec(s: Long) = base + s * 1000000000L
+    def toSe(key: Long, tsNs: Long) = IncrementalStream.SessionEvent(
+      key, tsNs, new Timestamp(tsNs / 1000000L))
+    val input = MemoryStream[IncrementalStream.SessionEvent]
+    val q = IncrementalStream
+      .sessionizeStream(input.toDS(), gapNs, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sess_disp_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // session A in order, then session B opens (A emits, immutable)
+      input.addData(Seq(toSe(1L, sec(0)), toSe(1L, sec(10)), toSe(1L, sec(20))))
+      q.processAllAvailable()
+      input.addData(Seq(toSe(1L, sec(1000)), toSe(1L, sec(1010))))
+      q.processAllAvailable()
+      // the beyond-gap displaced event: t=500s is 500s before B's span
+      // (admitted — watermark is 2h behind), 480s after A closed; batch
+      // gives it its own session, streaming must absorb it into B
+      input.addData(toSe(1L, sec(500))); q.processAllAvailable()
+      val far = sec(100000)
+      input.addData(toSe(-1L, far)); q.processAllAvailable()
+      input.addData(toSe(-1L, far + 1)); q.processAllAvailable()
+
+      val streamed = spark.table("sess_disp_out").filter($"key" >= 0)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batch = graft.operators.Sessionize.byGap(
+        Seq((1L, sec(0), 0L), (1L, sec(10), 1L), (1L, sec(20), 2L),
+          (1L, sec(500), 3L), (1L, sec(1000), 4L), (1L, sec(1010), 5L))
+          .toDF("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id", gapNs)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+      val sessionA = (1L, 1L, sec(0), sec(20), 3L)
+      assert(streamed.contains(sessionA) && batch.contains(sessionA),
+        "the already-emitted session matches batch verbatim")
+      // divergence bound: ONE streamed-only session (B absorbed the
+      // displaced event, widening its start to the event) vs TWO
+      // batch-only sessions (the displaced singleton + unwidened B)
+      assert(streamed -- batch === Set((1L, 2L, sec(500), sec(1010), 3L)),
+        s"streamed-only = the absorbing session; got ${streamed -- batch}")
+      assert(batch -- streamed === Set(
+        (1L, 2L, sec(500), sec(500), 1L), (1L, 3L, sec(1000), sec(1010), 2L)),
+        s"batch-only = displaced singleton + unwidened session; got ${batch -- streamed}")
+      // no event lost or duplicated on either side
+      assert(streamed.toSeq.map(_._5).sum === batch.toSeq.map(_._5).sum)
+    } finally q.stop()
+  }
+
   test("sessionizeStream retainNumbering=false drops state at timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
 
@@ -82,12 +82,7 @@ object Curate {
     val text = col(textCol)
 
     // map-only gates: length/punct/stopword quality + Gopher repetition
-    val qc = docs.filter(
-      TextAnalysis.tokenCount(text) >= cfg.minTokens &&
-        TextAnalysis.punctRatio(text) < cfg.maxPunctRatio &&
-        TextAnalysis.stopwordRatio(text) > cfg.minStopwordRatio &&
-        CorpusQc.dupGramFrac(text, 3) <= cfg.maxDup3gramFrac &&
-        CorpusQc.topGramFrac(text, 2) <= cfg.maxTop2gramFrac)
+    val qc = docs.filter(qcPredicate(text, cfg))
 
     // exact dedup + LSH near-dup clustering over a NARROW (id, text)
     // projection, reduced to a keeper-id MANIFEST that is persisted:
@@ -124,6 +119,19 @@ object Curate {
         cfg.packBudget, cfg.packBuckets, extraKeys = Seq("split"))
       .drop(textCol)
   }
+
+  /** The stage-1 QC/repetition gate predicate of [[curate]], exposed so
+    * the harness can oracle-check the gate in isolation (the full
+    * composition has no tractable SQL oracle; its gates do —
+    * `curate_qc_gate` / `curate_contamination_gate` in CorpusQueries).
+    * Codegen'd column expression, map-only.
+    */
+  def qcPredicate(text: Column, cfg: CurateConfig = CurateConfig()): Column =
+    TextAnalysis.tokenCount(text) >= cfg.minTokens &&
+      TextAnalysis.punctRatio(text) < cfg.maxPunctRatio &&
+      TextAnalysis.stopwordRatio(text) > cfg.minStopwordRatio &&
+      CorpusQc.dupGramFrac(text, 3) <= cfg.maxDup3gramFrac &&
+      CorpusQc.topGramFrac(text, 2) <= cfg.maxTop2gramFrac
 
   /** Persisted keeper-id manifests, memoized by (session, canonicalized
     * plan): repeated `curate()` invocations over the same inputs (the

@@ -18,8 +18,16 @@ import org.apache.spark.sql.functions._
   *              stale delete (U4)
   *  - keep    — existing row with no incoming match (delete candidate)
   *
-  * Scale: one shuffle on the unique key for the full-outer join (AQE
-  * handles skew); insert surrogate keys are DETERMINISTIC in the data —
+  * Scale: one shuffle on the unique key for the full-outer join. Skew:
+  * AQE does NOT split full-outer joins, and it doesn't need to here —
+  * both sides are UNIQUE on the 7-field key by construction (existing
+  * is a previous merge output; incoming is AnnotMerge's groupBy(mergeKey)
+  * output), so a hot key PREFIX still hash-spreads over the full
+  * composite key (measured flat at 30% hot: MergeSkewMain, BASELINE.md).
+  * That uniqueness is a real CONTRACT, not an observation: feeding
+  * duplicate full keys makes an m x n fan-out inside one unsplittable
+  * join partition (measured 14x wall at 0.3% duplicated — same probe).
+  * Insert surrogate keys are DETERMINISTIC in the data —
   * row_number within a hash bucket of the unique key, interleaved as
   * `rn*nBuckets + bucket` so buckets never collide without cross-bucket
   * offsets. One bounded-width shuffle, no global sort, no driver collect

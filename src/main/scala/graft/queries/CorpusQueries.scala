@@ -111,8 +111,46 @@ object CorpusQueries extends QueryPack {
         Tables.documents(s, d)
           .select($"lang", TextAnalysis.tokenCount($"text").as("n_tokens")),
         "lang", "n_tokens", alpha = mixAlpha)
+    }),
+
+    // STAGE oracles for the curate() flagship: the composition itself is
+    // digest-pinned (LSH/union-find has no tractable SQL), but its two
+    // gate stages are SQL-expressible, so DuckDB checks them row-exactly
+    // at the e2e's own config — the LLM flagship's analog of the GAF
+    // pipeline's per-operator oracle rows.
+
+    // stage 1: the QC/repetition gate exactly as corpus_curate_e2e runs
+    // it (same predicate via Curate.qcPredicate, same train split)
+    "curate_qc_gate" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(pmod($"doc_id", lit(benchMod)) =!= 0)
+        .filter(graft.operators.Curate.qcPredicate($"text", curateCfg))
+        .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tokens"))
+    }),
+
+    // stage 2: the contamination gate at the e2e's n=3 / 0.06 config,
+    // isolated on QC survivors (inside curate() it runs post-dedup,
+    // which SQL can't reach; the gate LOGIC is identical)
+    "curate_contamination_gate" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val qc = docs
+        .filter(pmod($"doc_id", lit(benchMod)) =!= 0)
+        .filter(graft.operators.Curate.qcPredicate($"text", curateCfg))
+      CorpusQc.contaminationScores(
+          qc.select($"doc_id", $"text"),
+          docs.filter(pmod($"doc_id", lit(benchMod)) === 0),
+          "doc_id", "text", curateCfg.contaminationN)
+        .filter($"contamination_frac" <= curateCfg.maxContaminationFrac)
     })
   )
+
+  /** The corpus_curate_e2e config (contamination n=3 / 0.06 — see that
+    * query's scaladoc for why those are the non-vacuous values here).
+    */
+  private val curateCfg = graft.operators.Curate.CurateConfig(
+    contaminationN = 3, maxContaminationFrac = 0.06)
 
   private val mixAlpha = 0.3
 
@@ -141,7 +179,63 @@ object CorpusQueries extends QueryPack {
        |    ELSE 0.0 END AS top_${n}gram_frac""".stripMargin
   }
 
+  // DuckDB form of Curate.qcPredicate at the e2e config (conditions in
+  // the same shapes the proven text_quality_filter / text_repetition
+  // oracles use; the two repetition fractions round(6) on BOTH engines
+  // before comparing, mirroring dupGramFrac/topGramFrac)
+  private def qcConds: String = {
+    val ltoks = "string_split_regex(lower(trim(text)), '\\s+')"
+    val en = TextAnalysis.enStopwords.map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    val punct = """(CASE WHEN length(text) > 0
+      |    THEN CAST(length(text) -
+      |      length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+      |      / length(text) ELSE 0.0 END)""".stripMargin
+    val stop = s"""(CASE WHEN len($ltoks) > 0
+      |    THEN CAST(len(list_intersect($ltoks, $en)) AS DOUBLE) / len($ltoks)
+      |    ELSE 0.0 END)""".stripMargin
+    val dup3 = s"""(CASE WHEN (${ntoks()} - 2) > 0
+      |    THEN round(1.0 - len(list_distinct(${grams(3)})) / (${ntoks()} - 2), 6)
+      |    ELSE 0.0 END)""".stripMargin
+    val top2chars = "coalesce(list_max([length(e.key) * e.value " +
+      s"for e in map_entries(list_aggregate(${grams(2)}, 'histogram'))]), 0)"
+    val top2 = s"""(CASE WHEN length(text) > 0
+      |    THEN round($top2chars / length(text), 6) ELSE 0.0 END)""".stripMargin
+    s"""${ntoks()} >= 20
+       |  AND $punct < 0.1
+       |  AND $stop > 0.0
+       |  AND $dup3 <= 0.5
+       |  AND $top2 <= 0.2""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+
+    "curate_qc_gate" ->
+      s"""SELECT doc_id, ${ntoks()} AS n_tokens FROM documents
+         |WHERE doc_id % $benchMod <> 0 AND $qcConds""".stripMargin,
+
+    "curate_contamination_gate" -> {
+      val g3 = grams(3)
+      s"""WITH bench AS (
+         |  SELECT DISTINCT unnest(list_distinct($g3)) AS _gram
+         |  FROM documents WHERE doc_id % $benchMod = 0
+         |), docg AS (
+         |  SELECT doc_id, list_distinct($g3) AS _grams
+         |  FROM documents WHERE doc_id % $benchMod <> 0 AND $qcConds
+         |), hits AS (
+         |  SELECT doc_id, count(*) AS n_contaminated
+         |  FROM (SELECT doc_id, unnest(_grams) AS _gram FROM docg)
+         |  JOIN bench USING (_gram) GROUP BY doc_id
+         |), scored AS (
+         |  SELECT d.doc_id, len(d._grams) AS n_grams,
+         |    coalesce(h.n_contaminated, 0) AS n_contaminated,
+         |    CASE WHEN len(d._grams) > 0
+         |      THEN round(coalesce(h.n_contaminated, 0) / len(d._grams), 6)
+         |      ELSE 0.0 END AS contamination_frac
+         |  FROM docg d LEFT JOIN hits h USING (doc_id)
+         |)
+         |SELECT * FROM scored WHERE contamination_frac <= 0.06""".stripMargin
+    },
 
     "text_repetition" ->
       s"""SELECT doc_id, ${ntoks()} AS n_tokens,

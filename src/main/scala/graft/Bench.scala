@@ -153,8 +153,11 @@ object Bench {
       val pass2 = timedPass()
       val calPost2 = calibrate()
       passes = 2
-      if (pass2.map(r => math.abs(r._2)).sum <
-          pass.map(r => math.abs(r._2)).sum) {
+      // fewer failures beats faster: a pass where a query crashed in 1s
+      // must not outrank a pass where it succeeded in 10s
+      def passKey(p: Seq[(String, Double)]): (Int, Double) =
+        (p.count(_._2 < 0), p.map(r => math.abs(r._2)).sum)
+      if (Ordering[(Int, Double)].lt(passKey(pass2), passKey(pass))) {
         calPre = calPre2; pass = pass2; calPost = calPost2
       }
     }

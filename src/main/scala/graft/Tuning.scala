@@ -51,7 +51,11 @@ object Tuning {
     * later call can distinguish its own default from a user override:
     * self-installed values are raised monotonically (a session that runs
     * a small input first must not pin the sizing at the floor for a later
-    * huge input), while a user-set value always wins untouched.
+    * huge input), while a user-set value always wins untouched. Known
+    * boundary: a user pin set to EXACTLY the currently-self-installed
+    * number is indistinguishable from the self-install and may be raised
+    * by a later bigger input — to freeze sizing, pin a value autoShuffle
+    * did not itself choose, or clear this marker key after pinning.
     */
   private val SelfInstalledKey = "graft.tuning.autoShuffle.selfInstalled"
 

@@ -166,18 +166,26 @@ object CorpusQueries extends QueryPack {
     s"[array_to_string(($toks)[i:i+${n - 1}], ' ') " +
       s"for i in range(1, ${ntoks()} - ${n - 1} + 1)]"
 
-  private def repCols(n: Int): String = {
+  // the two repetition fractions as bare expressions, shared by the
+  // text_repetition oracle and the curate QC-gate oracle so the gate's
+  // "same shapes the proven oracles use" claim is true by construction
+  private def dupFracExpr(n: Int): String = {
     val total = s"(${ntoks()} - ${n - 1})"
+    s"""(CASE WHEN $total > 0
+       |    THEN round(1.0 - len(list_distinct(${grams(n)})) / $total, 6)
+       |    ELSE 0.0 END)""".stripMargin
+  }
+  private def topFracExpr(n: Int): String = {
     // max over grams of count*chars via DuckDB's histogram aggregate
     val topChars = "coalesce(list_max([length(e.key) * e.value " +
       s"for e in map_entries(list_aggregate(${grams(n)}, 'histogram'))]), 0)"
-    s"""  CASE WHEN $total > 0
-       |    THEN round(1.0 - len(list_distinct(${grams(n)})) / $total, 6)
-       |    ELSE 0.0 END AS dup_${n}gram_frac,
-       |  CASE WHEN length(text) > 0
+    s"""(CASE WHEN length(text) > 0
        |    THEN round($topChars / length(text), 6)
-       |    ELSE 0.0 END AS top_${n}gram_frac""".stripMargin
+       |    ELSE 0.0 END)""".stripMargin
   }
+  private def repCols(n: Int): String =
+    s"""  ${dupFracExpr(n)} AS dup_${n}gram_frac,
+       |  ${topFracExpr(n)} AS top_${n}gram_frac""".stripMargin
 
   // DuckDB form of Curate.qcPredicate at the e2e config (conditions in
   // the same shapes the proven text_quality_filter / text_repetition
@@ -194,18 +202,11 @@ object CorpusQueries extends QueryPack {
     val stop = s"""(CASE WHEN len($ltoks) > 0
       |    THEN CAST(len(list_intersect($ltoks, $en)) AS DOUBLE) / len($ltoks)
       |    ELSE 0.0 END)""".stripMargin
-    val dup3 = s"""(CASE WHEN (${ntoks()} - 2) > 0
-      |    THEN round(1.0 - len(list_distinct(${grams(3)})) / (${ntoks()} - 2), 6)
-      |    ELSE 0.0 END)""".stripMargin
-    val top2chars = "coalesce(list_max([length(e.key) * e.value " +
-      s"for e in map_entries(list_aggregate(${grams(2)}, 'histogram'))]), 0)"
-    val top2 = s"""(CASE WHEN length(text) > 0
-      |    THEN round($top2chars / length(text), 6) ELSE 0.0 END)""".stripMargin
     s"""${ntoks()} >= 20
        |  AND $punct < 0.1
        |  AND $stop > 0.0
-       |  AND $dup3 <= 0.5
-       |  AND $top2 <= 0.2""".stripMargin
+       |  AND ${dupFracExpr(3)} <= 0.5
+       |  AND ${topFracExpr(2)} <= 0.2""".stripMargin
   }
 
   override def oracleSql: Map[String, String] = Map(

@@ -122,28 +122,40 @@ object CorpusQc {
     * low-resource domains; alpha = 1 is proportional sampling.
     *
     * Scale: ONE map-side-combined aggregation shuffle on the domain key
-    * reduces the corpus to #domains rows; the corpus-wide totals are
-    * 1-row aggregates of that reduced frame joined back by crossJoin
-    * (the [[Ranking.bm25TopK]] pattern — a global WINDOW over the same
-    * rows would compute identically but logs Spark's
-    * "No Partition Defined ... single partition" warning on every run,
-    * and the 1-row-broadcast form is the one that still reads correctly
-    * if a caller ever feeds a high-cardinality domain key).
+    * reduces the corpus to #domains rows, and that aggregation appears
+    * in the plan exactly ONCE: the #domains rows collapse to a single
+    * sorted array row, the two corpus-wide totals are deterministic
+    * array folds over it, and the rows explode back out. (A global
+    * window over the reduced frame computes the same thing but logs
+    * Spark's "No Partition Defined ... single partition" warning on
+    * every run; a crossJoin of self-aggregates references the corpus
+    * aggregation up to 4x and gambles on exchange reuse, which this
+    * repo has measured failing across re-aliased self-joins. Domain
+    * counts are small by construction — languages, sources — so the
+    * one-row array is dozens of entries, never data.)
     */
   def mixtureWeights(df: DataFrame, domainCol: String, weightCol: String,
                      alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
-    val byDomain = df.groupBy(col(domainCol))
+    val ds = col("_ds")
+    val tokens = (x: Column) => x.getField("domain_tokens").cast("double")
+    df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(weightCol)).cast("long").as("domain_tokens"))
-    val withP = byDomain
-      .crossJoin(byDomain.agg(sum("domain_tokens").as("_tot")))
-      .withColumn("_p", col("domain_tokens").cast("double") / col("_tot"))
-      .withColumn("_pa", pow(col("_p"), lit(alpha)))
-    withP
-      .crossJoin(withP.agg(sum("_pa").as("_pa_tot")))
-      .select(col(domainCol), col("n_docs"), col("domain_tokens"),
-        round(col("_p"), 6).as("share"),
-        round(col("_pa") / col("_pa_tot"), 6).as("mix_weight"))
+      // sort_array: a deterministic fold order for the double sums
+      .agg(sort_array(collect_list(struct(
+        col(domainCol).as("_d"), col("n_docs"), col("domain_tokens"))))
+        .as("_ds"))
+      .withColumn("_tot", aggregate(ds, lit(0.0), (a, x) => a + tokens(x)))
+      .withColumn("_pa_tot", aggregate(ds, lit(0.0),
+        (a, x) => a + pow(tokens(x) / col("_tot"), lit(alpha))))
+      .select(explode(ds).as("_x"), col("_tot"), col("_pa_tot"))
+      .select(col("_x._d").as(domainCol),
+        col("_x.n_docs").as("n_docs"),
+        col("_x.domain_tokens").as("domain_tokens"),
+        round(col("_x.domain_tokens").cast("double") / col("_tot"), 6)
+          .as("share"),
+        round(pow(col("_x.domain_tokens").cast("double") / col("_tot"),
+          lit(alpha)) / col("_pa_tot"), 6).as("mix_weight"))
   }
 }

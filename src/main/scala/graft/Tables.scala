@@ -71,6 +71,21 @@ object Tables {
     }
   }
 
+  /** `events.ts` normalized to the engine's event-time clock: epoch
+    * NANOS as long. The harness data shipped ts as nanos-as-long parquet
+    * through round 5 and as a microsecond TIMESTAMP_NTZ from round 6 —
+    * every downstream operator/oracle pair (gap arithmetic, bucket
+    * floors, `epoch_ns(ts)` on the DuckDB side) is defined on the nanos
+    * clock, so the conversion happens ONCE here at the load boundary and
+    * both physical layouts read identically. Wall-clock values are
+    * interpreted as UTC: every engine entry point pins
+    * `spark.sql.session.timeZone=UTC` (Bench/Verify/SparkSpec/mains).
+    */
+  def eventTsNanos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, unix_micros}
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L)
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
@@ -78,7 +93,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw // legacy nanos layout
+      case _ =>
+        raw.withColumn("ts", eventTsNanos(org.apache.spark.sql.functions.col("ts")))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -69,14 +69,18 @@ class StreamingSpec extends SparkSpec {
   test("readStream over the harness events parquet drives the window agg") {
     import spark.implicits._
     // file-source streaming: the same windowedCounts plan fed by
-    // readStream over the sf0.001 events table (ns timestamps -> derive
-    // an event-time column from the nanos-long)
+    // readStream over the sf0.001 events table. The raw parquet is read
+    // here (readStream needs an explicit schema), so ts is normalized to
+    // the engine's nanos clock the same way Tables.events does before
+    // deriving the event-time column.
     val schema = spark.read
       .option("pathGlobFilter", "events.parquet")
       .parquet("/root/testdata/sf0.001").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet("/root/testdata/sf0.001")
+      .withColumn("ts", graft.Tables.eventTsNanos(
+        org.apache.spark.sql.functions.col("ts")))
       .withColumn("event_ts", org.apache.spark.sql.functions
         .to_timestamp(org.apache.spark.sql.functions.col("ts") / 1e9))
     val q = IncrementalStream

@@ -247,17 +247,27 @@ object AnnotationPipeline {
   def matchGenes(gaf: DataFrame, dims: Dimensions, fileSpecies: Int,
                  resolveOverride: Option[DataFrame] = None): DataFrame = {
     // line identity = content hash, not monotonically_increasing_id:
-    // the audit keeper choice (min _row_id per consolidation group, A4
-    // "incoming lines removed") must not depend on physical partitioning
-    // — identical results on any cluster layout, pinnable by a digest.
+    // the audit keeper choice (min (_row_id, _row_id2) per consolidation
+    // group, A4 "incoming lines removed") must not depend on physical
+    // partitioning — identical results on any cluster layout, pinnable
+    // by a digest.
     // Duplicate full lines collapse onto one id, which is exactly the
     // indistinguishability they have in the source file. Hash the
     // null-MARKED canonical form (same scheme as GoldenMain.digest):
     // bare xxhash64 leaves its seed untouched for null columns, so two
     // distinct lines whose non-null values align in different columns
-    // would collide.
-    val g = gaf.withColumn("_row_id", xxhash64(concat_ws("\u0001",
-      gaf.columns.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
+    // would collide. Identity is 128 BITS: a second, independently-
+    // seeded hash (_row_id2, salt column prepended) rides along, so
+    // distinct lines colliding on the full pair is ~2^-128 per pair —
+    // negligible at any corpus size, vs ~1e-5 collision odds at 1e7
+    // lines for one 64-bit hash (birthday bound). Keeper comparisons
+    // order by the (_row_id, _row_id2) pair; the prefix decides except
+    // under a 64-bit collision, so keeper choice (and every pinned
+    // digest) is unchanged on collision-free data.
+    val canon = concat_ws("\u0001",
+      gaf.columns.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val g = gaf.withColumn("_row_id", xxhash64(canon))
+      .withColumn("_row_id2", xxhash64(lit("graft-rid2"), canon))
 
     // The J1/J2/J3 fallback chain (MAHQC.java:101-167) as three tiered
     // broadcast left-joins against a set-valued dim (one array of
@@ -364,55 +374,72 @@ object AnnotationPipeline {
   // ------------------------------------------------------------ J7/F10/F11
   /** Direct + ISO branches (MAHQC.java:195-220, 246-249). `matched` rows
     * carry `rgd_id`; output is annotation-shaped (pre-enrichment).
+    *
+    * SINGLE-PASS (round 7): the former `direct.unionByName(iso)` put the
+    * whole upstream map-side chain (scan -> QC -> match cascade) into
+    * the physical plan TWICE — one subtree per branch — doubling the
+    * scan at every scale. Both branches are now emitted from ONE pass:
+    * each matched row explodes an array holding its direct variant (F11:
+    * suppressed when refRgdId == 0) plus one ISO variant per rat
+    * ortholog (J7/F10: only for ISO-eligible evidence; the ortholog dim
+    * is pre-grouped to a broadcast list per source gene, so the fan-out
+    * is `transform` over a broadcast-joined array — still map-side, no
+    * shuffle). Output rows are value-identical to the union form.
     */
   def buildAnnotations(matched: DataFrame, dims: Dimensions,
                        cfg: PipelineConfig): DataFrame = {
-    val base = matched.select(
-      col("go_id").as("term_acc"),
-      col("rgd_id").as("annotated_object_rgd_id"),
-      lit(GENES_OBJECT_KEY).as("rgd_object_key"),
+    val orthoSets = broadcast(dims.orthologs
+      .groupBy(col("src_rgd_id"))
+      .agg(collect_list(col("dest_rgd_id")).as("_dests")))
+
+    // the per-variant fields; everything else passes through unchanged
+    val directVariant = struct(
+      col("rgd_id").as("aor"),
       col("assigned_by").as("data_src"),
       lit(cfg.refRgdId).as("ref_rgd_id"),
-      col("evidence"),
-      col("with_info"),
-      col("aspect"),
-      col("qualifier"),
+      col("evidence").as("evidence"),
+      col("with_info").as("with_info"),
       col("db_reference").as("xref_source"),
-      lit(null.asInstanceOf[String]).as("notes"),
-      col("annotation_extension"),
-      col("gene_product_form_id"),
-      col("gaf_date"),
-      col("rgd_id").as("_src_gene"),
-      col("_row_id")) // audit handle (line lineage); dropped by annotate()
+      lit(null).cast("string").as("notes"))
+    val isoVariants = transform(col("_dests"), d => struct(
+      d.as("aor"),
+      lit("RGD").as("data_src"),
+      lit(cfg.isoRefRgdId).as("ref_rgd_id"),
+      lit("ISO").as("evidence"),
+      concat(lit("RGD:"), col("rgd_id")).as("with_info"),
+      lit(null).cast("string").as("xref_source"),
+      coalesce(nullif(trim(col("with_info")), lit("")),
+        col("db_reference")).as("notes")))
 
-    // F11: refRgdId == 0 suppresses the direct branch (chinchilla path)
+    // correctly-typed empty variant array (array().cast needs a resolved
+    // struct type; an always-false filter gets it from the analyzer)
+    val emptyVariants = filter(array(directVariant), _ => lit(false))
     val direct =
-      if (cfg.refRgdId == 0) base.limit(0) else base
+      if (cfg.refRgdId == 0) emptyVariants else array(directVariant)
+    val iso = when(
+      col("evidence").isin(cfg.isoCodes.toSeq: _*) && col("_dests").isNotNull,
+      isoVariants).otherwise(emptyVariants)
 
-    // J7 + F10: rat-ISO derivation via the ortholog join
-    val iso = matched
-      .filter(col("evidence").isin(cfg.isoCodes.toSeq: _*))
-      .join(broadcast(dims.orthologs), col("rgd_id") === col("src_rgd_id"))
+    matched
+      .join(orthoSets, col("rgd_id") === col("src_rgd_id"), "left")
+      .withColumn("_v", explode(concat(direct, iso)))
       .select(
         col("go_id").as("term_acc"),
-        col("dest_rgd_id").as("annotated_object_rgd_id"),
+        col("_v.aor").as("annotated_object_rgd_id"),
         lit(GENES_OBJECT_KEY).as("rgd_object_key"),
-        lit("RGD").as("data_src"),
-        lit(cfg.isoRefRgdId).as("ref_rgd_id"),
-        lit("ISO").as("evidence"),
-        concat(lit("RGD:"), col("rgd_id")).as("with_info"),
+        col("_v.data_src").as("data_src"),
+        col("_v.ref_rgd_id").as("ref_rgd_id"),
+        col("_v.evidence").as("evidence"),
+        col("_v.with_info").as("with_info"),
         col("aspect"),
         col("qualifier"),
-        lit(null.asInstanceOf[String]).as("xref_source"),
-        coalesce(nullif(trim(col("with_info")), lit("")),
-          col("db_reference")).as("notes"),
+        col("_v.xref_source").as("xref_source"),
+        col("_v.notes").as("notes"),
         col("annotation_extension"),
         col("gene_product_form_id"),
         col("gaf_date"),
         col("rgd_id").as("_src_gene"),
-        col("_row_id"))
-
-    direct.unionByName(iso)
+        col("_row_id"), col("_row_id2")) // audit handles; dropped by annotate()
   }
 
   // ------------------------------------------------- F7/F8, P5-P9, J8/J9
@@ -490,7 +517,7 @@ object AnnotationPipeline {
     val matched = matchGenes(filtered, dims, cfg.speciesTypeKey)
     val enriched = qcAndEnrich(buildAnnotations(matched, dims, cfg), dims, cfg)
     val consolidated = Consolidator.consolidate(
-      enriched.drop("_row_id", "_prio"),
+      enriched.drop("_row_id", "_row_id2", "_prio"),
       consolidationKey, "with_info", WITH_INFO_CAP)
     AnnotMerge.merge(consolidated, mergeKey, "xref_source", "notes",
       XREF_SOURCE_CAP)

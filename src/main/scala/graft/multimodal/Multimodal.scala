@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
   * columns + typed metadata, with decode / feature-extract as
   * partition-local batch transforms.
   *
-  * Image METADATA decode is REAL (`javax.imageio` header reads,
-  * [[imageDims]]); only feature extraction is STUBBED (no pixel/audio
-  * codecs in this environment): [[stubDecode]] derives a deterministic
-  * fake feature vector from the bytes. Everything around it — schema,
-  * batch shape, partition-local iteration, column pruning — is the real
-  * production plumbing: swap `stubDecode` for a JNI/codec call and
-  * nothing else changes. (The reference pipeline has no media path;
+  * Image decode is REAL for every format the JDK's `javax.imageio`
+  * registry can read (PNG/BMP/GIF/JPEG here): [[pixelFeatures]] computes
+  * the 8-dim feature vector from actual decoded pixels, and
+  * [[imageDims]] reads header dimensions. The stub boundary is narrowed
+  * to what is genuinely absent in this environment — payloads NO
+  * registered codec decodes (audio, video, exotic image formats):
+  * [[stubDecode]] derives a deterministic fake feature vector from the
+  * raw bytes for those. Everything else — schema, batch shape,
+  * partition-local iteration, column pruning — is the real production
+  * plumbing: register another codec (or swap stubDecode for a JNI call)
+  * and nothing else changes. (The reference pipeline has no media path;
   * this implements the north-star extension from BASELINE.json.)
   *
   * Scale notes: media bytes dominate row size, so the transform is
@@ -79,8 +83,11 @@ object Multimodal {
     }
   }
 
-  /** Deterministic stand-in for a codec: folds the payload into an
-    * 8-dim pseudo-feature. Replace with a real decoder at deployment —
+  /** Deterministic stand-in for payloads NO registered codec decodes
+    * (audio/video/exotic formats — genuinely absent in this
+    * environment): folds the payload into an 8-dim pseudo-feature.
+    * Decodable images never reach this — they get [[pixelFeatures]]
+    * from real pixels. Replace with a real codec at deployment —
     * `???`-equivalent, but runnable so the plumbing is testable.
     */
   def stubDecode(payload: Array[Byte]): Array[Float] = {
@@ -93,6 +100,82 @@ object Multimodal {
     f
   }
 
+  /** Full pixel decode via the JDK imageio registry: `ImageIO.read` over
+    * the in-memory payload, None when the magic sniff says non-image or
+    * no codec/corrupt data. PNG/BMP/GIF/JPEG decode out of the box.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    def magic(sig: Int*): Boolean =
+      bytes.length >= sig.length &&
+        sig.zipWithIndex.forall { case (b, i) => (bytes(i) & 0xff) == b }
+    val looksImage = magic(0x89, 'P', 'N', 'G') ||
+      magic(0xff, 0xd8, 0xff) || magic('G', 'I', 'F', '8') ||
+      magic('B', 'M')
+    if (!looksImage) None
+    else {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try Option(javax.imageio.ImageIO.read(in))
+      catch { case _: Exception => None } // truncated/corrupt payload
+      // ImageIO.read closes its ImageInputStream on success; the
+      // second close must not throw on that path
+      finally try in.close() catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** REAL 8-dim image feature vector from decoded pixels (channel means,
+    * luma mean/stddev, mean horizontal gradient, aspect, log-scale):
+    *
+    *   f0/f1/f2  mean R/G/B in [0,1]
+    *   f3        mean luma (Rec.601: .299R + .587G + .114B) in [0,1]
+    *   f4        luma standard deviation in [0,1]
+    *   f5        mean |horizontal luma gradient| in [0,1] (0 for w=1)
+    *   f6        aspect w/(w+h)
+    *   f7        log10(1 + pixel count) / 9 (unit scale up to 1e9 px)
+    *
+    * Exact on solid colors by construction: f0..f2 = channel/255,
+    * f4 = f5 = 0 — pinned by spec. Pixels read via `getRGB` (sRGB
+    * conversion applied by the JDK), so indexed/gray images normalize
+    * to the same color space.
+    */
+  def pixelFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = w.toLong * h
+    var sr, sg, sb, sy, syy, sgrad = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      var prevLuma = 0.0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b
+        sy += luma; syy += luma * luma
+        if (x > 0) sgrad += math.abs(luma - prevLuma)
+        prevLuma = luma
+        x += 1
+      }
+      y += 1
+    }
+    val inv = if (n > 0) 1.0 / n else 0.0
+    val meanLuma = sy * inv
+    val varLuma = math.max(0.0, syy * inv - meanLuma * meanLuma)
+    val nGrad = (w - 1).toLong * h
+    Array(
+      (sr * inv / 255.0).toFloat,
+      (sg * inv / 255.0).toFloat,
+      (sb * inv / 255.0).toFloat,
+      (meanLuma / 255.0).toFloat,
+      (math.sqrt(varLuma) / 255.0).toFloat,
+      (if (nGrad > 0) sgrad / nGrad / 255.0 else 0.0).toFloat,
+      (if (w + h > 0) w.toDouble / (w + h) else 0.0).toFloat,
+      (math.log10(1.0 + n.toDouble) / 9.0).toFloat)
+  }
+
   private def checksum64(bytes: Array[Byte]): Long = {
     var h = 1125899906842597L
     var i = 0
@@ -103,6 +186,11 @@ object Multimodal {
   /** Partition-local batched decode: media rows in, narrow feature rows
     * out. The iterator is processed in `batchSize` groups so a real codec
     * can amortize per-batch initialization (Arrow-batch analog).
+    *
+    * Decodable images get REAL pixel features ([[pixelFeatures]]) and
+    * their decoded dimensions; everything else falls back to the header
+    * sniff for dims and [[stubDecode]] for the feature — the documented
+    * codec boundary.
     */
   def decodeFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
@@ -113,9 +201,16 @@ object Multimodal {
           // per-batch codec setup would go here
           batch.iterator.map { case (id, tpe, payload) =>
             val bytes = if (payload == null) Array.emptyByteArray else payload
-            val dims = imageDims(bytes)
-            MediaFeature(id, tpe, bytes.length, checksum64(bytes),
-              dims.map(_._1), dims.map(_._2), stubDecode(bytes))
+            decodeImage(bytes) match {
+              case Some(img) =>
+                MediaFeature(id, tpe, bytes.length, checksum64(bytes),
+                  Some(img.getWidth), Some(img.getHeight),
+                  pixelFeatures(img))
+              case None =>
+                val dims = imageDims(bytes)
+                MediaFeature(id, tpe, bytes.length, checksum64(bytes),
+                  dims.map(_._1), dims.map(_._2), stubDecode(bytes))
+            }
           }
         }
       }

@@ -160,11 +160,14 @@ object Audit {
     // stage boundary — these counters cost ZERO extra scans (they
     // aggregate map-side with the single action at the bottom). The
     // join-shaped QC counters (F4/F5/F9) ride the same pass as marker
-    // left-joins + conditional counts, replacing three side scans. The
-    // frames the remaining side passes genuinely re-read (qc, matched,
-    // enriched, mergedA2) are persisted and FILLED BY the one main
-    // action, so each side pass starts from a cache, never from the
-    // parquet scan (round-2 shape: ~59s; this shape: <30s at sf0.1).
+    // left-joins + conditional counts, replacing three side scans; so do
+    // unmatched (any-species tier cascade over the DISTINCT match-key
+    // set, rejoined as a marker — round-7) and noRatGene (broadcast
+    // ortholog-id marker). The frames the remaining side passes
+    // genuinely re-read (qc, matched, enriched, merged) are persisted
+    // and FILLED BY the one main action, so each side pass starts from a
+    // cache, never from the parquet scan (round-2 shape: ~59s at sf0.1;
+    // round-6: ~14.6s; this shape cuts the side-job count 6 -> 2).
     val src = filterSources(gaf, cfg.sources)
 
     // F4/F5 as observed markers — identical row set to qcTermFilters()
@@ -178,6 +181,19 @@ object Audit {
       .union(spark.sql(s"SELECT '${Constants.CATALYTIC_ACTIVITY}' AS go_id")))
     val f4Hit = col("_n4c").isNotNull
     val f5Hit = !f4Hit && col("evidence") === "IPI" && col("_ipi").isNotNull
+
+    // ONE redirect-fixpoint walk feeds both resolve variants (main
+    // species-scoped + the unmatched counter's any-species), halving the
+    // chain-depth precomputation collects
+    val fix = dbg("fixBuild")(resolveFixpoint(dims))
+    val mainResolve = fix
+      .filter(col("cur_status") === "ACTIVE" &&
+        col("cur_species") === lit(cfg.speciesTypeKey))
+      .select(col("raw_rgd_id"), col("cur_id").as("final_rgd_id"))
+    val anyResolve = fix
+      .filter(col("cur_status") === "ACTIVE")
+      .select(col("raw_rgd_id"), col("cur_id").as("final_rgd_id"))
+
     val obsQc = new Observation("qc")
     val qc = src
       .join(broadcast(not4curation.withColumn("_n4c", lit(1))),
@@ -191,26 +207,23 @@ object Audit {
       .drop("_n4c", "_ipi")
       .persist()
 
-    // ONE redirect-fixpoint walk feeds both resolve variants (main
-    // species-scoped + the unmatched counter's any-species), halving the
-    // chain-depth precomputation collects
-    val fix = dbg("fixBuild")(resolveFixpoint(dims))
-    val mainResolve = fix
-      .filter(col("cur_status") === "ACTIVE" &&
-        col("cur_species") === lit(cfg.speciesTypeKey))
-      .select(col("raw_rgd_id"), col("cur_id").as("final_rgd_id"))
-    val anyResolve = fix
-      .filter(col("cur_status") === "ACTIVE")
-      .select(col("raw_rgd_id"), col("cur_id").as("final_rgd_id"))
-    val matched =
-      matchGenes(qc, dims, cfg.speciesTypeKey, Some(mainResolve)).persist()
-
+    // noRatGene (MAHQC.java:195-200) as a broadcast ortholog-id marker
+    // on the matched spine — replaces the former anti-join side job
+    val orthoIds = broadcast(dims.orthologs
+      .select(col("src_rgd_id").as("rgd_id")).distinct()
+      .withColumn("_ortho", lit(1)))
+    val isoEvCond = col("evidence").isin(cfg.isoCodes.toSeq: _*)
     // MATCH BY <db>: db values are bounded by the cfg.sources allow-list
     val obsMatch = new Observation("match")
-    val matchedObs = matched.observe(obsMatch,
-      count(lit(1)).as("n"),
-      cfg.sources.map(s =>
-        count(when(col("db") === s, 1)).as(s"by_$s")): _*)
+    val matched = matchGenes(qc, dims, cfg.speciesTypeKey, Some(mainResolve))
+      .join(orthoIds, Seq("rgd_id"), "left")
+      .observe(obsMatch,
+        count(lit(1)).as("n"),
+        count(when(isoEvCond && col("_ortho").isNull, 1)).as("noRat") +:
+          cfg.sources.map(s =>
+            count(when(col("db") === s, 1)).as(s"by_$s")): _*)
+      .drop("_ortho") // not persisted: single spine consumer (round 7)
+    val matchedObs = matched
 
     // scalar-QC counters in reference evaluation order (F7 -> P6 -> F8 ->
     // P7/P5/P8, MAHQC.java:250-316): each condition only counts rows
@@ -251,7 +264,7 @@ object Audit {
     val obsCons = new Observation("consolidated")
     val consolidated = graft.operators.Consolidator.consolidate(
         enriched.observe(obsEnriched, count(lit(1)).as("n"))
-          .drop("_row_id", "_prio"),
+          .drop("_row_id", "_row_id2", "_prio"),
         consolidationKey, "with_info", Constants.WITH_INFO_CAP)
       .observe(obsCons, count(lit(1)).as("n"))
     val mergedA2 = AnnotMerge.merge(consolidated, mergeKey,
@@ -264,18 +277,31 @@ object Audit {
       .withColumn("created_by", lit(cfg.createdBy))
       .withColumn("last_modified_by", lit(cfg.createdBy))
       .select(existing.columns.map(col): _*)
+    // _op branch counts ride the main action as observed conditional
+    // counts (the _op domain is closed: insert/update/touch/keep, and
+    // only the first three are dumped) — the former groupBy(_op) job and
+    // the merged persist are gone: the fused overflow/updOrig
+    // aggregation below is merged's ONLY consumer (round 7)
+    val obsOps = new Observation("ops")
     val merged = MergeSink.merge(existing, incoming, cfg.runTs,
-      cfg.createdBy).persist() // small final table; reused for updOrig
+      cfg.createdBy)
+      .observe(obsOps,
+        count(when(col("_op") === "insert", 1)).as("insert"),
+        count(when(col("_op") === "update", 1)).as("update"),
+        count(when(col("_op") === "touch", 1)).as("touch"))
 
-    // Materialize the shared caches stage-by-stage so every stage reads
-    // its predecessor's cache exactly once — the single-action form let
-    // multi-reference branches (direct ∪ iso, merge classify) recompute
-    // uncached segments. Observations fire as their node is first scanned.
-    dbg("qcFill")(qc.count())
-    dbg("matchedFill")(matched.count())
+    // ONE fill + one main action (round 7): buildAnnotations is now
+    // single-pass (no direct ∪ iso double-subtree), so the spine up to
+    // `enriched` is linear and a single enrichedFill materializes BOTH
+    // caches (qc fills as a byproduct of streaming through it). The fill
+    // is still load-bearing: Consolidator's mergeable/empties branches
+    // consume its staging exchange twice, and with an UNFILLED persist
+    // below them the branches race to recompute the whole upstream spine
+    // (measured: dropping this fill doubled the main action). The former
+    // qcFill/matchedFill actions, by contrast, were pure overhead once
+    // the union double-subtree was gone.
     dbg("enrichedFill")(enriched.count())
-    val ops = dbg("main")(merged.groupBy(col("_op")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+
     // AQE's empty-relation propagation can prune a CollectMetrics node
     // wholesale when its input collapses to an empty LocalRelation (empty
     // GAF input): the Observation then reports NO metrics rather than
@@ -283,41 +309,42 @@ object Audit {
     // absent key reads as 0 — never as a thrown NoSuchElementException.
     def cnt(metrics: Map[String, Any])(k: String): Long =
       metrics.get(k).fold(0L)(_.asInstanceOf[Long])
-    val m = cnt(obsMatch.get) _
-    val b = cnt(obsBuilt.get) _
-    val q = cnt(obsQc.get) _
-    val consolidatedN = cnt(obsCons.get)("n")
-    val matchBy = cfg.sources
-      .map(s => s"MATCH BY $s" -> m(s"by_$s"))
-      .filter(_._2 > 0)
 
     // ---- side passes, only where a different plan is genuinely needed —
-    // each starts from a cache filled by the main action above
-    // unmatched: lines with no ACTIVE gene of ANY species after redirect
-    // (MAHQC.java:81-84 — the species test comes later, so active-but-
-    // foreign matches are NOT unmatched)
-    // match-ness per line depends only on (db, db_object_id,
-    // gene_product_form_id): run the tier cascade over the DISTINCT key
-    // set (dimension-sized) instead of all fact rows, then anti-join
-    val qcKeys = qc
-      .select(col("db"), col("db_object_id"), col("gene_product_form_id"))
-      .dropDuplicates("db", "db_object_id", "gene_product_form_id")
-    val matchedAny = matchGenes(qcKeys, dims, cfg.speciesTypeKey,
-      Some(anyResolve))
-    // the side counts are independent actions over cached frames: run
-    // them concurrently so their fixed per-job scheduling costs overlap
-    // (the reference's CounterPool is concurrent for the same reason)
+    // both read caches the fill just materialized, and both launch
+    // BEFORE the main action so they overlap it (the reference's
+    // CounterPool is concurrent for the same reason)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
 
-    val unmatchedF = Future(dbg("unmatched")(qc.join(
-      matchedAny.select(col("db"), col("db_object_id")).distinct(),
-      Seq("db", "db_object_id"), "left_anti").count()))
-
     val inactiveF = Future(dbg("inactive")(
       inactive(qc, dims, cfg.speciesTypeKey).count()))
-    val noRatF = Future(dbg("noRat")(noRatGene(matched, dims, cfg).count()))
+
+    // unmatched (MAHQC.java:81-84 — lines with no ACTIVE gene of ANY
+    // species after redirect; the species test comes later): match-ness
+    // per line depends only on (db, db_object_id, gene_product_form_id),
+    // and a line counts as matched when ANY gpfi variant of its (db, id)
+    // matched. So: ONE map-combined aggregation reduces the qc cache to
+    // per-triple counts (dimension-sized), the any-species cascade runs
+    // over that dim, and the unmatched total is a sum over the anti-
+    // joined (db, id) groups — no anti-join against fact rows, no spine
+    // marker join (a spine marker was measured costing ~2s of broadcast
+    // build inside the fill; this whole job hides behind the main pass)
+    val unmatchedF = Future(dbg("unmatched")({
+      val triples = qc
+        .groupBy(col("db"), col("db_object_id"), col("gene_product_form_id"))
+        .agg(count(lit(1)).as("_n"))
+      val matchedKeys = matchGenes(triples, dims, cfg.speciesTypeKey,
+          Some(anyResolve))
+        .select(col("db"), col("db_object_id"))
+        .dropDuplicates("db", "db_object_id")
+      triples.groupBy(col("db"), col("db_object_id"))
+        .agg(sum(col("_n")).as("_n"))
+        .join(matchedKeys, Seq("db", "db_object_id"), "left_anti")
+        .agg(coalesce(sum(col("_n")), lit(0L)).cast("long"))
+        .head().getLong(0)
+    }))
 
     // A4 deltas: "with_info merges" counts merged-away annotations;
     // "incoming lines removed" counts LINES whose every annotation was
@@ -327,45 +354,74 @@ object Audit {
     // this engine does not preserve file order, so keeper = min
     // content-hash line id — deterministic on any cluster layout, and
     // identical duplicate lines count once, not per physical line.
-    val enrichedN = cnt(obsEnriched.get)("n")
-    val mergesN = enrichedN - consolidatedN
+    // (enrichedN/mergesN are computed after the main action below —
+    // obsEnriched sits ABOVE the cache on the consolidated lineage and
+    // obsCons fires in the main action, so reading either here blocks)
     // one window + one groupBy instead of the former two groupBys, two
     // distincts and an anti-join: a line is kept iff it has an empty-wi
     // annotation or is the min-_row_id owner of some mergeable group
     val keyW = org.apache.spark.sql.expressions.Window
       .partitionBy(consolidationKey.map(col): _*)
     val nonEmptyWi = length(coalesce(col("with_info"), lit(""))) > 0
+    // line identity is the 128-bit (_row_id, _row_id2) pair (see
+    // matchGenes); keeper choice orders by the struct, lexicographic
+    val rid = struct(col("_row_id"), col("_row_id2"))
     val linesRemovedF = Future(dbg("linesRemoved")(enriched
-      .withColumn("_keeper_id",
-        min(when(nonEmptyWi, col("_row_id"))).over(keyW))
-      .withColumn("_keep", !nonEmptyWi || col("_row_id") === col("_keeper_id"))
-      .groupBy(col("_row_id")).agg(max(col("_keep")).as("_kept"))
+      .withColumn("_keeper_id", min(when(nonEmptyWi, rid)).over(keyW))
+      .withColumn("_keep", !nonEmptyWi || rid === col("_keeper_id"))
+      .groupBy(col("_row_id"), col("_row_id2"))
+      .agg(max(col("_keep")).as("_kept"))
       .filter(!col("_kept")).count()))
 
-    // A2 overflow: every emission past the first per merge-key group.
+    // THE MAIN ACTION: A2 overflow + updatedOrigCreatedDate, fused into
+    // the one job that drives the whole merge spine (consolidate ->
+    // xref merge -> classify) off the enriched cache — the _op branch
+    // counts ride it as obsOps, so the dump's previously-separate
+    // groupBy(_op) job, truncated job and updOrig job are all THIS pass
+    // (round-6 verdict item 2).
+    // overflow: every emission past the first per merge-key group.
     // merged's incoming-side rows (_op != keep) are 1:1 with mergedA2
     // (unique-key full-outer against a unique existing side) and carry
-    // identical mergeKey values, so the cached merged table answers this
+    // identical mergeKey values, so the merged frame answers this
     // without re-running the two merge aggregations.
+    // updOrig: update rows whose original_created_date changed — the old
+    // value comes from a left join back to existing on full_annot_key
+    // (inserts' fresh surrogate keys are strictly > max existing key, so
+    // they never spuriously match; left≡inner for update rows, whose key
+    // IS an existing key by construction).
     // coalesce: on an empty incoming side the aggregation input has zero
     // rows, sum() is null, and a bare getLong would NPE where 0 is meant
-    val truncatedF = Future(dbg("truncated")(
+    val mainRow = dbg("main")(
       merged.filter(col("_op") =!= "keep")
-        .groupBy(mergeKey.map(col): _*).count()
-        .agg(coalesce(sum(col("count")) - count(lit(1)), lit(0L))
-          .cast("long")).head().getLong(0)))
+        .join(existing.select(col("full_annot_key"),
+          col("original_created_date").as("_old_ocd")),
+          Seq("full_annot_key"), "left")
+        .groupBy(mergeKey.map(col): _*)
+        .agg(count(lit(1)).as("_cnt"),
+          count(when(col("_op") === "update" &&
+            !(col("original_created_date") <=> col("_old_ocd")), 1))
+            .as("_uo"))
+        .agg(coalesce(sum(col("_cnt")) - count(lit(1)), lit(0L))
+            .cast("long").as("_trunc"),
+          coalesce(sum(col("_uo")), lit(0L)).cast("long").as("_updOrig"))
+        .head())
+    val truncatedN = mainRow.getLong(0)
+    val updOrigN = mainRow.getLong(1)
 
-    val updOrigF = Future(dbg("updOrig")(merged.filter(col("_op") === "update")
-      .join(existing.select(col("full_annot_key"),
-        col("original_created_date").as("_old_ocd")), Seq("full_annot_key"))
-      .filter(!(col("original_created_date") <=> col("_old_ocd"))).count()))
-
-    val unmatchedN = Await.result(unmatchedF, Duration.Inf)
+    val opsC = cnt(obsOps.get) _
+    val m = cnt(obsMatch.get) _
+    val b = cnt(obsBuilt.get) _
+    val q = cnt(obsQc.get) _
+    val consolidatedN = cnt(obsCons.get)("n")
+    val enrichedN = cnt(obsEnriched.get)("n")
+    val mergesN = enrichedN - consolidatedN
+    val matchBy = cfg.sources
+      .map(s => s"MATCH BY $s" -> m(s"by_$s"))
+      .filter(_._2 > 0)
     val inactiveN = Await.result(inactiveF, Duration.Inf)
-    val noRatN = Await.result(noRatF, Duration.Inf)
+    val unmatchedN = Await.result(unmatchedF, Duration.Inf)
     val linesRemovedN = Await.result(linesRemovedF, Duration.Inf)
-    val truncatedN = Await.result(truncatedF, Duration.Inf)
-    val updOrigN = Await.result(updOrigF, Duration.Inf)
+    val noRatN = m("noRat")
 
     val rows: Seq[(String, Long)] = Seq(
       "highLevelGoTerm" -> q("f4"),
@@ -383,13 +439,13 @@ object Audit {
       "with_info merges" -> mergesN,
       "incoming lines removed" -> linesRemovedN,
       "  TRUNCATED XREF_SOURCE (XREF_SOURCE LENGTH > 4000)" -> truncatedN,
-      "matchingAnnotCount" -> ops.getOrElse("touch", 0L),
-      "insertedAnnotCount" -> ops.getOrElse("insert", 0L),
-      "updatedAnnotCount" -> ops.getOrElse("update", 0L),
+      "matchingAnnotCount" -> opsC("touch"),
+      "insertedAnnotCount" -> opsC("insert"),
+      "updatedAnnotCount" -> opsC("update"),
       "updatedOrigCreatedDate" -> updOrigN
     ) ++ matchBy
 
-    Seq(qc, matched, enriched, merged).foreach(_.unpersist())
+    Seq(qc, enriched, merged).foreach(_.unpersist())
     import spark.implicits._
     // the reference dumps counters alphabetically (dumpStats) — match it
     rows.toDF("counter", "value").orderBy(col("counter"))

@@ -8,6 +8,15 @@ import org.apache.spark.sql.functions._
   * fixed-token-budget training sequences ("concat-and-chunk", the
   * packing GPT-style pipelines actually run — concatenate the token
   * stream in a deterministic order, cut every `budget` tokens).
+  *
+  * Token-budget caveat: `tokenCol` is whatever count the caller
+  * supplies. When it is [[graft.text.TextAnalysis.bpeTokenCount]], note
+  * that count is a GPT-2-style PRE-tokenizer regex proxy, not a
+  * merge-table BPE — budgets are approximate relative to any specific
+  * model's tokenizer (typically an over-count, since merges only fuse
+  * pre-tokens). The packing arithmetic itself is exact for whatever
+  * counts it is given; swap in real tokenizer counts and nothing here
+  * changes.
   */
 object Packing {
 

@@ -77,6 +77,19 @@ object CorpusQueries extends QueryPack {
         "doc_id", "n_tokens", budget = 2048, buckets = 16)
     }),
 
+    // the same packing arithmetic at the BPE-proxy boundary: pins the
+    // proxy's regex semantics (TextAnalysis.bpePattern) exactly where
+    // token budgeting consumes it — DuckDB re-counts the same pattern
+    // and re-runs the running-sum chunk assignment on those counts
+    "pack_bpe_sequences" -> ((s, d) => {
+      import s.implicits._
+      Packing.packChunks(
+        Tables.documents(s, d)
+          .select($"doc_id",
+            TextAnalysis.bpeTokenCount($"text").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048, buckets = 16)
+    }),
+
     // End-to-end curation flagship (the LLM-pipeline analog of
     // gaf_pipeline_e2e): QC/repetition gates -> exact dedup -> LSH
     // clustering -> contamination gate -> split -> per-split packing,
@@ -293,6 +306,18 @@ object CorpusQueries extends QueryPack {
          |  floor((sum(${ntoks()}) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
          |         - ${ntoks()}) / 2048)::BIGINT AS pack_seq
          |FROM documents""".stripMargin,
+
+    "pack_bpe_sequences" -> {
+      // TextAnalysis.bpePattern with SQL-literal quote doubling (same
+      // spelling the text_token_counts oracle already proves out)
+      val bpe = "len(regexp_extract_all(text, " +
+        "'''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))"
+      s"""SELECT doc_id, $bpe AS n_tokens,
+         |  (doc_id % 16)::INT AS pack_bucket,
+         |  floor((sum($bpe) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
+         |         - $bpe) / 2048)::BIGINT AS pack_seq
+         |FROM documents""".stripMargin
+    },
 
     "corpus_mix_weights" ->
       s"""WITH d AS (SELECT lang, count(*) AS n_docs,

@@ -7,8 +7,10 @@ import graft.multimodal.Multimodal
 
 /** Multimodal-column extension queries: documents.text synthesized into a
   * binary media table (deterministic), then driven through the real
-  * plumbing. mm_decode_features' checksum/feature come from the stubbed
-  * decoder (JVM fold) — no SQL oracle; spec-tested in MultimodalSpec.
+  * plumbing. mm_decode_features' text payloads are not decodable images,
+  * so their checksum/feature exercise the documented stub boundary (JVM
+  * fold) — no SQL oracle; real pixel decode + the stub boundary are both
+  * spec-tested in ExtensionsSpec.
   */
 object MultimodalQueries extends QueryPack {
 

@@ -121,6 +121,11 @@ object CorpusQc {
     * the resampling weight p_d^alpha / sum(p^alpha). alpha < 1 upsamples
     * low-resource domains; alpha = 1 is proportional sampling.
     *
+    * When the weight column is
+    * [[graft.text.TextAnalysis.bpeTokenCount]], remember it is a
+    * pre-tokenizer regex PROXY for real BPE (see its scaladoc) — the
+    * mixture is then approximate in the same way the packing budget is.
+    *
     * Scale: ONE map-side-combined aggregation shuffle on the domain key
     * reduces the corpus to #domains rows, and that aggregation appears
     * in the plan exactly ONCE: the #domains rows collapse to a single

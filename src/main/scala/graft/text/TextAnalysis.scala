@@ -26,6 +26,14 @@ object TextAnalysis {
   /** BPE-ish subword count: words, numbers, punctuation runs, and
     * contractions counted as separate tokens (a cheap proxy for a GPT-2
     * style pre-tokenizer; the real BPE merge table is model-specific).
+    *
+    * Proxy semantics, precisely: the count of non-overlapping matches of
+    * [[bpePattern]], left-to-right — i.e. GPT-2's pre-tokenization
+    * WITHOUT the merge step. Real BPE only ever merges within a
+    * pre-token, so this is an upper bound on word/number tokens but can
+    * under-count long punctuation runs (a merge table splits them). Any
+    * token budgeting built on it (packing, mixture weights) inherits
+    * that approximation — see [[graft.operators.Packing]].
     */
   val bpePattern = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
   def bpeTokenCount(text: Column): Column =

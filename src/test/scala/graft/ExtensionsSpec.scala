@@ -232,6 +232,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(1).decoded_width === None)
   }
 
+  test("pixel features come from REAL decoded pixels (exact on solid color)") {
+    // solid-color 8x4 PNG through each format the JDK registry decodes:
+    // channel means must be EXACTLY the fill color, luma spread and
+    // gradient exactly zero — impossible for a byte-hash stub to fake
+    def solid(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = img.createGraphics()
+      gfx.setColor(new java.awt.Color(rgb)); gfx.fillRect(0, 0, w, h)
+      gfx.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out))
+      out.toByteArray
+    }
+    for (fmt <- Seq("png", "bmp", "gif")) {
+      val f = Multimodal.pixelFeatures(
+        Multimodal.decodeImage(solid(8, 4, 0xCC6633, fmt)).get)
+      assert(f(0) === 0xCC / 255.0f, s"$fmt mean R")
+      assert(f(1) === 0x66 / 255.0f, s"$fmt mean G")
+      assert(f(2) === 0x33 / 255.0f, s"$fmt mean B")
+      assert(f(4) === 0.0f, s"$fmt luma stddev")
+      assert(f(5) === 0.0f, s"$fmt gradient")
+      assert(f(6) === 8.0f / 12.0f, s"$fmt aspect")
+    }
+    // two-band image: gradient strictly positive, means averaged exactly
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xFFFFFF)
+    val f2 = Multimodal.pixelFeatures(img)
+    assert(f2(0) === 0.5f && f2(3) === 0.5f)
+    assert(f2(4) > 0.49f && f2(5) === 1.0f)
+    // the batched decode routes decodable images through pixelFeatures
+    // (not the stub): same bytes, same vector
+    val media = Seq((1L, "image", solid(8, 4, 0xCC6633, "png")))
+      .toDF("media_id", "media_type", "payload")
+    val viaPlumbing = Multimodal.decodeFeatures(media).collect().head
+    assert(viaPlumbing.feature.toSeq === Multimodal.pixelFeatures(
+      Multimodal.decodeImage(solid(8, 4, 0xCC6633, "png")).get).toSeq)
+    // non-image payloads still take the documented stub boundary
+    val stubMedia = Seq((2L, "audio", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "media_type", "payload")
+    val stubGot = Multimodal.decodeFeatures(stubMedia).collect().head
+    assert(stubGot.feature.toSeq ===
+      Multimodal.stubDecode(Array[Byte](1, 2, 3)).toSeq)
+  }
+
   test("frame sampling emits one row per step offset") {
     val media = Seq((1L, "image", Array[Byte](1), 0, 0, 1200),
         (2L, "image", Array[Byte](1), 0, 0, 0))

@@ -62,6 +62,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("distributed path (>1M edges) labels components like the local path") {
+    // 550k disjoint 3-node chains = 1.1M edges: past driverSideEdgeLimit,
+    // so components() MUST take componentsDistributed (the curate 100x
+    // probe exercised it, but nothing committed pinned it until now).
+    // Ground truth is closed-form — node n belongs to chain n/3, whose
+    // min member (the canonical label) is 3*(n/3) — which is exactly
+    // what the local union-find computes on this graph, so agreement
+    // with the local path is asserted without collecting 1.65M rows.
+    // Short chains keep the diameter at 2: min-label propagation
+    // converges in ~3 rounds regardless of scale.
+    val nChains = 550000L
+    val edges = spark.range(2 * nChains)
+      .select((lit(3L) * (col("id") / 2).cast("long") + pmod(col("id"), lit(2)))
+        .as("id_a"))
+      .withColumn("id_b", col("id_a") + 1)
+    assert(edges.count() > ConnectedComponents.driverSideEdgeLimit)
+    val labels = ConnectedComponents.components(edges)
+    // every one of the 1.65M nodes present, each labeled by its chain min
+    assert(labels.count() === 3 * nChains)
+    val wrong = labels
+      .filter(col("component") =!= col("id") - pmod(col("id"), lit(3L)))
+      .count()
+    assert(wrong === 0L)
+  }
+
   // ------------------------------------------------------------ audit
   private lazy val dims = graft.gaf.Fixtures.dims(spark)
   private lazy val gaf = graft.gaf.Fixtures.mouseGaf(spark)

@@ -27,6 +27,67 @@ object ProfMain {
     // warmup
     Tables.orders(spark, d).count()
 
+    if (args.contains("a7")) {
+      // a7_counter_dump cost vs the flagship (round-6 verdict item 2:
+      // target dump <= ~1.5x flagship) — run flagship, then dump, warm
+      import graft.queries.GafE2eQueries
+      val dims = GafE2eQueries.dims(spark, d)
+      val gaf = GafE2eQueries.gaf(spark, d)
+      val cfg = GafE2eQueries.cfg
+      gaf.count(); dims.rgdIds.count(); dims.xdb.count()
+      val existing = spark.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](),
+        graft.gaf.Dims.fullAnnot) // same empty-existing as a7_counter_dump
+      for (round <- 1 to 2) {
+        t(s"flagship annotate (pass $round)") {
+          GafE2eQueries.annotateE2e(spark, d).count()
+        }
+        t(s"a7 counter dump (pass $round)") {
+          graft.operators.Audit.pipelineCounters(gaf, dims, cfg, existing)
+            .count()
+        }
+      }
+      spark.stop(); return
+    }
+
+    if (args.contains("cons")) {
+      // isolate the two merge aggregations from the upstream chain:
+      // cache enriched, then time each downstream stage alone
+      import graft.gaf._
+      import graft.queries.GafE2eQueries
+      val dims = GafE2eQueries.dims(spark, d)
+      val gaf = GafE2eQueries.gaf(spark, d)
+      val cfg = GafE2eQueries.cfg
+      graft.Tuning.autoShuffle(spark, graft.Tuning.estimatedBytes(gaf))
+      val enriched = AnnotationPipeline.qcAndEnrich(
+        AnnotationPipeline.buildAnnotations(
+          AnnotationPipeline.matchGenes(
+            AnnotationPipeline.qcTermFilters(
+              AnnotationPipeline.filterSources(gaf, cfg.sources), dims),
+            dims, cfg.speciesTypeKey), dims, cfg), dims, cfg)
+        .drop("_row_id", "_row_id2", "_prio").cache()
+      t("enriched fill (cache)") { enriched.count() }
+      for (p <- 1 to 2) {
+        t(s"consolidate only (pass $p)") {
+          graft.operators.Consolidator.consolidate(enriched,
+            AnnotationPipeline.consolidationKey, "with_info",
+            Constants.WITH_INFO_CAP).count()
+        }
+      }
+      val consolidated = graft.operators.Consolidator.consolidate(enriched,
+        AnnotationPipeline.consolidationKey, "with_info",
+        Constants.WITH_INFO_CAP).cache()
+      t("consolidated fill (cache)") { consolidated.count() }
+      for (p <- 1 to 2) {
+        t(s"annotMerge only (pass $p)") {
+          graft.operators.AnnotMerge.merge(consolidated,
+            AnnotationPipeline.mergeKey, "xref_source", "notes",
+            Constants.XREF_SOURCE_CAP).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("e2e")) {
       import graft.gaf._
       import graft.queries.GafE2eQueries
@@ -46,7 +107,7 @@ object ProfMain {
       val enriched = AnnotationPipeline.qcAndEnrich(built, dims, cfg)
       t("e2e 4: +qcAndEnrich") { enriched.count() }
       val consolidated = graft.operators.Consolidator.consolidate(
-        enriched.drop("_row_id", "_prio"),
+        enriched.drop("_row_id", "_row_id2", "_prio"),
         AnnotationPipeline.consolidationKey, "with_info", Constants.WITH_INFO_CAP)
       t("e2e 5: +consolidate") { consolidated.count() }
       t("e2e 6: full annotate") { GafE2eQueries.annotateE2e(spark, d).count() }

@@ -72,15 +72,20 @@ class StreamingSpec extends SparkSpec {
     // readStream over the sf0.001 events table. The raw parquet is read
     // here (readStream needs an explicit schema), so ts is normalized to
     // the engine's nanos clock the same way Tables.events does before
-    // deriving the event-time column.
+    // deriving the event-time column — including the LongType guard, so
+    // a fixture regenerated in the legacy nanos-as-long layout passes
+    // through instead of being misread as seconds.
     val schema = spark.read
       .option("pathGlobFilter", "events.parquet")
       .parquet("/root/testdata/sf0.001").schema
-    val stream = spark.readStream.schema(schema)
+    val rawStream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet("/root/testdata/sf0.001")
-      .withColumn("ts", graft.Tables.eventTsNanos(
+    val stream = (schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => rawStream // legacy nanos
+      case _ => rawStream.withColumn("ts", graft.Tables.eventTsNanos(
         org.apache.spark.sql.functions.col("ts")))
+    })
       .withColumn("event_ts", org.apache.spark.sql.functions
         .to_timestamp(org.apache.spark.sql.functions.col("ts") / 1e9))
     val q = IncrementalStream

@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Same-session DuckDB wall for the 2x gate (round-7 verdict item 3).
+
+Runs every oracle SQL from a JSON file ({name: sql}) against the sf
+parquet tables and prints ONE line: total wall seconds (plus a per-query
+JSON to stderr for debugging). Invoked by graft.Bench immediately after
+the Spark timed pass so the (spark_oracle_subset, duckdb_wall) pair is
+measured under the SAME host weather — the gate stops depending on a
+cross-round quiet-host memory.
+
+This is measurement harness, not engine code: the Spark library has no
+DuckDB dependency; Bench shells out and skips gracefully when python3
+or duckdb is absent.
+
+Usage: python3 tools/duckdb_wall.py <sfDir> <oracle_sql.json>
+"""
+import sys, json, os, time
+
+def main(sf_dir, oracle_path):
+    import duckdb
+    con = duckdb.connect()
+    # mirror the driver's harness: all 32 host threads, same table views
+    con.execute("PRAGMA threads=32")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(oracle_path))
+    per = {}
+    total = 0.0
+    for name, sql in sorted(oracle.items()):
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()  # materialize fully, like Spark's digest
+            dt = time.time() - t0
+        except Exception as e:
+            dt = -(time.time() - t0)  # failures negated, same as Bench
+            print(f"FAIL {name}: {e}", file=sys.stderr)
+        per[name] = round(dt, 3)
+        if dt > 0:
+            total += dt
+    print(json.dumps(per), file=sys.stderr)
+    print(f"{total:.3f}")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

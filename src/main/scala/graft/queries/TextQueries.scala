@@ -92,6 +92,23 @@ object TextQueries extends QueryPack {
       graft.text.Ranking.bm25TopK(
         Tables.documents(s, d), "doc_id", "text",
         terms = bm25Terms, k = bm25K)
+    }),
+
+    // TRUE merge-table BPE (graft.text.Bpe): train driver-side on a
+    // bounded deterministic sample of this corpus, then count exact
+    // subword tokens in one map-only pass, alongside the pre-tokenizer
+    // proxy for comparison (exact >= proxy by construction — merges only
+    // fuse within a pre-token). No SQL oracle (iterative merge loop has
+    // no tractable SQL form): rows-only for the driver, digest-pinned in
+    // GoldenDigestsSpec, algorithm hand-verified in BpeSpec.
+    "text_bpe_exact" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.Bpe.trainCached(s, d, docs, "text",
+        numMerges = bpeMerges)
+      docs.select($"doc_id",
+        graft.text.Bpe.bpeExactCount($"text", merges).as("n_bpe_exact"),
+        TextAnalysis.bpeTokenCount($"text").as("n_bpe_proxy"))
     })
   )
 
@@ -99,6 +116,7 @@ object TextQueries extends QueryPack {
   private val chunkStride = 48
   private val bm25Terms = Seq("dup", "spark", "merge")
   private val bm25K = 50
+  private val bpeMerges = 200
 
   private val toks = "string_split_regex(trim(text), '\\s+')"
   private val ltoks = "string_split_regex(lower(trim(text)), '\\s+')"

@@ -33,7 +33,8 @@ object TextAnalysis {
     * pre-token, so this is an upper bound on word/number tokens but can
     * under-count long punctuation runs (a merge table splits them). Any
     * token budgeting built on it (packing, mixture weights) inherits
-    * that approximation — see [[graft.operators.Packing]].
+    * that approximation — see [[graft.operators.Packing]]. For exact
+    * merge-table counts, use [[graft.text.Bpe]] (train + encode).
     */
   val bpePattern = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
   def bpeTokenCount(text: Column): Column =

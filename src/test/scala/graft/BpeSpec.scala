@@ -1,0 +1,59 @@
+package graft
+
+import graft.text.{Bpe, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** True-BPE trainer/encoder semantics, hand-verified (graft.text.Bpe). */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("training merges the most frequent pair first, hand-computed") {
+    // words: abab x2, abc x1 -> pair (a,b) count 5 merges first; then
+    // (ab,ab) count 2; then (ab,c) count 1 stops training (no repeat)
+    val merges = Bpe.trainLocal(Seq("abab", "abab", "abc"), numMerges = 10)
+    assert(merges === Seq(("a", "b"), ("ab", "ab")))
+  }
+
+  test("tie on counts resolves to the lexicographically smallest pair") {
+    val merges = Bpe.trainLocal(Seq("ab", "ab", "cd", "cd"), numMerges = 1)
+    assert(merges === Seq(("a", "b")))
+  }
+
+  test("training is deterministic under input order and partition layout") {
+    val texts = Seq("the theme there", "other gather the", "breathe the")
+    val a = Bpe.trainLocal(texts, 50)
+    val b = Bpe.trainLocal(texts.reverse, 50)
+    assert(a === b)
+  }
+
+  test("greedy encode applies lowest rank first; roundtrip reproduces text") {
+    val ranks = Bpe.ranksOf(Seq(("a", "b"), ("ab", "ab")))
+    assert(Bpe.encodeWord("ababab", ranks) === Seq("abab", "ab"))
+    assert(Bpe.encodeWord("abc", ranks) === Seq("ab", "c"))
+    assert(Bpe.encodeWord("xyz", ranks) === Seq("x", "y", "z"))
+    // full text: pre-tokenization boundaries (incl. GPT-2 leading-space
+    // convention and punctuation runs) survive the merge loop exactly
+    val t = "abab abc, it's 42!"
+    val toks = Bpe.encode(t, ranks)
+    assert(toks.mkString === Bpe.preTokenize(t).mkString)
+  }
+
+  test("exact count >= proxy count on the harness corpus (column forms)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.train(docs, "text", numMerges = 64)
+    assert(merges.nonEmpty)
+    val bad = docs.select(
+        Bpe.bpeExactCount($"text", merges).as("exact"),
+        TextAnalysis.bpeTokenCount($"text").as("proxy"))
+      .filter($"exact" < $"proxy").count()
+    // merges fuse only within a pre-token, so exact can never undercut
+    // the pre-token (proxy) count
+    assert(bad === 0L)
+    // and training must actually compress: strictly fewer exact tokens
+    // than characters somewhere
+    val sums = docs.select(
+      sum(Bpe.bpeExactCount($"text", merges)).cast("long"),
+      sum(length($"text")).cast("long")).head()
+    assert(sums.getLong(0) < sums.getLong(1))
+  }
+}

@@ -38,4 +38,8 @@ class GoldenDigestsSpec extends SparkSpec {
   check("mm_decode_features", 500L, "28829225139155658480")
   check("ev_merge_replay", 450L, "6725000057474321672")
   check("corpus_curate_e2e", 48L, "2569338463195615679")
+  // r7: true merge-table BPE — train is content-deterministic (hash-
+  // ordered sample, lexicographic tie-breaks), verified by back-to-back
+  // identical digests
+  check("text_bpe_exact", 500L, "54469054714186344608")
 }

@@ -110,38 +110,47 @@ object Bench {
   private final case class QRes(name: String, sec: Double,
                                 reran: Boolean, suspect: Boolean)
 
-  /** Same-session DuckDB wall over the oracle SQL set (None when the
-    * script/python/duckdb is unavailable or errors — the bench result
-    * must never depend on the measurement sidecar existing).
+  /** Same-session DuckDB wall over the oracle SQL set: (total seconds,
+    * failed-query count). None when the script/python/duckdb is
+    * unavailable or errors — the bench result must never depend on the
+    * measurement sidecar existing. The failed count matters: a failing
+    * oracle is excluded from the DuckDB total while its Spark time still
+    * counts in spark_oracle_subset, so a nonzero value flags the pair as
+    * not like-for-like.
+    *
+    * Process hygiene: stderr (per-query timings + failure detail) is
+    * DISCARDED — an undrained pipe would fill and deadlock the child;
+    * waitFor runs BEFORE the stdout read so the 20-minute timeout can
+    * actually fire (the one-line stdout payload fits any pipe buffer).
     */
-  private def duckdbWall(sfDir: String): Option[Double] = {
+  private def duckdbWall(sfDir: String, cpus: String): Option[(Double, Int)] = {
     val script = java.nio.file.Paths.get("tools/duckdb_wall.py")
     if (!java.nio.file.Files.exists(script)) return None
+    val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
     try {
-      // dump the oracle SQL with the same escaping Verify uses
-      def q(s: String): String = "\"" + s.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-      val json = SparkEntry.oracleSql
-        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-      val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
-      java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
+      java.nio.file.Files.write(tmp,
+        OracleJson.oracleJson.getBytes("UTF-8"))
       val pb = new ProcessBuilder("python3", script.toString,
-        sfDir, tmp.toString)
-      pb.redirectErrorStream(false)
+        sfDir, tmp.toString, cpus)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
-      if (!done) { p.destroyForcibly(); None }
-      else if (p.exitValue() != 0) None
-      else out.trim.split("\n").lastOption.map(_.toDouble)
+      try {
+        val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { p.destroyForcibly(); None }
+        else if (p.exitValue() != 0) None
+        else {
+          val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          out.trim.split("\n").lastOption.map(_.trim.split("\\s+")).collect {
+            case Array(total, failed) => (total.toDouble, failed.toInt)
+            case Array(total) => (total.toDouble, 0)
+          }
+        }
+      } finally if (p.isAlive) p.destroyForcibly()
     } catch { case _: Throwable => None }
+    finally {
+      try java.nio.file.Files.deleteIfExists(tmp)
+      catch { case _: Throwable => () }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -184,22 +193,24 @@ object Bench {
       (if (opsDumps(n)) 1 else 0, n)
     }
     val warmInfo = sorted.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Some(useForeach) on success; None when both actions throw
-      val mode =
-        try { consume(fn(spark, sfDir), useForeach = false); Some(false) }
-        catch {
-          case _: Throwable =>
-            try { consume(fn(spark, sfDir), useForeach = true); Some(true) }
-            catch { case _: Throwable => None }
-        }
-      (name, mode.getOrElse(false), (System.nanoTime() - t0) / 1e9,
-        mode.isDefined)
+      // Some(useForeach) on success; None when both actions throw. Only
+      // the SUCCESSFUL action is timed: a digest attempt that throws
+      // before the foreach fallback would otherwise inflate the warm
+      // time and desensitize the 3x outlier guard for exactly the
+      // queries that use the fallback.
+      def timed(fb: Boolean): Option[(Boolean, Double)] = {
+        val t0 = System.nanoTime()
+        try { consume(fn(spark, sfDir), useForeach = fb)
+              Some((fb, (System.nanoTime() - t0) / 1e9)) }
+        catch { case _: Throwable => None }
+      }
+      (name, timed(false).orElse(timed(true)))
     }
-    val useForeach = warmInfo.map { case (n, f, _, _) => n -> f }.toMap
-    // warm time only counts as a guard threshold when the warm run
-    // succeeded (a throwing warm run measures the time-to-throw)
-    val warm = warmInfo.collect { case (n, _, t, true) => n -> t }.toMap
+    val useForeach = warmInfo
+      .map { case (n, r) => n -> r.exists(_._1) }.toMap
+    // warm time only exists when a warm run succeeded (a throwing warm
+    // run measures the time-to-throw)
+    val warm = warmInfo.collect { case (n, Some((_, t))) => n -> t }.toMap
 
     // a FAILED query reports its elapsed-until-throw time NEGATED, so a
     // broken query can't masquerade as a fast one and deflate the total
@@ -265,7 +276,7 @@ object Bench {
     val oracleNames = SparkEntry.oracleSql.keySet
     val sparkOracleSubset = results
       .filter(r => r.sec > 0 && oracleNames(r.name)).map(_.sec).sum
-    val duckWall = duckdbWall(sfDir)
+    val duckWall = duckdbWall(sfDir, cpus)
     val loadEnd = loadavg()
 
     val failed = results.collect { case r if r.sec < 0 => r.name }.sorted
@@ -284,8 +295,9 @@ object Bench {
         else rs.map(r => "\"" + r.name + "\":" +
           fmt(warm.getOrElse(r.name, 0.0)))
           .mkString(""""warm_queries":{""", ",", "},")
-      val duck = duckWall.fold(""""duckdb_wall":null""")(d =>
-        s""""duckdb_wall":${fmt(d)}""")
+      val duck = duckWall.fold(
+        """"duckdb_wall":null,"duckdb_failed":null""") { case (t, f) =>
+        s""""duckdb_wall":${fmt(t)},"duckdb_failed":$f""" }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""action":"digest","failed":$fs,"suspect":$ss,""" +
         s""""reruns":${results.count(_.reran)},"calib_trace":$tr,""" +

@@ -388,9 +388,14 @@ object AnnotationPipeline {
     */
   def buildAnnotations(matched: DataFrame, dims: Dimensions,
                        cfg: PipelineConfig): DataFrame = {
+    // dest ids are struct-wrapped before collect_list: bare collect_list
+    // SKIPS nulls, and the union form this replaces emitted an ISO row
+    // (with a null annotated object) for a null-dest ortholog edge —
+    // wrapping preserves that row bit-for-bit rather than assuming a
+    // non-null invariant the dim never promises
     val orthoSets = broadcast(dims.orthologs
       .groupBy(col("src_rgd_id"))
-      .agg(collect_list(col("dest_rgd_id")).as("_dests")))
+      .agg(collect_list(struct(col("dest_rgd_id").as("d"))).as("_dests")))
 
     // the per-variant fields; everything else passes through unchanged
     val directVariant = struct(
@@ -402,7 +407,7 @@ object AnnotationPipeline {
       col("db_reference").as("xref_source"),
       lit(null).cast("string").as("notes"))
     val isoVariants = transform(col("_dests"), d => struct(
-      d.as("aor"),
+      d.getField("d").as("aor"),
       lit("RGD").as("data_src"),
       lit(cfg.isoRefRgdId).as("ref_rgd_id"),
       lit("ISO").as("evidence"),

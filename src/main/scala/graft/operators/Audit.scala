@@ -445,7 +445,7 @@ object Audit {
       "updatedOrigCreatedDate" -> updOrigN
     ) ++ matchBy
 
-    Seq(qc, enriched, merged).foreach(_.unpersist())
+    Seq(qc, enriched).foreach(_.unpersist()) // merged is never persisted
     import spark.implicits._
     // the reference dumps counters alphabetically (dumpStats) — match it
     rows.toDF("counter", "value").orderBy(col("counter"))

@@ -131,6 +131,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("xxhash64"), "audit line id not pruned from e2e")
     // both merge aggregations stay on the (object-)hash path in the plan
     assert(!p.contains("SortAggregate"), "merge agg fell back to sort")
+    // single-pass buildAnnotations (r7): the fact source appears as
+    // exactly TWO logical leaves — one per Consolidator branch
+    // (mergeable/empties both consume the staging exchange, which
+    // physical planning dedups via ReusedExchange; logically each branch
+    // carries the lineage). The former direct ∪ iso union doubled the
+    // upstream chain per branch (4 leaves). Counted on optimizedPlan
+    // LEAVES (not plan-string occurrences, which vary with cache state
+    // across suites); lineitem-only column marks the fact leaf.
+    val factLeaves = graft.queries.GafE2eQueries.annotateE2e(spark, sf)
+      .queryExecution.optimizedPlan.collectLeaves()
+      .count(_.output.exists(_.name == "l_orderkey"))
+    assert(factLeaves <= 2,
+      s"fact source is $factLeaves leaves — union double-scan is back")
+    assert(factLeaves >= 1, "fact scan missing from e2e plan")
+    assert(p.contains("Generate explode"),
+      "variant explode missing — buildAnnotations shape changed:\n" + p)
   }
 
   test("curate composition: fixed shuffle budget, dedup subtree reused") {

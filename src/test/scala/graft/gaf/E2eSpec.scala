@@ -14,16 +14,22 @@ class E2eSpec extends SparkSpec {
 
   test("e2e pipeline output is stable at sf0.001") {
     val out = GafE2eQueries.annotateE2e(spark, sf).cache()
-    // 8292: the synthetic derivation draws aspect independently of go_id
-    // (unlike real GO data), so exactly one A4 group at this sf holds two
-    // aspects and stays split by the aspect-guarded consolidation key
-    assert(out.count() === 8292)
-    // ISO derivation present with provenance
-    val iso = out.filter(col("evidence") === "ISO")
-    assert(iso.count() > 0)
-    assert(iso.filter(!col("with_info").startsWith("RGD:")).count() === 0)
-    // every annotated object resolved to an active gene id space
-    assert(out.filter(col("annotated_object_rgd_id").isNull).count() === 0)
+    try {
+      // 8292: the synthetic derivation draws aspect independently of go_id
+      // (unlike real GO data), so exactly one A4 group at this sf holds two
+      // aspects and stays split by the aspect-guarded consolidation key
+      assert(out.count() === 8292)
+      // ISO derivation present with provenance
+      val iso = out.filter(col("evidence") === "ISO")
+      assert(iso.count() > 0)
+      assert(iso.filter(!col("with_info").startsWith("RGD:")).count() === 0)
+      // every annotated object resolved to an active gene id space
+      assert(out.filter(col("annotated_object_rgd_id").isNull).count() === 0)
+    } finally out.unpersist()
+    // unpersist matters beyond hygiene: suites share one session, and a
+    // lingering cache of the WHOLE flagship plan makes CacheManager
+    // substitute an InMemoryRelation for it in PlanSpec's plan-shape
+    // assertions — which would then assert against the cache, not the plan
   }
 
   test("e2e golden digest at sf0.01 (the flagship's committed oracle)") {
@@ -57,5 +63,6 @@ class E2eSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(ops2.keySet === Set("touch"), s"expected all-touch, got $ops2")
     assert(ops2("touch") === ops1("insert"))
+    snapshot.unpersist() // shared session: see the stability test's note
   }
 }

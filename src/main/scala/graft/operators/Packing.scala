@@ -53,4 +53,33 @@ object Packing {
       .withColumn("pack_seq", floor(col("_start") / budget))
       .drop("_start")
   }
+
+  /** Assemble the actual training sequences: one row per
+    * (extraKeys, pack_bucket, pack_seq) with the member texts
+    * concatenated in `idCol` order — the record a data loader reads.
+    *
+    * Scale shape: ONE exchange total. The window inside [[packChunks]]
+    * hash-partitions on `pack_bucket`; the assembly groupBy's key set
+    * (bucket, seq) is a SUPERSET of that partitioning, so the clustered
+    * distribution is already satisfied and the aggregation reuses the
+    * same exchange — pinned by PlanSpec. Member order inside a sequence
+    * is deterministic without a sort exchange: collect_list's arbitrary
+    * arrival order is canonicalized by `array_sort` over (id, text)
+    * structs (struct ordering = field order, id first). A sequence's
+    * in-memory size is bounded by `budget` tokens plus one straddling
+    * document, the same bound the training run itself needs.
+    */
+  def assemble(df: DataFrame, idCol: String, textCol: String,
+               tokenCol: String, budget: Long, buckets: Int,
+               extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = extraKeys ++ Seq("pack_bucket", "pack_seq")
+    packChunks(df, idCol, tokenCol, budget, buckets, extraKeys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).cast("long").as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          x => x.getField(textCol)), " ").as("seq_text"))
+  }
 }

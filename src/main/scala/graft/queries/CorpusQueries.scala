@@ -77,6 +77,18 @@ object CorpusQueries extends QueryPack {
         "doc_id", "n_tokens", budget = 2048, buckets = 16)
     }),
 
+    // sequence ASSEMBLY: the record a data loader actually reads — texts
+    // concatenated in id order per (bucket, seq); one exchange total
+    // (the assembly groupBy reuses the window's bucket partitioning)
+    "pack_assemble" -> ((s, d) => {
+      import s.implicits._
+      Packing.assemble(
+        Tables.documents(s, d)
+          .select($"doc_id", $"text",
+            TextAnalysis.tokenCount($"text").as("n_tokens")),
+        "doc_id", "text", "n_tokens", budget = 2048, buckets = 16)
+    }),
+
     // the same packing arithmetic at the BPE-proxy boundary: pins the
     // proxy's regex semantics (TextAnalysis.bpePattern) exactly where
     // token budgeting consumes it — DuckDB re-counts the same pattern
@@ -306,6 +318,18 @@ object CorpusQueries extends QueryPack {
          |  floor((sum(${ntoks()}) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
          |         - ${ntoks()}) / 2048)::BIGINT AS pack_seq
          |FROM documents""".stripMargin,
+
+    "pack_assemble" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text, ${ntoks()} AS n_tokens,
+         |    (doc_id % 16)::INT AS pack_bucket,
+         |    floor((sum(${ntoks()}) OVER (PARTITION BY doc_id % 16
+         |           ORDER BY doc_id) - ${ntoks()}) / 2048)::BIGINT AS pack_seq
+         |  FROM documents)
+         |SELECT pack_bucket, pack_seq, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+         |FROM p GROUP BY 1, 2""".stripMargin,
 
     "pack_bpe_sequences" -> {
       // TextAnalysis.bpePattern with SQL-literal quote doubling (same

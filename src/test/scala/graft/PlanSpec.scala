@@ -104,6 +104,13 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size === 1, p)
   }
 
+  test("pack assembly reuses the window's bucket partitioning: one exchange") {
+    val p = plan(SparkEntry.queries("pack_assemble")(spark, sf))
+    // the assembly groupBy keys (bucket, seq) are a superset of the
+    // window's hash partitioning (bucket), so no second exchange appears
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+  }
+
   test("bm25 broadcasts the 1-row stats frame and heap-selects top-k") {
     val p = plan(SparkEntry.queries("text_bm25_topk")(spark, sf))
     // top-k must be per-partition heaps + driver merge, not a global sort

@@ -104,6 +104,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus-QC operators run unchanged on a stream (map-only = streamable)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the text-analysis family is pure column expressions, so the SAME
+    // code drives batch and streaming: a quality-filter gate over a
+    // document stream must admit exactly the rows its batch twin admits
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs on in a " +
+        "long enough clean sentence " + ("word " * 20)),
+      (2L, "#$%!!! @@@ ###"), // punctuation-heavy -> rejected
+      (3L, "short"))          // too short -> rejected
+    def gate(df: org.apache.spark.sql.DataFrame) = df.filter(
+      graft.text.TextAnalysis.tokenCount($"text") >= 20 &&
+        graft.text.TextAnalysis.punctRatio($"text") < 0.1 &&
+        graft.text.TextAnalysis.stopwordRatio($"text") > 0.0)
+    val input = MemoryStream[(Long, String)]
+    val q = gate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qc_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qc_stream")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      val batch = gate(docs.toDF("doc_id", "text"))
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed === Seq(1L))
+    } finally q.stop()
+  }
+
   test("dedupStream keeps first arrival per key; bounded state re-admits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -58,6 +58,20 @@ object SimilarityQueries extends QueryPack {
       Similarity.bruteForceTopK(queries, corpus, k = 5)
     }),
 
+    // int8-quantized brute force (the 4x-memory index path): same query
+    // set as the exact baseline; scores rank on the int8 codes directly
+    // (cosine scale-invariance). Digest-pinned; recall floor vs exact in
+    // ExtensionsSpec. No SQL oracle: float rounding through the int8
+    // codes has no portable SQL form.
+    "sim_int8_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      Similarity.int8TopK(queries, corpus, k = 5)
+    }),
+
     "sim_ivf_topk" -> ((s, d) => {
       import s.implicits._
       val emb = Tables.embeddings(s, d)

@@ -258,6 +258,54 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
   }
 
+  // ------------------------ int8 scalar quantization (memory scale path)
+  /** Per-vector symmetric int8 quantization:
+    * `q_i = round(v_i / scale)` with `scale = maxAbs/127`, stored as
+    * `struct(scale float, q array<tinyint>)` — 4x smaller than float32
+    * storage (the raw embedding table is the largest table a 100 TB
+    * corpus carries; an int8 ANN index holds 4x more vectors per
+    * executor-GB and per parquet scan byte). Pure builtin HOFs: fuses
+    * into whole-stage codegen, map-only.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = when(maxAbs > 0, maxAbs / 127.0).otherwise(lit(1.0))
+    struct(scale.cast("float").as("scale"),
+      transform(v, x => round(x.cast("double") / scale).cast("tinyint"))
+        .as("q"))
+  }
+
+  /** Approximate reconstruction; per-element error <= scale/2. */
+  def dequantizeInt8(qv: Column): Column =
+    transform(qv.getField("q"),
+      x => x.cast("double") * qv.getField("scale").cast("double"))
+
+  /** Brute-force top-k over int8-quantized vectors. Cosine is
+    * SCALE-INVARIANT, so similarity is computed directly on the int8
+    * code arrays — the per-vector scales cancel and dequantization never
+    * runs in the scoring loop; the only approximation is the rounding of
+    * the codes themselves (recall floor vs the exact ranker pinned in
+    * ExtensionsSpec). In deployment the corpus side is quantized ONCE at
+    * index-build time and stored as int8 parquet; quantizing inside this
+    * query stands in for reading that index.
+    */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    def codes(c: Column) =
+      transform(c.getField("q"), x => x.cast("double"))
+    val qq = broadcast(queries.select(col("q_id"),
+      quantizeInt8(col("q_vec")).as("_qq")))
+    val scored = corpus
+      .select(col("c_id"), quantizeInt8(col("c_vec")).as("_cq"))
+      .crossJoin(qq)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        round(cosine(codes(col("_qq")), codes(col("_cq"))), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+  }
+
   /** Cosine near-dup pairs above a threshold (embedding dedup), paired
     * WITHIN a caller-provided block key: the join shuffles both sides on
     * `block` and is quadratic only inside each block — the standard

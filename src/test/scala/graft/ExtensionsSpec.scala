@@ -117,6 +117,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(b1.toSet === b2.toSet)
   }
 
+  test("int8 quantization: bounded roundtrip error, high top-k recall") {
+    val emb = Tables.embeddings(spark, sf)
+    // per-element reconstruction error <= scale/2 (+ float-scale eps)
+    val bad = emb
+      .select($"embedding".as("v"),
+        Similarity.quantizeInt8($"embedding").as("qv"))
+      .select(
+        org.apache.spark.sql.functions.zip_with(
+          Similarity.dequantizeInt8($"qv"),
+          org.apache.spark.sql.functions.transform($"v",
+            x => x.cast("double")),
+          (a, b) => org.apache.spark.sql.functions.abs(a - b)).as("err"),
+        ($"qv".getField("scale").cast("double") * 0.5 + 1e-6).as("bound"))
+      .filter(org.apache.spark.sql.functions.array_max($"err") > $"bound")
+      .count()
+    assert(bad === 0L, "int8 roundtrip error exceeded scale/2")
+    // ranking on int8 codes tracks the exact ranker closely: 127 levels
+    // per dimension loses little cosine precision
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, k = 5))
+    val quant = pairs(Similarity.int8TopK(queries, corpus, k = 5))
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall $recall too low")
+  }
+
   test("IVF Lloyd training lifts recall over the raw seed centroids") {
     // the registered sim_ivf config (k=5, nProbe=3, 2 iterations over a
     // 50% hash-sample) at sf0.01: recall@5 rises 0.368 -> 0.440

@@ -42,4 +42,6 @@ class GoldenDigestsSpec extends SparkSpec {
   // ordered sample, lexicographic tie-breaks), verified by back-to-back
   // identical digests
   check("text_bpe_exact", 500L, "54469054714186344608")
+  // r7: int8-quantized ANN (cosine on the codes; scale-invariant)
+  check("sim_int8_topk", 50L, "47101543231917959576")
 }

@@ -265,6 +265,49 @@ object Dedup {
     * magnitude smaller than the corpus, which is what keeps the band
     * join bounded.
     */
+  /** Paragraph-granular exact dedup (the C4/RefinedWeb "remove
+    * duplicated paragraphs across the corpus" step): split each doc on
+    * `sep`, fingerprint each non-empty paragraph with the corpus-wide
+    * normalized content hash ([[graft.text.TextAnalysis.fingerprint]]),
+    * keep only the FIRST occurrence of each fingerprint (global order:
+    * min (doc id, paragraph position) — deterministic on any layout),
+    * and reassemble each doc from its surviving paragraphs in original
+    * order. Docs whose every paragraph was seen elsewhere first come
+    * back with `clean_text = ""` (callers drop or keep by `n_kept`);
+    * docs with no non-empty paragraphs produce no output row.
+    *
+    * Scale: one shuffle on the paragraph fingerprint (the keeper
+    * window) + one on the doc id (reassembly) — both map-combined-free
+    * windows/aggs over paragraph rows, no joins, no driver state. The
+    * fingerprint spreads uniformly, so the window partitions evenly
+    * except for a pathological single paragraph duplicated corpus-wide
+    * — which this op exists to delete, and which arrives pre-hashed
+    * into ONE partition only as (fp, doc, pos) triples, not payloads:
+    * the window ranks ids, and only rank-1 keeps its text downstream.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), sep))
+        .as(Seq("_pos", "_para")))
+      .filter(length(trim(col("_para"))) > 0)
+      .withColumn("_fp", graft.text.TextAnalysis.fingerprint(col("_para")))
+    val w = Window.partitionBy(col("_fp"))
+      .orderBy(col(idCol), col("_pos"))
+    paras
+      .withColumn("_keep", row_number().over(w) === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(when(col("_keep"), 1)).as("n_kept"),
+        count(when(!col("_keep"), 1)).as("n_dropped"),
+        // collect_list skips the nulls `when` leaves for dropped
+        // paragraphs; array_sort orders the survivors by position
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("_keep"), struct(col("_pos"), col("_para"))))),
+          x => x.getField("_para")), sep).as("clean_text"))
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     val sigs = spread(df.select(col(idCol).as("id"), col(textCol).as("t")))

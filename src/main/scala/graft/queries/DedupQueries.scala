@@ -37,6 +37,12 @@ object DedupQueries extends QueryPack {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxDist = 8)),
 
+    // C4/RefinedWeb-style paragraph-granular exact dedup: first global
+    // occurrence of each normalized paragraph survives, docs reassemble
+    // from survivors (full oracle: window + ordered string_agg)
+    "dedup_paragraphs" -> ((s, d) =>
+      Dedup.paragraphDedup(Tables.documents(s, d), "doc_id", "text")),
+
     // blocked form: quadratic only within each 150-id block (the block
     // key stands in for an LSH bucket / cluster id at scale); threshold
     // 0.4 sits inside the corpus' sim range so the oracle compares
@@ -70,6 +76,29 @@ object DedupQueries extends QueryPack {
       s"""SELECT md5(array_to_string(list_sort(list_distinct($ltoks)), ' ')) AS sig,
          |  min(doc_id) AS keeper_id, count(*) AS n_members
          |FROM documents GROUP BY 1""".stripMargin,
+
+    // parallel unnest zips the paragraph list with its positions; the
+    // keeper window and the ordered reassembly mirror the Spark plan
+    "dedup_paragraphs" ->
+      """WITH p AS (
+        |  SELECT doc_id, pos, para FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(text, chr(10))) AS para,
+        |      unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |    FROM documents)
+        |  WHERE length(trim(para)) > 0),
+        |k AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(para)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id, pos) = 1 AS keep
+        |  FROM p)
+        |SELECT doc_id,
+        |  count(*) FILTER (WHERE keep) AS n_kept,
+        |  count(*) FILTER (WHERE NOT keep) AS n_dropped,
+        |  coalesce(string_agg(para, chr(10) ORDER BY pos)
+        |    FILTER (WHERE keep), '') AS clean_text
+        |FROM k GROUP BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH tok AS (

@@ -31,6 +31,23 @@ class OpsSpec extends SparkSpec {
     assert(kept === Array(2L, 9L))
   }
 
+  test("paragraph dedup keeps first global occurrence, reassembles in order") {
+    val df = Seq(
+      (1L, "alpha one\nshared para\nbeta two"),
+      (2L, "shared para\ngamma three"),
+      (3L, "shared  PARA"), // normalization: case + whitespace collapse
+      (4L, "   \n  "))      // only empty paragraphs -> no output row
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.paragraphDedup(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) === ((3L, 0L, "alpha one\nshared para\nbeta two")))
+    assert(got(2L) === ((1L, 1L, "gamma three")))
+    assert(got(3L) === ((0L, 1L, ""))) // normalized dup of doc 1's paragraph
+    assert(!got.contains(4L))
+  }
+
   test("dedup clusters: singletons map to themselves") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val df = Seq((1L, base), (2L, base + " phi"),

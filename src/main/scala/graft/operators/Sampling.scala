@@ -71,8 +71,44 @@ object Sampling {
   }
 
   /** Cumulative fraction -> 8-hex-digit digest threshold. */
-  private def hex8(frac: Double): String =
+  private[operators] def hex8(frac: Double): String =
     f"${math.round(frac * 4294967296.0)}%08x"
+
+  /** Apply mixture rates as deterministic per-stratum RESAMPLING —
+    * rates may exceed 1 (the low-resource upsampling that
+    * [[graft.text.CorpusQc.mixtureWeights]] produces): each row is
+    * emitted `floor(rate)` times, plus one more iff its sample digest
+    * falls below the fractional part's threshold — expected copies =
+    * rate exactly, membership a pure function of (salt, key) like every
+    * sampler here. Output adds an `epoch` column (1..n, the copy index
+    * a data loader shuffles on). Unlisted strata are dropped; rate 0
+    * drops the stratum. Map-only codegen'd projection + a bounded
+    * `explode` — no shuffle, no rand(), no partitioning dependence.
+    * `maxRate` (default 16) bounds the fan-out a typo can cause.
+    */
+  def resampleByRates(df: DataFrame, key: Column, stratum: Column,
+                      rates: Map[String, Double], salt: String = "",
+                      maxRate: Double = 16.0): DataFrame = {
+    require(rates.nonEmpty, "rates must not be empty")
+    rates.foreach { case (k, r) =>
+      require(r >= 0 && r <= maxRate,
+        s"rate for '$k' must be in [0, $maxRate], got $r") }
+    val h = sampleHash(key, salt)
+    val copies = rates.foldLeft(lit(0)) { case (acc, (value, rate)) =>
+      val base = math.floor(rate).toInt
+      val frac = rate - base
+      val n =
+        if (frac == 0) lit(base)
+        else lit(base) + when(h < lit(hex8(frac)), 1).otherwise(0)
+      when(stratum === value, n).otherwise(acc)
+    }
+    df.withColumn("_n_copies", copies)
+      // sequence(1, 0) generates DESCENDING [1, 0] — guard the empty case
+      .withColumn("epoch", explode(when(col("_n_copies") >= 1,
+        sequence(lit(1), col("_n_copies")))
+        .otherwise(array().cast("array<int>"))))
+      .drop("_n_copies")
+  }
 
   /** Per-stratum rates: `thresholds` maps a stratum value (e.g. a lang
     * code) to its hex threshold; unlisted strata are dropped. One

@@ -59,6 +59,17 @@ object CorpusQueries extends QueryPack {
         .select($"doc_id", $"lang")
     }),
 
+    // mixture-rate application: deterministic per-language resampling
+    // with upsampling (de x2.25) and downsampling (en x0.5, es x0.75) on
+    // the same content-hash family; `epoch` = copy index. zh unlisted ->
+    // dropped (the mixtureWeights -> loader handoff, materialized)
+    "sample_resample_mix" -> ((s, d) => {
+      import s.implicits._
+      Sampling.resampleByRates(Tables.documents(s, d), $"doc_id", $"lang",
+        Map("en" -> 0.5, "de" -> 2.25, "fr" -> 1.0, "es" -> 0.75))
+        .select($"doc_id", $"lang", $"epoch")
+    }),
+
     // deterministic 80/10/10 train/val/test assignment on the same
     // content-hash family as sample_hash
     "sample_split" -> ((s, d) => {
@@ -302,6 +313,25 @@ object CorpusQueries extends QueryPack {
 
     "sample_hash" ->
       "SELECT doc_id, lang FROM documents WHERE md5(doc_id::VARCHAR) < '1a'",
+
+    // thresholds = hex8 of the fractional rate parts: 0.5 -> 80000000,
+    // 0.25 -> 40000000, 0.75 -> c0000000 (same arithmetic as hex8)
+    "sample_resample_mix" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang
+        |      WHEN 'en' THEN
+        |        CASE WHEN md5(doc_id::VARCHAR) < '80000000' THEN 1 ELSE 0 END
+        |      WHEN 'de' THEN
+        |        2 + CASE WHEN md5(doc_id::VARCHAR) < '40000000' THEN 1 ELSE 0 END
+        |      WHEN 'fr' THEN 1
+        |      WHEN 'es' THEN
+        |        CASE WHEN md5(doc_id::VARCHAR) < 'c0000000' THEN 1 ELSE 0 END
+        |      ELSE 0 END AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(copy AS INT) AS epoch
+        |FROM n CROSS JOIN generate_series(1, 3) t(copy)
+        |WHERE copy <= n""".stripMargin,
 
     // thresholds = round(cum * 16^8) in hex: 0.8 -> cccccccd, 0.9 ->
     // e6666666 (same arithmetic as Sampling.hex8)

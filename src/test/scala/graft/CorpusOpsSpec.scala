@@ -127,6 +127,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(salted !== a)
   }
 
+  test("mixture resampling: deterministic copies, rates honored, caps loud") {
+    val rates = Map("en" -> 0.5, "de" -> 2.25, "fr" -> 1.0, "es" -> 0.75)
+    def run() = Sampling.resampleByRates(docs, $"doc_id", $"lang", rates)
+      .groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = run()
+    assert(a === run()) // pure function of the data
+    assert(!a.contains("zh"), "unlisted stratum must be dropped")
+    val langN = docs.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every stratum's emitted count within floor(r)..ceil(r) per row
+    for ((lang, rate) <- rates) {
+      val n = langN(lang)
+      val lo = math.floor(rate).toLong * n
+      val hi = math.ceil(rate).toLong * n
+      assert(a(lang) >= lo && a(lang) <= hi,
+        s"$lang: ${a(lang)} outside [$lo, $hi] for rate $rate over $n")
+    }
+    // upsampled stratum really repeats: epochs 1..3 present for de
+    val epochs = Sampling.resampleByRates(docs, $"doc_id", $"lang", rates)
+      .filter($"lang" === "de").select($"epoch").distinct()
+      .as[Int].collect().sorted.toSeq
+    assert(epochs === Seq(1, 2, 3))
+    intercept[IllegalArgumentException] {
+      Sampling.resampleByRates(docs, $"doc_id", $"lang", Map("en" -> 99.0))
+    }
+  }
+
   test("split assignment is exhaustive, disjoint, and near its weights") {
     val split = Sampling.assignSplit($"doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

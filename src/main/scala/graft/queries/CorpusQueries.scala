@@ -59,6 +59,15 @@ object CorpusQueries extends QueryPack {
         .select($"doc_id", $"lang")
     }),
 
+    // per-stratum rates as a codegen'd CASE filter (no join): en kept at
+    // 25%, de at 75%, all other languages dropped
+    "sample_stratified" -> ((s, d) => {
+      import s.implicits._
+      Sampling.stratifiedHashSample(Tables.documents(s, d), $"doc_id",
+          $"lang", Map("en" -> "40", "de" -> "c0"))
+        .select($"doc_id", $"lang")
+    }),
+
     // mixture-rate application: deterministic per-language resampling
     // with upsampling (de x2.25) and downsampling (en x0.5, es x0.75) on
     // the same content-hash family; `epoch` = copy index. zh unlisted ->
@@ -313,6 +322,13 @@ object CorpusQueries extends QueryPack {
 
     "sample_hash" ->
       "SELECT doc_id, lang FROM documents WHERE md5(doc_id::VARCHAR) < '1a'",
+
+    // unlisted strata: the CASE yields NULL, the comparison is NULL ->
+    // row dropped, mirroring the Spark CASE-chain's null default
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE md5(doc_id::VARCHAR) <
+        |  CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN 'c0' END""".stripMargin,
 
     // thresholds = hex8 of the fractional rate parts: 0.5 -> 80000000,
     // 0.25 -> 40000000, 0.75 -> c0000000 (same arithmetic as hex8)

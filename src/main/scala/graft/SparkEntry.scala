@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     CoreQueries, PipelineQueries, JoinQueries, AggQueries,
-    TextQueries, CorpusQueries, DedupQueries, SimilarityQueries,
+    TextQueries, CorpusQueries, CurationQueries, DedupQueries,
+    SimilarityQueries,
     MultimodalQueries, GafE2eQueries
   )
 

@@ -335,4 +335,108 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
     intra.unionByName(cross)
   }
+
+  // -------------------------------------------- repeated spans (exact
+  // substring dedup, Lee et al. 2021 "Deduplicating Training Data Makes
+  // Language Models Better" — the token-span analog of paragraphDedup:
+  // find exact n-token spans shared ACROSS documents and, in the removal
+  // form, strip every later occurrence while the first-seen doc keeps
+  // its text intact)
+
+  /** All overlapping n-token span starts of a doc as (start, fingerprint)
+    * structs; start is 1-based. The fingerprint is [[TextAnalysis
+    * .fingerprint]] of the space-joined span — the same portable hash
+    * the exact-dedup oracle already proves, so spans shuffle/join as a
+    * compact 128-bit key, never the token payload.
+    */
+  private def spanFps(toks: Column, n: Int): Column =
+    // the short-doc guard matters: sequence(1, 0) DESCENDS in Spark, it
+    // is not empty
+    when(size(toks) < n, array().cast("array<struct<pos:int,fp:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => struct(i.as("pos"),
+          TextAnalysis.fingerprint(array_join(slice(toks, i, lit(n)), " "))
+            .as("fp"))))
+
+  /** Per-doc cross-document span duplication stats: of a doc's
+    * `n_spans` overlapping n-token spans, how many (`n_dup_spans`) also
+    * occur in at least one OTHER document. `dup_frac` is the fraction,
+    * rounded to 6 decimals; docs shorter than n tokens report zeros.
+    * This is the detection half (the measurement a curation run uses to
+    * decide whether span-level dedup is worth running); the removal half
+    * is [[removeRepeatedSpans]].
+    *
+    * Scale: explode is map-side; the duplicate-fingerprint set is one
+    * two-level aggregation on the fingerprint key (distinct docs per fp,
+    * then fp-level filter); the count-back join shuffles on fp and the
+    * final agg on the doc id — all keys compact, no payload shuffles,
+    * no driver state.
+    */
+  def repeatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8): DataFrame = {
+    // RAW tokens ([[TextAnalysis.rawTokens]]), not the distinct-set
+    // tokenizer the signature ops use — span positions are positional
+    val toks = TextAnalysis.rawTokens(col(textCol))
+    val spans = spread(df.select(col(idCol).as("id"), toks.as("_t")))
+      .select(col("id"), explode(spanFps(col("_t"), n)).as("_s"))
+      .select(col("id"), col("_s.fp").as("fp"))
+    val dupFps = spans.select(col("id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2).select(col("fp"))
+    val perDoc = spans.join(dupFps.withColumn("_dup", lit(1)),
+        Seq("fp"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("_dup")).as("n_dup_spans"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0,
+          round(col("n_dup_spans") / col("n_spans"), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Cross-document exact span dedup: for every n-token span that occurs
+    * in more than one document, the document with the SMALLEST id keeps
+    * it; every other document drops all tokens covered by any such
+    * foreign-first span. Whitespace is re-normalized to single spaces in
+    * `clean_text` (the standard loss of token-level dedup — paragraph
+    * boundaries survive [[paragraphDedup]], token runs don't).
+    *
+    * Within-doc repeats are NOT removed here (that is repetition QC's
+    * job, [[graft.text.CorpusQc.repetitionStats]]); a span is foreign
+    * iff some lower-id doc contains the same n tokens.
+    *
+    * Scale: one window over the span fingerprint (min doc id per fp —
+    * fp-keyed shuffle of (fp, id, pos) triples only), one groupBy doc id
+    * collecting the doc's OWN duplicated start positions (bounded by the
+    * doc's token count), one join back to the corpus row. The per-doc
+    * coverage mask is an O(tokens × dup-starts) lambda — worst case
+    * quadratic in ONE document's length, never across documents.
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8): DataFrame = {
+    val toks = TextAnalysis.rawTokens(col(textCol))
+    val spans = spread(df.select(col(idCol).as("id"), toks.as("_t")))
+      .select(col("id"), explode(spanFps(col("_t"), n)).as("_s"))
+      .select(col("id"), col("_s.pos").as("pos"), col("_s.fp").as("fp"))
+    val firstDoc = Window.partitionBy(col("fp"))
+    val dupStarts = spans
+      .withColumn("_first", min(col("id")).over(firstDoc))
+      .filter(col("_first") < col("id"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("pos"))).as("_starts"))
+    df.select(col(idCol).as("id"), toks.as("_t"))
+      .join(dupStarts, Seq("id"), "left")
+      .select(col("id").as(idCol), size(col("_t")).as("n_tokens"),
+        when(col("_starts").isNull, col("_t"))
+          .otherwise(filter(col("_t"), (_, i0) =>
+            !exists(col("_starts"), s =>
+              s <= i0 + 1 && i0 + 1 <= s + (n - 1)))).as("_clean"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("_clean"))).as("n_removed"),
+        array_join(col("_clean"), " ").as("clean_text"))
+  }
 }

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.{CorpusQc, NgramLm}
+
+/** Round-7 curation additions (BASELINE.json north-star family):
+  * statistical perplexity filtering, cross-document exact span dedup
+  * (detect + remove), semantic dedup (SemDeDup), and the per-language
+  * data card. Everything SQL-expressible carries a full DuckDB oracle;
+  * sim_semdedup is rows-only (k-means training has no SQL form) and
+  * digest-pinned in GoldenDigestsSpec with its invariants in
+  * ExtensionsSpec.
+  */
+object CurationQueries extends QueryPack {
+
+  /** Reference slice for the perplexity LM: every 10th doc. */
+  private val lmRefMod = 10
+
+  /** Span length for the repeated-span family. */
+  private val spanN = 8
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CCNet-style bigram-LM scoring: model trained on the doc_id%10==0
+    // reference slice, every other doc scored in bits/transition
+    "text_perplexity" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      NgramLm.perplexity(
+          docs.filter(pmod($"doc_id", lit(lmRefMod)) === 0),
+          docs.filter(pmod($"doc_id", lit(lmRefMod)) =!= 0),
+          "doc_id", "text")
+        // the compared surface is the exact decimal total (cast to
+        // double for the compare — 6-decimal totals this size are
+        // exactly representable); the rounded avg_nll double can
+        // straddle a round() boundary the two engines break
+        // differently (see NgramLm.perplexity scaladoc)
+        .select($"doc_id", $"n_trans", $"sum_nll".cast("double").as("sum_nll"))
+    }),
+
+    // cross-document exact 8-token-span duplication measurement
+    "dedup_span_stats" -> ((s, d) => {
+      Dedup.repeatedSpanStats(Tables.documents(s, d), "doc_id", "text",
+        spanN)
+    }),
+
+    // the removal half: first-seen doc keeps each duplicated span, every
+    // later doc drops the covered tokens
+    "dedup_span_removal" -> ((s, d) => {
+      Dedup.removeRepeatedSpans(Tables.documents(s, d), "doc_id", "text",
+        spanN)
+    }),
+
+    // SemDeDup over the embeddings table: quantizer trained exactly as
+    // the IVF queries train theirs, near-dup threshold 0.99 within
+    // clusters, keeper = min id per semantic group. Rows-only for the
+    // driver; digest + invariants in specs.
+    "sim_semdedup" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      val stride = math.max(1, math.sqrt(emb.count().toDouble).toLong)
+      val seeds = emb.filter($"vec_id" % stride === 0)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+      val sample = graft.operators.Sampling.hashSample(
+        corpus, $"c_id", "8", "ivf")
+      val centroids = Similarity.trainIvfCentroids(sample, seeds,
+        iterations = 2)
+      Similarity.semDedup(emb, "vec_id", "embedding", centroids,
+        threshold = 0.99)
+    }),
+
+    // per-language release data card
+    "corpus_data_card" -> ((s, d) => {
+      CorpusQc.dataCard(Tables.documents(s, d), "lang", "source", "text")
+    })
+  )
+
+  // shared SQL fragments (same canonicalizations the proven corpus
+  // oracles use: regex whitespace split, case-folded span identity)
+  private val rawToks = "string_split_regex(trim(text), '\\s+')"
+  private val lowToks = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val nonEmpty = "length(trim(coalesce(text, ''))) > 0"
+  private def spanList(n: Int) =
+    s"[lower(array_to_string(t[i:i+${n - 1}], ' ')) " +
+      s"for i in range(1, len(t) - ${n - 2})]"
+
+  override def oracleSql: Map[String, String] = Map(
+
+    "text_perplexity" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $lowToks AS t FROM documents WHERE $nonEmpty
+         |),
+         |ref AS (SELECT * FROM base WHERE doc_id % $lmRefMod = 0),
+         |tgt AS (SELECT * FROM base
+         |        WHERE doc_id % $lmRefMod <> 0 AND len(t) >= 2),
+         |rt AS (
+         |  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+         |  FROM ref WHERE len(t) >= 2
+         |),
+         |big AS (SELECT w1, w2, count(*) AS c2 FROM rt GROUP BY w1, w2),
+         |uni AS (SELECT w1, count(*) AS c1 FROM rt GROUP BY w1),
+         |v AS (SELECT count(DISTINCT u) AS vocab
+         |      FROM (SELECT unnest(t) AS u FROM ref)),
+         |trans AS (
+         |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+         |         unnest(t[2:len(t)]) AS w2
+         |  FROM tgt
+         |),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(round(-log2((coalesce(c2, 0) + 1.0) /
+         |      (coalesce(c1, 0) + vocab)), 6) AS DECIMAL(18,6)) AS nll
+         |  FROM trans LEFT JOIN big USING (w1, w2)
+         |  LEFT JOIN uni USING (w1) CROSS JOIN v
+         |)
+         |SELECT doc_id, count(*) AS n_trans,
+         |  CAST(CAST(sum(nll) AS DECIMAL(28,6)) AS DOUBLE) AS sum_nll
+         |FROM scored GROUP BY doc_id""".stripMargin,
+
+    "dedup_span_stats" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $rawToks AS t FROM documents WHERE $nonEmpty
+         |),
+         |spans AS (
+         |  SELECT doc_id, unnest(${spanList(spanN)}) AS g
+         |  FROM base WHERE len(t) >= $spanN
+         |),
+         |dup AS (SELECT g FROM spans GROUP BY g
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |agg AS (
+         |  SELECT s.doc_id, count(*) AS n_spans, count(d.g) AS n_dup_spans
+         |  FROM spans s LEFT JOIN dup d USING (g) GROUP BY s.doc_id)
+         |SELECT doc.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+         |  coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+         |  CASE WHEN coalesce(a.n_spans, 0) > 0
+         |    THEN round(a.n_dup_spans / a.n_spans, 6)
+         |    ELSE 0.0 END AS dup_frac
+         |FROM documents doc LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "dedup_span_removal" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $rawToks AS t FROM documents WHERE $nonEmpty
+         |),
+         |spans AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, len(t) - ${spanN - 2})) AS pos,
+         |    unnest(${spanList(spanN)}) AS g
+         |  FROM base WHERE len(t) >= $spanN
+         |),
+         |fd AS (SELECT g, min(doc_id) AS first_id FROM spans GROUP BY g),
+         |starts AS (
+         |  SELECT s.doc_id, list_sort(list(DISTINCT s.pos)) AS starts
+         |  FROM spans s JOIN fd USING (g) WHERE fd.first_id < s.doc_id
+         |  GROUP BY s.doc_id
+         |),
+         |clean AS (
+         |  SELECT d.doc_id, coalesce(len(b.t), 0) AS n_tokens,
+         |    CASE WHEN st.starts IS NULL THEN b.t
+         |      ELSE [b.t[i] for i in range(1, len(b.t) + 1)
+         |            if len(list_filter(st.starts,
+         |                 s -> s <= i AND i <= s + ${spanN - 1})) = 0]
+         |    END AS ct
+         |  FROM documents d
+         |  LEFT JOIN base b USING (doc_id)
+         |  LEFT JOIN starts st ON st.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, n_tokens,
+         |  coalesce(n_tokens - len(ct), 0) AS n_removed,
+         |  coalesce(array_to_string(ct, ' '), '') AS clean_text
+         |FROM clean""".stripMargin,
+
+    "corpus_data_card" ->
+      s"""WITH base AS (
+         |  SELECT lang, source,
+         |    (CASE WHEN NOT ($nonEmpty) THEN 0
+         |      ELSE len($rawToks) END) AS nt,
+         |    length(coalesce(text, '')) AS nc
+         |  FROM documents
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_sources,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |  CAST(sum(nc) AS BIGINT) AS total_chars,
+         |  round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS avg_tokens,
+         |  quantile_cont(nt, 0.5) AS median_tokens
+         |FROM base GROUP BY lang""".stripMargin
+  )
+}

@@ -325,4 +325,40 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
+
+  /** SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    * deduplication — k-means-cluster the embedding space, compare pairs
+    * only WITHIN a cluster, and keep one representative per group of
+    * semantic near-duplicates. The composition is entirely existing
+    * machinery: the trained quantizer ([[trainIvfCentroids]] — exact-
+    * decimal means, bit-deterministic), the zero-shuffle assignment
+    * ([[assignToCentroids]]), the blocked pair join
+    * ([[cosineNearDupPairs]] with block = cent_id), and connected
+    * components over the near-dup edges (transitive closure matters:
+    * a~b, b~c above threshold must not keep both a and c).
+    *
+    * Scale shape: the cluster id is the block key, so pair cost is
+    * quadratic only in the largest CLUSTER, never the corpus — the
+    * paper's own trick; cluster count is the knob that bounds cluster
+    * size (k ~ sqrt(n) keeps expected cluster size ~ sqrt(n)). Keeper
+    * choice is min id per component — deterministic under any
+    * partitioning. Cross-cluster near-dups are invisible by design
+    * (the documented approximation the paper accepts).
+    *
+    * Returns every input id with its semantic `group` (= min member id,
+    * self for singletons), its `cent_id`, and `keep`.
+    */
+  def semDedup(vectors: DataFrame, id: String, vec: String,
+               centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(
+      vectors.select(col(id).as("v_id"), col(vec).as("v_vec")), centroids)
+    val pairs = cosineNearDupPairs(
+      assigned.withColumnRenamed("v_id", "id"), "id", "v_vec",
+      threshold, block = Some("cent_id"))
+    val comps = graft.plans.ConnectedComponents.components(pairs)
+    assigned.join(comps, assigned("v_id") === comps("id"), "left")
+      .select(col("v_id").as(id), col("cent_id"),
+        coalesce(col("component"), col("v_id")).as("group"))
+      .withColumn("keep", col("group") === col(id))
+  }
 }

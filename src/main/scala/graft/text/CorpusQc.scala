@@ -163,4 +163,27 @@ object CorpusQc {
         round(pow(col("_x.domain_tokens").cast("double") / col("_tot"),
           lit(alpha)) / col("_pa_tot"), 6).as("mix_weight"))
   }
+
+  /** Per-language corpus data card — the summary table a dataset release
+    * ships (Gebru et al., "Datasheets for Datasets"): doc/source counts,
+    * token and character totals, mean and exact median doc length. ONE
+    * aggregation pass over the corpus keyed on the language (map-side
+    * combined; `percentile` is exact-interpolated and order-independent,
+    * `count distinct` expands to the standard two-phase plan). At 100 TB
+    * the output is #languages rows — the cheapest summary worth keeping
+    * current after every curation stage.
+    */
+  def dataCard(df: DataFrame, langCol: String, sourceCol: String,
+               textCol: String): DataFrame = {
+    val nToks = TextAnalysis.tokenCount(col(textCol))
+    df.select(col(langCol), col(sourceCol), nToks.as("_nt"),
+        length(coalesce(col(textCol), lit(""))).as("_nc"))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col(sourceCol)).as("n_sources"),
+        sum(col("_nt")).as("total_tokens"),
+        sum(col("_nc")).as("total_chars"),
+        round(sum(col("_nt")) / count(lit(1)), 6).as("avg_tokens"),
+        percentile(col("_nt"), lit(0.5)).as("median_tokens"))
+  }
 }

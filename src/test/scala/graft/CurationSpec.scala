@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.{CorpusQc, NgramLm}
+
+/** Semantics of the round-7 curation family: bigram-LM perplexity
+  * filtering, cross-document repeated-span detection/removal, SemDeDup,
+  * and the data card. Cross-engine value parity is separately pinned by
+  * the DuckDB oracles (text_perplexity / dedup_span_stats /
+  * dedup_span_removal / corpus_data_card); sim_semdedup is digest-pinned
+  * in GoldenDigestsSpec.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------ perplexity LM
+  private val lmRef = Seq((0L, "a b a b"), (10L, "a c"))
+    .toDF("doc_id", "text")
+
+  test("bigram LM scores match hand-computed add-one smoothing") {
+    // ref counts: c2(a,b)=2 c2(b,a)=1 c2(a,c)=1; c1(a)=3 c1(b)=1; V=3
+    val tgt = Seq((1L, "a b z"), (2L, "q q"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = NgramLm.perplexity(lmRef, tgt, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_trans"), r.getAs[Double]("avg_nll"))).toMap
+    // P(b|a)=(2+1)/(3+3)=.5 -> 1 bit; P(z|b)=(0+1)/(1+3)=.25 -> 2 bits
+    assert(out(1L) === ((2L, 1.5)))
+    // unseen context q: P=(0+1)/(0+3) -> log2(3)
+    assert(out(2L) === ((1L, 1.584963)))
+    // <2 tokens: no transition, no score
+    assert(!out.contains(3L) && !out.contains(4L))
+  }
+
+  test("perplexity filter keeps the low-bits head") {
+    val tgt = Seq((1L, "a b z"), (2L, "q q")).toDF("doc_id", "text")
+    val kept = NgramLm.perplexityFilter(lmRef, tgt, "doc_id", "text",
+      maxBits = 1.55).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
+  test("perplexity is deterministic under repartitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ref = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val tgt = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val a = NgramLm.perplexity(ref, tgt, "doc_id", "text")
+    val b = NgramLm.perplexity(ref.repartition(7), tgt.repartition(13),
+      "doc_id", "text")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() > 0)
+  }
+
+  // --------------------------------------------------- repeated spans
+  private val spanDocs = Seq(
+    (1L, "a b c d e"),     // first occurrence of every gram it has
+    (2L, "x A B C y"),     // shares "a b c" (case-folded span identity)
+    (3L, "p q"),           // shorter than n
+    (4L, ""),              // empty
+    (5L, "a b c d e")      // exact dup of doc 1: every span foreign
+  ).toDF("doc_id", "text")
+
+  test("repeatedSpanStats counts cross-doc duplicated spans") {
+    val out = Dedup.repeatedSpanStats(spanDocs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Double]("dup_frac"))).toMap
+    assert(out(1L) === ((3L, 3L, 1.0))) // all three spans also in doc 5
+    assert(out(2L) === ((3L, 1L, 0.333333)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+    assert(out(4L) === ((0L, 0L, 0.0)))
+    assert(out(5L) === ((3L, 3L, 1.0)))
+  }
+
+  test("removeRepeatedSpans strips later occurrences, keeps the first") {
+    val out = Dedup.removeRepeatedSpans(spanDocs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    // doc 1 is first-seen for every duplicated span -> untouched
+    assert(out(1L) === ((5, 0L, "a b c d e")))
+    // doc 2: span "a b c" first seen in doc 1 -> tokens 2..4 removed
+    assert(out(2L) === ((5, 3L, "x y")))
+    assert(out(3L) === ((2, 0L, "p q")))
+    assert(out(4L) === ((0, 0L, "")))
+    // doc 5: overlapping foreign spans at starts 1,2,3 cover all 5 tokens
+    assert(out(5L) === ((5, 5L, "")))
+  }
+
+  test("span ops are deterministic under repartitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Dedup.removeRepeatedSpans(docs, "doc_id", "text")
+    val b = Dedup.removeRepeatedSpans(docs.repartition(11), "doc_id", "text")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // non-vacuous on the harness corpus: something actually gets removed
+    assert(a.agg(sum($"n_removed")).head().getLong(0) > 0)
+  }
+
+  // ----------------------------------------------------------- semdedup
+  test("semDedup groups transitively within a cluster and keeps min id") {
+    def unit(deg: Double) = Seq(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // chain: cos(4deg)=.99756 >= .995, cos(8deg)=.99027 < .995 — a and c
+    // join only through b; d is its own group
+    val vecs = Seq(
+      (1L, unit(0)), (2L, unit(4)), (3L, unit(8)), (4L, unit(90)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("cent_id", "cent_vec")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding", cents,
+        threshold = 0.995)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("group"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) === ((1L, true)))
+    assert(out(2L) === ((1L, false)))
+    assert(out(3L) === ((1L, false)))
+    assert(out(4L) === ((4L, true)))
+  }
+
+  test("semDedup keeps exactly one representative per group") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = emb.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+    val out = Similarity.semDedup(emb, "vec_id", "embedding", cents, 0.99)
+    val perGroup = out.groupBy($"group")
+      .agg(sum(when($"keep", 1).otherwise(0)).as("n_keep"))
+    assert(perGroup.filter($"n_keep" =!= 1).count() === 0)
+    assert(out.count() === emb.count()) // total: every vector classified
+  }
+
+  // ---------------------------------------------------------- data card
+  test("data card aggregates per language") {
+    val docs = Seq(
+      (1L, "en", "s1", "one"), (2L, "en", "s2", "one two"),
+      (3L, "en", "s1", "one two three"), (4L, "de", "s3", "ein zwei"),
+      (5L, "de", "s3", "")).toDF("doc_id", "lang", "source", "text")
+    val out = CorpusQc.dataCard(docs, "lang", "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("n_docs") === 3)
+    assert(en.getAs[Long]("n_sources") === 2)
+    assert(en.getAs[Long]("total_tokens") === 6)
+    assert(en.getAs[Long]("total_chars") === (3 + 7 + 13))
+    assert(en.getAs[Double]("avg_tokens") === 2.0)
+    assert(en.getAs[Double]("median_tokens") === 2.0)
+    val de = out("de")
+    assert(de.getAs[Long]("n_docs") === 2)
+    assert(de.getAs[Double]("median_tokens") === 1.0) // interpolated 0,2
+  }
+}

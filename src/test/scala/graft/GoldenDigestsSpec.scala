@@ -44,4 +44,8 @@ class GoldenDigestsSpec extends SparkSpec {
   check("text_bpe_exact", 500L, "54469054714186344608")
   // r7: int8-quantized ANN (cosine on the codes; scale-invariant)
   check("sim_int8_topk", 50L, "47101543231917959576")
+  // r7: SemDeDup (trained-quantizer clusters -> within-cluster near-dup
+  // components); k-means training has no SQL form, rows-only for the
+  // driver — invariants in CurationSpec, digest verified back-to-back
+  check("sim_semdedup", 500L, "23102979320652351245")
 }

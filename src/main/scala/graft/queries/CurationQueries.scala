@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.similarity.Similarity
-import graft.text.{CorpusQc, NgramLm}
+import graft.text.{CorpusQc, NgramLm, QualityClassifier, TextAnalysis}
 
 /** Round-7 curation additions (BASELINE.json north-star family):
   * statistical perplexity filtering, cross-document exact span dedup
@@ -77,6 +77,25 @@ object CurationQueries extends QueryPack {
     // per-language release data card
     "corpus_data_card" -> ((s, d) => {
       CorpusQc.dataCard(Tables.documents(s, d), "lang", "source", "text")
+    }),
+
+    // fastText-style hashed-BoW logistic quality scorer, distilled from
+    // the rule heuristic: the doc_id%10==0 slice provides proxy labels
+    // (qualityScore >= 0.8), every other doc gets a map-only
+    // sigmoid(b + w·x) score. Rows-only for the driver (gradient
+    // descent has no SQL form); digest-pinned, learner invariants in
+    // CurationSpec.
+    "text_quality_classifier" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val model = QualityClassifier.train(
+        docs.filter(pmod($"doc_id", lit(lmRefMod)) === 0)
+          .withColumn("label",
+            (TextAnalysis.qualityScore($"text") >= 0.8).cast("int")),
+        "doc_id", "text", "label")
+      QualityClassifier.score(
+        docs.filter(pmod($"doc_id", lit(lmRefMod)) =!= 0),
+        "doc_id", "text", model)
     })
   )
 

@@ -130,6 +130,38 @@ class CurationSpec extends SparkSpec {
     assert(out.count() === emb.count()) // total: every vector classified
   }
 
+  // --------------------------------------------------- quality classifier
+  test("hashed-BoW logistic learns a separable vocabulary") {
+    import graft.text.QualityClassifier
+    val good = Seq("clear prose with structure", "well formed sentence here",
+      "clear sentence with meaning", "prose with good structure")
+    val bad = Seq("zzz click buy now spam", "buy spam click zzz now",
+      "spam zzz buy click now", "click now buy spam zzz")
+    val train = (good.zipWithIndex.map { case (t, i) => (i.toLong, t, 1) } ++
+      bad.zipWithIndex.map { case (t, i) => (100L + i, t, 0) })
+      .toDF("doc_id", "text", "label")
+    val model = QualityClassifier.train(train, "doc_id", "text", "label",
+      dim = 512, iters = 60, lr = 1.0)
+    val test = Seq((1000L, "clear prose sentence"), (1001L, "buy zzz spam"))
+      .toDF("doc_id", "text")
+    val out = QualityClassifier.score(test, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(out(1000L) === true)
+    assert(out(1001L) === false)
+  }
+
+  test("classifier training is deterministic under repartitioning") {
+    import graft.text.QualityClassifier
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("label",
+        (graft.text.TextAnalysis.qualityScore($"text") >= 0.8).cast("int"))
+    val m1 = QualityClassifier.train(docs, "doc_id", "text", "label")
+    val m2 = QualityClassifier.train(docs.repartition(17), "doc_id",
+      "text", "label")
+    assert(m1.bias === m2.bias)
+    assert(m1.weights.toSeq === m2.weights.toSeq)
+  }
+
   // ---------------------------------------------------------- data card
   test("data card aggregates per language") {
     val docs = Seq(

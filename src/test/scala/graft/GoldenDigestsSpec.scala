@@ -48,4 +48,8 @@ class GoldenDigestsSpec extends SparkSpec {
   // components); k-means training has no SQL form, rows-only for the
   // driver — invariants in CurationSpec, digest verified back-to-back
   check("sim_semdedup", 500L, "23102979320652351245")
+  // r7: hashed-BoW logistic quality scorer (driver-trained, map-only
+  // scoring); gradient descent has no SQL form — digest verified
+  // back-to-back identical
+  check("text_quality_classifier", 450L, "178734100278674131171")
 }

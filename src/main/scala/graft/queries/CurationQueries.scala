@@ -79,6 +79,36 @@ object CurationQueries extends QueryPack {
       CorpusQc.dataCard(Tables.documents(s, d), "lang", "source", "text")
     }),
 
+    // the FULL curation flagship: the classic corpus_curate_e2e
+    // composition plus all three round-7 statistical stages — classifier
+    // gate (trained on the bench slice with proxy labels), perplexity
+    // gate (LM trained on the bench slice), and cross-doc 8-token span
+    // dedup. Rows-only for the driver; digest-pinned, doc-set-subset
+    // invariant vs the classic config in CurationSpec.
+    "corpus_curate_full" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod($"doc_id", lit(50)) =!= 0)
+      val bench = docs.filter(pmod($"doc_id", lit(50)) === 0)
+      val model = QualityClassifier.train(
+        bench.withColumn("label",
+          (TextAnalysis.qualityScore($"text") >= 0.8).cast("int")),
+        "doc_id", "text", "label")
+      graft.operators.Curate.curate(corpus, bench, "doc_id", "text",
+          graft.operators.Curate.CurateConfig(
+            contaminationN = 3, maxContaminationFrac = 0.06,
+            // thresholds pinned by measurement (CurateFullProbeMain at
+            // sf0.01): QC survivors score 4.37..5.30 bits/transition
+            // against the bench-slice LM (5.2 trims the tail),
+            // classifier probs 0.298..0.313 (0.3 trims the bottom) —
+            // every gate non-vacuous, none empties the output
+            maxPerplexityBits = 5.2, minQualityProb = 0.3,
+            spanDedupN = Some(8)),
+          lmRef = Some(bench), classifier = Some(model))
+        .select($"doc_id", $"lang", $"split", $"n_tokens",
+          $"pack_bucket", $"pack_seq")
+    }),
+
     // fastText-style hashed-BoW logistic quality scorer, distilled from
     // the rule heuristic: the doc_id%10==0 slice provides proxy labels
     // (qualityScore >= 0.8), every other doc gets a map-only

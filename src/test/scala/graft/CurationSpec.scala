@@ -162,6 +162,25 @@ class CurationSpec extends SparkSpec {
     assert(m1.weights.toSeq === m2.weights.toSeq)
   }
 
+  // ------------------------------------------------------ full curate
+  test("full-config curate composes the statistical stages coherently") {
+    val sf = "/root/testdata/sf0.01"
+    val full = SparkEntry.queries("corpus_curate_full")(spark, sf)
+      .select($"doc_id", $"n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("n_tokens")).toMap
+    val classic = SparkEntry.queries("corpus_curate_e2e")(spark, sf)
+      .select($"doc_id", $"n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("n_tokens")).toMap
+    assert(full.nonEmpty)
+    // span dedup only ever REMOVES tokens: any doc surviving both
+    // configs packs at most its classic token count (keeper sets may
+    // legitimately differ — gating a cluster's min-id keeper promotes
+    // another member)
+    val shared = full.keySet.intersect(classic.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach { id => assert(full(id) <= classic(id)) }
+  }
+
   // ---------------------------------------------------------- data card
   test("data card aggregates per language") {
     val docs = Seq(

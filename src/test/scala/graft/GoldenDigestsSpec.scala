@@ -52,4 +52,8 @@ class GoldenDigestsSpec extends SparkSpec {
   // scoring); gradient descent has no SQL form — digest verified
   // back-to-back identical
   check("text_quality_classifier", 450L, "178734100278674131171")
+  // r7: full-config curate (classic composition + classifier gate +
+  // perplexity gate + cross-doc span dedup, thresholds measured by
+  // CurateFullProbeMain); digest verified back-to-back identical
+  check("corpus_curate_full", 46L, "13732983899389218483")
 }

@@ -439,4 +439,83 @@ object Dedup {
         (col("n_tokens") - size(col("_clean"))).as("n_removed"),
         array_join(col("_clean"), " ").as("clean_text"))
   }
+
+  // ------------------------------------------- incremental (crawl) dedup
+  /** Compact dedup index of an already-curated corpus: the state an
+    * incremental crawl pipeline persists BETWEEN runs so each new batch
+    * dedups against ALL history without rescanning its text. Two row
+    * kinds, both md5-keyed with the exact identities the batch ops use
+    * (engine-portable, so the whole path is DuckDB-oracle-checkable):
+    *
+    *   kind='fp'    key = exact content fingerprint ([[exactGroups]]'s)
+    *   kind='band'  key = LSH band bucket ([[bandKey]]'s format)
+    *
+    * Size: (1 + bands) short strings per doc — for 100 TB of text the
+    * index is ~tens of GB, the ONLY thing a crawl increment re-reads,
+    * and both lookups in [[incrementalStatus]] are equi-joins on it.
+    * Empty-token docs get no band rows (same contract as
+    * [[minhashCandidates]]'s token CTE).
+    */
+  def dedupIndex(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 16, bands: Int = 4): DataFrame = {
+    val text = col(textCol)
+    val fp = df
+      .select(TextAnalysis.fingerprint(text).as("key"))
+      .distinct()
+      .select(lit("fp").as("kind"), col("key"))
+    // foldable band sequence exploded against the sig ATTRIBUTE — same
+    // plan shape as minhashCandidates (the array-then-explode form
+    // re-inlines the K-hash pass once per band, measured k× there)
+    val band = spread(df.select(text.as("t")))
+      .filter(size(tokens(col("t"))) > 0)
+      .select(minhashSignature(col("t"), k).as("sig"))
+      .select(col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(bandKey(col("sig"), col("band"), k / bands).as("key"))
+      .distinct()
+      .select(lit("band").as("kind"), col("key"))
+    fp.unionByName(band)
+  }
+
+  /** Classify every document of a new crawl increment against the
+    * history index: `exact_hist` (content fingerprint already seen),
+    * else `near_hist` (shares an LSH band bucket with history — the
+    * same collision event [[minhashCandidates]] treats as a near-dup
+    * candidate), else `kept`. Within-batch duplicates are the batch
+    * ops' job — run [[exactDedup]]/[[dedupCorpus]] on the kept slice.
+    *
+    * Scale shape: one semi-join per kind on the compact index keys; the
+    * fact side explodes at most `bands` rows per doc and collapses back
+    * with a doc-id distinct, so cost is linear in the increment plus
+    * two shuffles on md5-sized keys. History text is never read.
+    */
+  def incrementalStatus(newDocs: DataFrame, index: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 16, bands: Int = 4): DataFrame = {
+    val id = col(idCol)
+    val text = col(textCol)
+    val exact = newDocs
+      .select(id, TextAnalysis.fingerprint(text).as("key"))
+      .join(index.filter(col("kind") === "fp").select(col("key")),
+        Seq("key"), "left_semi")
+      .select(id, lit(true).as("_ex"))
+    val near = spread(newDocs.select(id, text.as("t")))
+      .filter(size(tokens(col("t"))) > 0)
+      .select(id, minhashSignature(col("t"), k).as("sig"))
+      .select(id, col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(id, bandKey(col("sig"), col("band"), k / bands).as("key"))
+      .join(index.filter(col("kind") === "band").select(col("key")),
+        Seq("key"), "left_semi")
+      .select(id).distinct()
+      .select(id, lit(true).as("_nr"))
+    newDocs
+      .join(exact, Seq(idCol), "left")
+      .join(near, Seq(idCol), "left")
+      .withColumn("status",
+        when(col("_ex"), "exact_hist")
+          .when(col("_nr"), "near_hist")
+          .otherwise("kept"))
+      .drop("_ex", "_nr")
+  }
 }

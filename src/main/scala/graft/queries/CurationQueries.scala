@@ -42,6 +42,20 @@ object CurationQueries extends QueryPack {
         .select($"doc_id", $"n_trans", $"sum_nll".cast("double").as("sum_nll"))
     }),
 
+    // CCNet's real gate shape: head/middle/tail at corpus quantiles of
+    // the integer micro-bits score — scale-stable where a fixed bits
+    // threshold empties under vocabulary growth (NgramLm scaladoc)
+    "text_perplexity_buckets" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      NgramLm.perplexityBuckets(
+          NgramLm.perplexity(
+            docs.filter(pmod($"doc_id", lit(lmRefMod)) === 0),
+            docs.filter(pmod($"doc_id", lit(lmRefMod)) =!= 0),
+            "doc_id", "text"))
+        .select($"doc_id", $"n_trans", $"nll_micro", $"ppl_bucket")
+    }),
+
     // cross-document exact 8-token-span duplication measurement
     "dedup_span_stats" -> ((s, d) => {
       Dedup.repeatedSpanStats(Tables.documents(s, d), "doc_id", "text",
@@ -138,38 +152,66 @@ object CurationQueries extends QueryPack {
     s"[lower(array_to_string(t[i:i+${n - 1}], ' ')) " +
       s"for i in range(1, len(t) - ${n - 2})]"
 
+  /** The proven bigram-LM scoring CTE chain (text_perplexity's), shared
+    * verbatim by the buckets oracle so the two cannot drift.
+    */
+  private val pplScoredCtes =
+    s"""WITH base AS (
+       |  SELECT doc_id, $lowToks AS t FROM documents WHERE $nonEmpty
+       |),
+       |ref AS (SELECT * FROM base WHERE doc_id % $lmRefMod = 0),
+       |tgt AS (SELECT * FROM base
+       |        WHERE doc_id % $lmRefMod <> 0 AND len(t) >= 2),
+       |rt AS (
+       |  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+       |  FROM ref WHERE len(t) >= 2
+       |),
+       |big AS (SELECT w1, w2, count(*) AS c2 FROM rt GROUP BY w1, w2),
+       |uni AS (SELECT w1, count(*) AS c1 FROM rt GROUP BY w1),
+       |v AS (SELECT count(DISTINCT u) AS vocab
+       |      FROM (SELECT unnest(t) AS u FROM ref)),
+       |trans AS (
+       |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+       |         unnest(t[2:len(t)]) AS w2
+       |  FROM tgt
+       |),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(round(-log2((coalesce(c2, 0) + 1.0) /
+       |      (coalesce(c1, 0) + vocab)), 6) AS DECIMAL(18,6)) AS nll
+       |  FROM trans LEFT JOIN big USING (w1, w2)
+       |  LEFT JOIN uni USING (w1) CROSS JOIN v
+       |)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
 
     "text_perplexity" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, $lowToks AS t FROM documents WHERE $nonEmpty
-         |),
-         |ref AS (SELECT * FROM base WHERE doc_id % $lmRefMod = 0),
-         |tgt AS (SELECT * FROM base
-         |        WHERE doc_id % $lmRefMod <> 0 AND len(t) >= 2),
-         |rt AS (
-         |  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
-         |  FROM ref WHERE len(t) >= 2
-         |),
-         |big AS (SELECT w1, w2, count(*) AS c2 FROM rt GROUP BY w1, w2),
-         |uni AS (SELECT w1, count(*) AS c1 FROM rt GROUP BY w1),
-         |v AS (SELECT count(DISTINCT u) AS vocab
-         |      FROM (SELECT unnest(t) AS u FROM ref)),
-         |trans AS (
-         |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
-         |         unnest(t[2:len(t)]) AS w2
-         |  FROM tgt
-         |),
-         |scored AS (
-         |  SELECT doc_id,
-         |    CAST(round(-log2((coalesce(c2, 0) + 1.0) /
-         |      (coalesce(c1, 0) + vocab)), 6) AS DECIMAL(18,6)) AS nll
-         |  FROM trans LEFT JOIN big USING (w1, w2)
-         |  LEFT JOIN uni USING (w1) CROSS JOIN v
-         |)
+      s"""$pplScoredCtes
          |SELECT doc_id, count(*) AS n_trans,
          |  CAST(CAST(sum(nll) AS DECIMAL(28,6)) AS DOUBLE) AS sum_nll
          |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // integer micro-bits score (exact in both engines), exact quantile
+    // thresholds, 1-row cross join back — mirrors perplexityBuckets
+    "text_perplexity_buckets" ->
+      s"""$pplScoredCtes,
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_trans,
+         |    CAST(sum(nll) AS DECIMAL(28,6)) AS s
+         |  FROM scored GROUP BY doc_id),
+         |m AS (
+         |  SELECT doc_id, n_trans,
+         |    CAST(s * 1000000 AS BIGINT) // n_trans AS nll_micro
+         |  FROM agg),
+         |thr AS (
+         |  SELECT quantile_cont(nll_micro, ${1.0 / 3}) AS lo,
+         |         quantile_cont(nll_micro, ${2.0 / 3}) AS hi
+         |  FROM m)
+         |SELECT doc_id, n_trans, nll_micro,
+         |  CASE WHEN nll_micro <= lo THEN 'head'
+         |       WHEN nll_micro <= hi THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM m CROSS JOIN thr""".stripMargin,
 
     "dedup_span_stats" ->
       s"""WITH base AS (

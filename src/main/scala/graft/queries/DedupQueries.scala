@@ -43,6 +43,29 @@ object DedupQueries extends QueryPack {
     "dedup_paragraphs" -> ((s, d) =>
       Dedup.paragraphDedup(Tables.documents(s, d), "doc_id", "text")),
 
+    // incremental-crawl dedup: history slice (2/3 of the corpus) is
+    // reduced to its compact fp/band index; the new batch — the other
+    // 1/3 plus a RE-CRAWL of some unchanged history pages under fresh
+    // crawl ids (+100000, the realistic increment shape; the corpus has
+    // no native exact dups) — is classified against it. 2x8 banding
+    // (curate's precision-leaning setting) keeps a `kept` population;
+    // md5-keyed identities make the WHOLE path oracle-checkable.
+    // sf0.01: 34 exact_hist / 138 near_hist / 29 kept — non-vacuous.
+    "dedup_incremental" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+      val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
+        .select($"doc_id", $"text")
+        .unionByName(hist
+          .filter(pmod($"doc_id", lit(10)) === 1)
+          .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+      Dedup.incrementalStatus(batch,
+          Dedup.dedupIndex(hist, "doc_id", "text", k = 16, bands = 2),
+          "doc_id", "text", k = 16, bands = 2)
+        .select($"doc_id", $"status")
+    }),
+
     // blocked form: quadratic only within each 150-id block (the block
     // key stands in for an LSH bucket / cluster id at scale); threshold
     // 0.4 sits inside the corpus' sim range so the oracle compares
@@ -134,6 +157,49 @@ object DedupQueries extends QueryPack {
         |JOIN cnt ca ON id_a = ca.doc_id
         |JOIN cnt cb ON id_b = cb.doc_id
         |WHERE n_inter * 10 >= (ca.n_sh + cb.n_sh - n_inter) * 8""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH hist AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 3 <> 0 AND doc_id % 10 = 1),
+         |hfp AS (
+         |  SELECT DISTINCT
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS key
+         |  FROM hist),
+         |htok AS (SELECT DISTINCT doc_id, unnest($ltoks) AS w FROM hist),
+         |hmh AS (
+         |  SELECT doc_id, j, min(md5(j || ':' || w)) AS m
+         |  FROM htok CROSS JOIN generate_series(0, 15) s(j)
+         |  GROUP BY doc_id, j),
+         |hbk AS (
+         |  SELECT DISTINCT
+         |    md5((j // 8) || '|' || string_agg(m, '|' ORDER BY j)) AS key
+         |  FROM hmh GROUP BY doc_id, j // 8),
+         |btok AS (SELECT DISTINCT doc_id, unnest($ltoks) AS w FROM batch),
+         |bmh AS (
+         |  SELECT doc_id, j, min(md5(j || ':' || w)) AS m
+         |  FROM btok CROSS JOIN generate_series(0, 15) s(j)
+         |  GROUP BY doc_id, j),
+         |bbk AS (
+         |  SELECT doc_id,
+         |    md5((j // 8) || '|' || string_agg(m, '|' ORDER BY j)) AS key
+         |  FROM bmh GROUP BY doc_id, j // 8),
+         |ex AS (
+         |  SELECT DISTINCT doc_id FROM batch
+         |  WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |    IN (SELECT key FROM hfp)),
+         |nr AS (
+         |  SELECT DISTINCT b.doc_id FROM bbk b JOIN hbk h ON b.key = h.key)
+         |SELECT b.doc_id,
+         |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_hist'
+         |       WHEN nr.doc_id IS NOT NULL THEN 'near_hist'
+         |       ELSE 'kept' END AS status
+         |FROM batch b
+         |LEFT JOIN ex ON b.doc_id = ex.doc_id
+         |LEFT JOIN nr ON b.doc_id = nr.doc_id""".stripMargin,
 
     "dedup_embedding_pairs" ->
       """WITH v AS (

@@ -111,4 +111,43 @@ object NgramLm {
                        textCol: String, maxBits: Double): DataFrame =
     perplexity(ref, target, idCol, textCol)
       .filter(col("avg_nll") <= maxBits)
+
+  /** CCNet's actual gate shape: head/middle/tail buckets at corpus
+    * QUANTILES of the perplexity score, not a fixed bits threshold. A
+    * fixed threshold silently empties when the vocabulary grows — the
+    * add-one unseen mass shifts EVERY score up (measured: the r7 100×
+    * curate fan-out probe pushed all docs past a threshold tuned at 1×,
+    * zero survivors) — while the quantile form keeps the same corpus
+    * fraction per bucket by construction, at any scale.
+    *
+    * Takes the OUTPUT of [[perplexity]] so the caller owns caching (the
+    * scored frame feeds both the threshold aggregation and the bucket
+    * assignment; persist it or pay the scoring subtree twice — the
+    * curate() manifest lesson).
+    *
+    * Determinism across engines: buckets cut on `nll_micro` =
+    * `(sum_nll × 1e6) div n_trans` — integer micro-bits derived from
+    * the exact decimal total with integer division, so the bucketing
+    * score carries none of the double-rounding boundary risk the
+    * rounded `avg_nll` column documents. Thresholds are EXACT
+    * percentiles: the aggregation buffers one entry per DISTINCT
+    * integer score (bounded by the micro-bits value range, ~tens of
+    * millions, regardless of corpus size), so exact mode survives
+    * 100 TB where a value-per-row buffer would not; the 1-row
+    * threshold frame broadcasts back (the Ranking stats pattern).
+    */
+  def perplexityBuckets(scored: DataFrame, loQ: Double = 1.0 / 3,
+                        hiQ: Double = 2.0 / 3): DataFrame = {
+    val withMicro = scored.withColumn("nll_micro",
+      expr("CAST(sum_nll * 1000000 AS BIGINT) div n_trans"))
+    val thr = withMicro.agg(
+      expr(s"percentile(nll_micro, ${loQ}d)").as("_lo"),
+      expr(s"percentile(nll_micro, ${hiQ}d)").as("_hi"))
+    withMicro.crossJoin(thr) // 1-row broadcast
+      .withColumn("ppl_bucket",
+        when(col("nll_micro") <= col("_lo"), "head")
+          .when(col("nll_micro") <= col("_hi"), "middle")
+          .otherwise("tail"))
+      .drop("_lo", "_hi")
+  }
 }

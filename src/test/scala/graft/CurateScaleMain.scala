@@ -23,12 +23,22 @@ import org.apache.spark.sql.functions._
   * installed initial partition count next to the wall time so the
   * floor-covers-it claim is checked by measurement, not argument.
   *
-  * Usage: Test/runMain graft.CurateScaleMain [sfDir] [factor]
+  * Round-7 `full` mode runs the same probe with every statistical stage
+  * enabled (hashed-BoW classifier gate, bigram-LM perplexity gate,
+  * cross-document span dedup) at the thresholds CurateFullProbeMain
+  * measured as non-vacuous — the r7 additions get the same measured
+  * 1x/10x/100x treatment the classic composition got in r6. Classifier
+  * training (driver-side, bounded) is timed separately: it's a one-time
+  * model-build cost a deployment amortizes across runs, not per-corpus
+  * work.
+  *
+  * Usage: Test/runMain graft.CurateScaleMain [sfDir] [factor] [classic|full]
   */
 object CurateScaleMain {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val full = args.drop(2).headOption.contains("full")
     val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
@@ -80,20 +90,53 @@ object CurateScaleMain {
     val train = docs0.filter(pmod($"_orig", lit(benchMod)) =!= 0).drop("_orig")
     val bench = docs0.filter(pmod($"_orig", lit(benchMod)) === 0).drop("_orig")
 
+    val base = graft.operators.Curate.CurateConfig(
+      contaminationN = 3, maxContaminationFrac = 0.06)
+    // full mode: classifier threshold from CurateFullProbeMain's
+    // measured distribution; the perplexity threshold is CALIBRATED at
+    // p75 of the fanned corpus's own scores (pre-t0, the CCNet shape —
+    // a fixed bits value tuned at 1x empties at 100x because add-one
+    // unseen mass shifts every score up with vocabulary growth; first
+    // probe attempt measured exactly that: 0 survivors at 10x)
+    val thrBits = if (full) {
+      val qcd = train.filter(
+        graft.operators.Curate.qcPredicate($"text", base))
+      val t = graft.text.NgramLm
+        .perplexity(bench, qcd.select($"doc_id", $"text"), "doc_id", "text")
+        .agg(expr("percentile(avg_nll, 0.75d)")).head().getDouble(0)
+      println(f"CURATE_SCALE ppl_p75=$t%.3f")
+      t
+    } else 0.0
+    val cfg = if (full) base.copy(maxPerplexityBits = thrBits,
+      minQualityProb = 0.3, spanDedupN = Some(8)) else base
+    val model = if (full) {
+      val tTrain = System.nanoTime()
+      val m = graft.text.QualityClassifier.train(
+        bench.withColumn("label",
+          (graft.text.TextAnalysis.qualityScore($"text") >= 0.8)
+            .cast("int")),
+        "doc_id", "text", "label")
+      println(f"CURATE_SCALE classifier_train=" +
+        f"${(System.nanoTime - tTrain) / 1e9}%.1fs")
+      Some(m)
+    } else None
+
     val t0 = System.nanoTime()
     val out = graft.operators.Curate.curate(
-      train, bench, "doc_id", "text",
-      graft.operators.Curate.CurateConfig(
-        contaminationN = 3, maxContaminationFrac = 0.06))
+      train, bench, "doc_id", "text", cfg,
+      lmRef = if (full) Some(bench) else None,
+      classifier = model)
     // bench-identical digest action: every output column materializes
-    val digest = out
+    val dRow = out
       .select(xxhash64(struct(out.columns.map(col).toSeq: _*)).as("_h"))
-      .agg(expr("bit_xor(_h)")).head().getLong(0)
+      .agg(expr("bit_xor(_h)")).head()
+    val digest = if (dRow.isNullAt(0)) 0L else dRow.getLong(0)
     val wall = (System.nanoTime() - t0) / 1e9
     val keepers = out.count()
     val installed = spark.conf.getOption(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum").orNull
-    println(f"CURATE_SCALE factor=$factor in=$nDocs keepers=$keepers " +
+    println(f"CURATE_SCALE mode=${if (full) "full" else "classic"} " +
+      f"factor=$factor in=$nDocs keepers=$keepers " +
       f"wall=$wall%.1fs rate=${nDocs / wall}%.0f docs/s " +
       f"initialPartitionNum=$installed digest=$digest%016x")
     graft.operators.Curate.clearManifests()

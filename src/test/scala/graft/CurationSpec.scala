@@ -52,6 +52,51 @@ class CurationSpec extends SparkSpec {
     assert(a.count() > 0)
   }
 
+  test("perplexity buckets cut head/middle/tail at score quantiles") {
+    // three distinct micro-bit scores -> exactly one doc per bucket
+    // (interpolated thirds land strictly between adjacent values):
+    // d1 "a b" -> 1 bit; d2 "a b z" -> 1.5 bits; d3 "q q" -> log2(3)
+    val tgt = Seq((1L, "a b"), (2L, "a b z"), (3L, "q q"))
+      .toDF("doc_id", "text")
+    val out = NgramLm.perplexityBuckets(
+        NgramLm.perplexity(lmRef, tgt, "doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("nll_micro"), r.getAs[String]("ppl_bucket"))).toMap
+    assert(out(1L) === ((1000000L, "head")))
+    assert(out(2L) === ((1500000L, "middle")))
+    assert(out(3L) === ((1584963L, "tail")))
+  }
+
+  test("quantile buckets stay populated under vocab growth where a " +
+      "fixed threshold empties (the 100x probe's failure shape)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def stats(all: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val ref = all.filter(pmod($"doc_id", lit(10)) === 0)
+      val tgt = all.filter(pmod($"doc_id", lit(10)) =!= 0)
+      val scored = NgramLm.perplexity(ref, tgt, "doc_id", "text")
+      val b = NgramLm.perplexityBuckets(scored)
+        .groupBy($"ppl_bucket").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = b.values.sum.toDouble
+      val med = scored.agg(expr("percentile(avg_nll, 0.5d)"))
+        .head().getDouble(0)
+      (b.getOrElse("head", 0L) / n, med)
+    }
+    val (f1, medBase) = stats(docs)
+    // vocab-growth shape, exactly like the crawl fan-out probe: every
+    // doc (REFERENCE slice included — that's what grows V) gets a
+    // unique lead token; add-one smoothing spreads unseen mass thinner,
+    // shifting the score distribution upward
+    val fanned = docs.withColumn("text",
+      concat(lit("u"), $"doc_id", lit(" "), $"text"))
+    val (f2, medFan) = stats(fanned)
+    // the quantile gate keeps its fraction in BOTH regimes...
+    assert(f1 > 0.25 && f1 < 0.45 && f2 > 0.25 && f2 < 0.45)
+    // ...while the score distribution a fixed-bits gate cuts against
+    // has moved under it
+    assert(medFan > medBase)
+  }
+
   // --------------------------------------------------- repeated spans
   private val spanDocs = Seq(
     (1L, "a b c d e"),     // first occurrence of every gram it has

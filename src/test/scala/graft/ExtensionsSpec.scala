@@ -55,6 +55,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("incremental dedup classifies a crawl batch against the history " +
+      "index: exact_hist / near_hist / kept") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val hist = Seq((1L, base),
+      (2L, "some other historical document body entirely"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "  ALPHA beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon "), // exact (fp
+      // normalizes case/whitespace)
+      (11L, "upsilon tau sigma rho pi omicron xi nu mu lambda kappa iota " +
+        "theta eta zeta epsilon delta gamma beta alpha"), // same token SET
+      // reordered: every minhash equal -> all bands collide -> near
+      (12L, "fresh previously unseen content with disjoint vocabulary"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.dedupIndex(hist, "doc_id", "text", k = 16, bands = 4)
+    val got = Dedup.incrementalStatus(batch, idx, "doc_id", "text",
+        k = 16, bands = 4)
+      .select($"doc_id", $"status")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(10L -> "exact_hist", 11L -> "near_hist",
+      12L -> "kept"))
+  }
+
+  test("incremental dedup: a batch equal to history is all exact_hist; " +
+      "empty-token docs never near-match") {
+    val docs = Tables.documents(spark, sf).limit(60)
+    val idx = Dedup.dedupIndex(docs, "doc_id", "text")
+    val statuses = Dedup.incrementalStatus(docs, idx, "doc_id", "text")
+      .select($"status").distinct().as[String].collect().toSet
+    assert(statuses === Set("exact_hist"))
+    val empties = Seq((100L, ""), (101L, "   ")).toDF("doc_id", "text")
+    val got = Dedup.incrementalStatus(empties, idx, "doc_id", "text")
+      .select($"doc_id", $"status")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // whitespace-only text normalizes to a fingerprint too — it can
+    // only be exact_hist if history held an empty doc (it didn't)
+    assert(got === Map(100L -> "kept", 101L -> "kept"))
+  }
+
   test("simhash: identical texts distance 0, near texts small distance") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val df = Seq((1L, base), (2L, base), (3L, base + " extra token"))

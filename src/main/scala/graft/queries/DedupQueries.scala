@@ -66,6 +66,19 @@ object DedupQueries extends QueryPack {
         .select($"doc_id", $"status")
     }),
 
+    // the full text->vector->near-dup path over RAW documents: hashed
+    // set-of-words embeddings (no shipped vectors needed) feed the same
+    // blocked cosine pairing the embeddings table uses; oracle-checked
+    // end to end because every stage is md5/IEEE-portable
+    "dedup_text_embedding_pairs" -> ((s, d) => {
+      import s.implicits._
+      graft.similarity.Similarity.cosineNearDupPairs(
+        graft.text.TextAnalysis.hashedEmbeddings(
+            Tables.documents(s, d), "doc_id", "text", dim = 64)
+          .withColumn("blk", ($"doc_id" / 100).cast("long")),
+        "doc_id", "embedding", threshold = 0.98, block = Some("blk"))
+    }),
+
     // blocked form: quadratic only within each 150-id block (the block
     // key stands in for an LSH bucket / cluster id at scale); threshold
     // 0.4 sits inside the corpus' sim range so the oracle compares
@@ -200,6 +213,46 @@ object DedupQueries extends QueryPack {
          |FROM batch b
          |LEFT JOIN ex ON b.doc_id = ex.doc_id
          |LEFT JOIN nr ON b.doc_id = nr.doc_id""".stripMargin,
+
+    // hashed-embedding stage mirrors the text_hash_embed oracle
+    // (TextQueries), cosine stage mirrors dedup_embedding_pairs below —
+    // both already proven; FLOAT casts keep the stored-vector identity
+    "dedup_text_embedding_pairs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct($ltoks) AS w FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    [coalesce(list_sum([
+         |        CASE WHEN ('0x' || substring(md5(x), 1, 8))::BIGINT % 64 = i
+         |          THEN CASE WHEN ('0x' || substring(md5(x), 9, 1))::BIGINT < 8
+         |            THEN 1.0 ELSE -1.0 END
+         |          ELSE 0.0 END
+         |      for x in w]), 0.0)
+         |     for i in range(0, 64)] AS hist
+         |  FROM t),
+         |n AS (
+         |  SELECT doc_id, hist,
+         |    sqrt(list_sum(list_transform(hist, x -> x * x))) AS nrm
+         |  FROM h),
+         |v AS (
+         |  SELECT doc_id,
+         |    CASE WHEN nrm = 0
+         |      THEN list_transform(hist, x -> CAST(x AS FLOAT))
+         |      ELSE list_transform(hist, x -> CAST(x / nrm AS FLOAT)) END
+         |      AS embedding,
+         |    doc_id // 100 AS blk
+         |  FROM n),
+         |scored AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    round(
+         |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(a.embedding,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(b.embedding,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+         |  FROM v a JOIN v b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.98""".stripMargin,
 
     "dedup_embedding_pairs" ->
       """WITH v AS (

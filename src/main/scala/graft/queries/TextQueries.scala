@@ -12,6 +12,13 @@ object TextQueries extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // feature-hashing text->vector bridge into the embedding family;
+    // md5 bucket+sign makes the float vectors engine-portable, so the
+    // oracle compares them bit-for-bit (pure IEEE ops, no rounding)
+    "text_hash_embed" -> ((s, d) =>
+      TextAnalysis.hashedEmbeddings(Tables.documents(s, d),
+        "doc_id", "text", dim = 64)),
+
     "text_token_counts" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d).select($"doc_id",
@@ -138,6 +145,33 @@ object TextQueries extends QueryPack {
       .mkString("CASE ", " ", " ELSE 'und' END")
 
     Map(
+      // signed bucket histogram over the DISTINCT token set (TokensExpr
+      // semantics = list_distinct(ltoks)), L2-normalized; zero-token
+      // docs embed as the zero vector
+      "text_hash_embed" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, list_distinct($ltoks) AS w FROM documents),
+           |h AS (
+           |  SELECT doc_id,
+           |    [coalesce(list_sum([
+           |        CASE WHEN ('0x' || substring(md5(x), 1, 8))::BIGINT % 64 = i
+           |          THEN CASE WHEN ('0x' || substring(md5(x), 9, 1))::BIGINT < 8
+           |            THEN 1.0 ELSE -1.0 END
+           |          ELSE 0.0 END
+           |      for x in w]), 0.0)
+           |     for i in range(0, 64)] AS hist
+           |  FROM t),
+           |n AS (
+           |  SELECT doc_id, hist,
+           |    sqrt(list_sum(list_transform(hist, x -> x * x))) AS nrm
+           |  FROM h)
+           |SELECT doc_id,
+           |  CASE WHEN nrm = 0
+           |    THEN list_transform(hist, x -> CAST(x AS FLOAT))
+           |    ELSE list_transform(hist, x -> CAST(x / nrm AS FLOAT)) END
+           |    AS embedding
+           |FROM n""".stripMargin,
+
       "text_token_counts" ->
         s"""SELECT doc_id, $ntoks AS n_ws_tokens,
            |  len(regexp_extract_all(text,

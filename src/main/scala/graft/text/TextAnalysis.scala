@@ -140,6 +140,54 @@ object TextAnalysis {
         "[\\p{Cntrl}]", " "),
       "\\s+", " "))
 
+  /** Deterministic hashed set-of-words embedding (the feature-hashing
+    * trick, Weinberger et al. 2009, over the distinct-token set): each
+    * token md5-hashes to one of `dim` buckets with a ±1 sign, the doc's
+    * vector is the L2-normalized signed bucket histogram. This is the
+    * bridge from raw TEXT into the embedding family — cosine near-dup,
+    * ANN top-k, and SemDeDup run unchanged on corpora that ship no
+    * vectors. Properties that matter at scale:
+    *  - map-only column expression: one md5 per distinct token, one
+    *    O(dim) fold per doc; no shuffle, no trained state, no UDF;
+    *  - md5-derived bucket+sign (like the minhash family), so every
+    *    value is reproducible in any engine — the DuckDB oracle checks
+    *    the float vectors bit-for-bit (pure IEEE division + float cast,
+    *    no decimal-rounding boundary to straddle);
+    *  - docs with no tokens embed as the zero vector (callers filter —
+    *    cosine against zero is undefined and scored 0 downstream).
+    */
+  def hashedEmbeddings(df: DataFrame, idCol: String, textCol: String,
+                       dim: Int = 64): DataFrame = {
+    val toks = graft.functions.TokensExpr.tokens(col(textCol))
+    val pairs = transform(toks, w => {
+      val h = md5(w)
+      struct(
+        (conv(substring(h, 1, 8), 16, 10).cast("long") % dim)
+          .cast("int").as("b"),
+        when(conv(substring(h, 9, 1), 16, 10).cast("int") < 8, lit(1.0))
+          .otherwise(lit(-1.0)).as("s"))
+    })
+    // staged projections so the signed-histogram fold and the norm each
+    // evaluate ONCE per row: inlining `norm` into the per-element
+    // division lambda would re-run its aggregate per element (O(dim²)),
+    // and CollapseProject's non-cheap-expression guard keeps these
+    // stages from being merged back into that shape
+    df.select(col(idCol),
+        aggregate(pairs, array_repeat(lit(0.0), dim),
+          (acc, p) => transform(acc, (v, i) =>
+            when(p.getField("b") === i, v + p.getField("s"))
+              .otherwise(v))).as("_hist"))
+      .select(col(idCol), col("_hist"),
+        sqrt(aggregate(col("_hist"), lit(0.0), (a, v) => a + v * v))
+          .as("_norm"))
+      .select(col(idCol),
+        when(col("_norm") === 0.0,
+            transform(col("_hist"), v => v.cast("float")))
+          .otherwise(
+            transform(col("_hist"), v => (v / col("_norm")).cast("float")))
+          .as("embedding"))
+  }
+
   /** Convenience: attach the standard analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -96,6 +96,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === Map(100L -> "kept", 101L -> "kept"))
   }
 
+  test("hashed embeddings: unit norm, token-set identity, zero on empty") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta GAMMA beta alpha"), // same token set -> same vector
+      (3L, "totally disjoint vocabulary here"),
+      (4L, "   ")) // no tokens -> zero vector
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.hashedEmbeddings(df, "doc_id", "text", dim = 64)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble)).toMap
+    assert(got.values.forall(_.size === 64))
+    def n2(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(n2(got(1L)) - 1.0) < 1e-6)
+    assert(got(1L) === got(2L))
+    assert(got(4L).forall(_ === 0.0))
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum / (n2(a) * n2(b))
+    assert(cos(got(1L), got(3L)) < 0.5)
+  }
+
   test("simhash: identical texts distance 0, near texts small distance") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val df = Seq((1L, base), (2L, base), (3L, base + " extra token"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,4 +82,33 @@ object Packing {
           array_sort(collect_list(struct(col(idCol), col(textCol)))),
           x => x.getField(textCol)), " ").as("seq_text"))
   }
+
+  /** Deterministic balanced shard id for training-data delivery
+    * (WebDataset-style fixed shard counts): the content digest's first
+    * 8 hex digits scaled into `[0, nShards)` — equal-width ranges over
+    * the same md5 family every [[Sampling]] op keys on, so shard
+    * membership is a pure function of (salt, key): stable across runs,
+    * partitionings, and engines, and each shard holds ~1/nShards of the
+    * corpus by the digest's uniformity. Map-only codegen'd expression;
+    * the write side is one shuffle keyed on it
+    * (`repartition(col("shard")).write.partitionBy("shard")`).
+    * The scale-out product `digest * nShards` stays ≤ 2^48 (exact in
+    * the double `floor`), enforced by the 65536 cap.
+    */
+  def assignShard(key: Column, nShards: Int, salt: String = ""): Column = {
+    require(nShards >= 1 && nShards <= 65536,
+      s"nShards must be in [1, 65536], got $nShards")
+    floor(conv(substring(Sampling.sampleHash(key, salt), 1, 8), 16, 10)
+      .cast("long") * nShards / 4294967296.0).cast("int")
+  }
+
+  /** Per-shard delivery manifest — the sidecar a loader reads to plan
+    * work: document count and byte/token volume per shard. One
+    * aggregation shuffle on the shard id (shard count rows out).
+    */
+  def shardManifest(df: DataFrame, key: Column, sizeCol: Column,
+                    nShards: Int, salt: String = ""): DataFrame =
+    df.groupBy(assignShard(key, nShards, salt).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(sizeCol).cast("long").as("total_size"))
 }

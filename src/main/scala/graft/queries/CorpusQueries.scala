@@ -97,6 +97,30 @@ object CorpusQueries extends QueryPack {
         "doc_id", "n_tokens", budget = 2048, buckets = 16)
     }),
 
+    // sketch-first corpus stats (no SQL oracle: the HLL++ estimate is
+    // engine-specific — digest-pinned in GoldenDigestsSpec, error bound
+    // vs exact asserted in CorpusOpsSpec)
+    "corpus_sketch_stats" -> ((s, d) => {
+      import s.implicits._
+      CorpusQc.sketchStats(Tables.documents(s, d), "source",
+        TextAnalysis.fingerprint($"text"), $"n_chars")
+    }),
+
+    // deterministic balanced delivery sharding (WebDataset-style): every
+    // doc's shard id as a pure function of its content digest, plus the
+    // per-shard manifest a loader plans from
+    "pack_shard_assign" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        Packing.assignShard($"doc_id", nShards = 16).as("shard"))
+    }),
+
+    "pack_shard_manifest" -> ((s, d) => {
+      import s.implicits._
+      Packing.shardManifest(Tables.documents(s, d), $"doc_id",
+        length($"text"), nShards = 16)
+    }),
+
     // sequence ASSEMBLY: the record a data loader actually reads — texts
     // concatenated in id order per (bucket, seq); one exchange total
     // (the assembly groupBy reuses the window's bucket partitioning)
@@ -364,6 +388,20 @@ object CorpusQueries extends QueryPack {
          |  floor((sum(${ntoks()}) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
          |         - ${ntoks()}) / 2048)::BIGINT AS pack_seq
          |FROM documents""".stripMargin,
+
+    "pack_shard_assign" ->
+      """SELECT doc_id,
+        |  CAST(floor(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |    * 16 / 4294967296.0) AS INT) AS shard
+        |FROM documents""".stripMargin,
+
+    "pack_shard_manifest" ->
+      """SELECT
+        |  CAST(floor(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |    * 16 / 4294967296.0) AS INT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_size
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "pack_assemble" ->
       s"""WITH p AS (

@@ -186,4 +186,32 @@ object CorpusQc {
         round(sum(col("_nt")) / count(lit(1)), 6).as("avg_tokens"),
         percentile(col("_nt"), lit(0.5)).as("median_tokens"))
   }
+
+  /** Sketch-based per-group corpus statistics — the 100 TB form of "how
+    * many distinct X per group, how are sizes distributed". The distinct
+    * count is HLL++ (`approx_count_distinct`): bounded registers
+    * map-side, max-merge (commutative, associative, idempotent), so the
+    * estimate is independent of partitioning and arrival order —
+    * DETERMINISTIC and digest-pinnable, unlike a sampled estimate. The
+    * percentiles are the EXACT aggregate on an integer size column: its
+    * buffer holds one entry per distinct VALUE (bounded by the value
+    * range of a size-like column, not the corpus), the same boundedness
+    * argument [[graft.text.NgramLm.perplexityBuckets]] relies on.
+    * `percentile_approx` is the tool for genuinely unbounded value
+    * domains, but its Greenwald-Khanna merge is arrival-order-dependent
+    * — two identical runs can disagree in the last summary entry — so
+    * this op deliberately avoids it on the pinned surface.
+    *
+    * Scale shape: ONE aggregation shuffle on the group key; every
+    * aggregate carries partial state (counts, HLL registers,
+    * value-count maps) map-side.
+    */
+  def sketchStats(df: DataFrame, groupCol: String, key: Column,
+                  size: Column, rsd: Double = 0.05): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        approx_count_distinct(key, rsd).as("approx_distinct"),
+        sum(size).cast("long").as("total_size"),
+        percentile(size, array(lit(0.5), lit(0.9), lit(0.99)))
+          .as("size_percentiles"))
 }

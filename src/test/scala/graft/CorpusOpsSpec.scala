@@ -202,6 +202,55 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------- packing
+  test("sketch stats: HLL estimate within rsd bound, exact percentiles, " +
+      "deterministic under repartitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val key = graft.text.TextAnalysis.fingerprint($"text")
+    val got = CorpusQc.sketchStats(docs, "source", key, $"n_chars")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("approx_distinct"),
+          r.getAs[scala.collection.Seq[Double]]("size_percentiles").toList)).toMap
+    val exact = docs.groupBy($"source").agg(count_distinct(key).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (src, (n, approx, pcts)) =>
+      val d = exact(src)
+      // HLL++ at rsd=0.05: allow 4 sigma
+      assert(math.abs(approx - d) <= math.max(2.0, 0.2 * d),
+        s"$src: approx=$approx exact=$d")
+      assert(n >= d)
+      assert(pcts.size === 3 && pcts(0) <= pcts(1) && pcts(1) <= pcts(2))
+    }
+    // order/partitioning independence (max-merge HLL + exact percentile)
+    val again = CorpusQc
+      .sketchStats(docs.repartition(11), "source", key, $"n_chars")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("approx_distinct"),
+          r.getAs[scala.collection.Seq[Double]]("size_percentiles").toList)).toMap
+    assert(again === got)
+  }
+
+  test("shard assignment: exhaustive range, balanced, deterministic") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val counts = docs
+      .groupBy(Packing.assignShard($"doc_id", 16).as("shard")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.forall(s => s >= 0 && s < 16))
+    // 16 shards over the sf0.001 corpus: all populated, none pathological
+    assert(counts.size === 16)
+    assert(counts.values.max < 4 * counts.values.min)
+    // pure function of the key: repartitioning changes nothing
+    val again = docs.repartition(7)
+      .groupBy(Packing.assignShard($"doc_id", 16).as("shard")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(again === counts)
+    // manifest totals reconcile with the corpus
+    val m = Packing.shardManifest(docs, $"doc_id", length($"text"), 16)
+    assert(m.agg(sum($"n_docs")).head().getLong(0) === docs.count())
+    intercept[IllegalArgumentException] {
+      Packing.assignShard($"doc_id", 0)
+    }
+  }
+
   test("pack chunks: budget boundaries and straddling docs") {
     val df = Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 9L), (4L, 3L))
       .toDF("doc_id", "n_tokens")

@@ -56,4 +56,9 @@ class GoldenDigestsSpec extends SparkSpec {
   // perplexity gate + cross-doc span dedup, thresholds measured by
   // CurateFullProbeMain); digest verified back-to-back identical
   check("corpus_curate_full", 46L, "13732983899389218483")
+  // r7: sketch stats — HLL++ estimate is engine-specific (no SQL
+  // oracle) but DETERMINISTIC (max-merge registers, order/partitioning
+  // independent — pinned in CorpusOpsSpec); digest verified
+  // back-to-back identical
+  check("corpus_sketch_stats", 20L, "-20952102406550928144")
 }

@@ -71,7 +71,13 @@ object Curate {
       // classic composition and its pinned digests bit-identical
       maxPerplexityBits: Double = 8.0,
       minQualityProb: Double = 0.5,
-      spanDedupN: Option[Int] = None)
+      spanDedupN: Option[Int] = None,
+      // when set, the perplexity gate keeps the lowest-scoring
+      // `quantile` FRACTION of the corpus instead of cutting at
+      // maxPerplexityBits — the scale-stable CCNet form (a fixed bits
+      // threshold empties under vocabulary growth; measured in the r7
+      // 100x probe, see NgramLm.perplexityBuckets)
+      perplexityQuantile: Option[Double] = None)
 
   /** Run the full curation over `docs` against a benchmark (eval-set)
     * table. Returns one row per surviving document: the input columns
@@ -120,12 +126,23 @@ object Curate {
               >= cfg.minQualityProb)
         }
         val gated = lmRef.fold(classified) { ref =>
-          classified.join(
-            graft.text.NgramLm.perplexityFilter(ref,
+          val keep = cfg.perplexityQuantile match {
+            case Some(q) =>
+              // quantile mode: the scored frame feeds the threshold agg
+              // AND the cut — persist it like every other stage
+              // manifest or the LM subtree runs twice
+              val scored = persistedManifest(
+                graft.text.NgramLm.perplexity(ref,
+                  classified.select(col(idCol), col(textCol)),
+                  idCol, textCol))
+              graft.text.NgramLm.perplexityBuckets(scored, q, q)
+                .filter(col("ppl_bucket") === "head")
+            case None =>
+              graft.text.NgramLm.perplexityFilter(ref,
                 classified.select(col(idCol), col(textCol)),
                 idCol, textCol, cfg.maxPerplexityBits)
-              .select(col(idCol)),
-            Seq(idCol), "left_semi")
+          }
+          classified.join(keep.select(col(idCol)), Seq(idCol), "left_semi")
         }
         ruleQc.join(persistedManifest(gated.select(col(idCol))),
           Seq(idCol), "left_semi")

@@ -97,6 +97,39 @@ class CurationSpec extends SparkSpec {
     assert(medFan > medBase)
   }
 
+  test("curate's quantile perplexity gate: monotone in q, subset of " +
+      "the ungated run") {
+    import graft.operators.Curate
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.filter(pmod($"doc_id", lit(50)) === 0)
+    val corpus = docs.filter(pmod($"doc_id", lit(50)) =!= 0)
+    val cfg = Curate.CurateConfig(contaminationN = 3,
+      maxContaminationFrac = 0.06)
+    // the gate itself is monotone in q; the COMPOSITION's final ids are
+    // not (a gated-out doc can be an LSH cluster keeper, shifting
+    // keeper choice downstream) — so pin the wiring: every survivor of
+    // the quantile-gated run scored in the head bucket of the same LM
+    val q = 0.6
+    val classified = corpus.filter(Curate.qcPredicate($"text", cfg))
+    val headIds = NgramLm.perplexityBuckets(
+        NgramLm.perplexity(bench,
+          classified.select($"doc_id", $"text"), "doc_id", "text"), q, q)
+      .filter($"ppl_bucket" === "head")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(headIds.nonEmpty)
+    val gated = Curate.curate(corpus, bench, "doc_id", "text",
+        cfg.copy(perplexityQuantile = Some(q)), lmRef = Some(bench))
+      .select($"doc_id").as[Long].collect().toSet
+    Curate.clearManifests()
+    assert(gated.nonEmpty)
+    assert(gated.subsetOf(headIds))
+    // and the gate actually prunes: some classic-run survivor is gone
+    val ungated = Curate.curate(corpus, bench, "doc_id", "text", cfg)
+      .select($"doc_id").as[Long].collect().toSet
+    Curate.clearManifests()
+    assert((ungated -- headIds).nonEmpty)
+  }
+
   // --------------------------------------------------- repeated spans
   private val spanDocs = Seq(
     (1L, "a b c d e"),     // first occurrence of every gram it has

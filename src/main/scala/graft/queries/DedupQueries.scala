@@ -66,6 +66,25 @@ object DedupQueries extends QueryPack {
         .select($"doc_id", $"status")
     }),
 
+    // the Bloom form of the same classification: index folded into two
+    // broadcast filters, classify map-only (no join, no shuffle). No
+    // SQL oracle (filter bits aren't SQL-expressible) — digest-pinned,
+    // one-sided-error contract vs the exact path in ExtensionsSpec
+    "dedup_incremental_bloom" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+      val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
+        .select($"doc_id", $"text")
+        .unionByName(hist
+          .filter(pmod($"doc_id", lit(10)) === 1)
+          .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+      val idx = graft.dedup.BloomIndex.build(hist, "doc_id", "text",
+        expectedItems = 20000, fpp = 0.001, k = 16, bands = 2)
+      graft.dedup.BloomIndex.classify(batch, idx, "doc_id", "text")
+        .select($"doc_id", $"status")
+    }),
+
     // the full text->vector->near-dup path over RAW documents: hashed
     // set-of-words embeddings (no shipped vectors needed) feed the same
     // blocked cosine pairing the embeddings table uses; oracle-checked

@@ -188,6 +188,31 @@ object IncrementalStream {
         .dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Streaming incremental-crawl dedup — the continuous form of
+    * [[graft.dedup.Dedup.incrementalStatus]] + exact dedup: every
+    * arriving document is classified against the BROADCAST Bloom
+    * history index ([[graft.dedup.BloomIndex.classify]] is a pure
+    * projection, so it composes onto a stream with zero state and zero
+    * shuffle — the whole history lookup costs two filter probes per
+    * row), survivors dedup WITHIN the stream by content fingerprint
+    * ([[dedupStream]]'s bounded watermark state). History text is never
+    * read; between increments a deployment folds the emitted docs' keys
+    * into the persisted filters (`BloomFilter.putString`) so the next
+    * stream run sees them as history.
+    */
+  def incrementalDedupStream(docs: DataFrame,
+                             index: graft.dedup.BloomIndex.Index,
+                             idCol: String, textCol: String, tsCol: String,
+                             watermarkDelay: String,
+                             bounded: Boolean = true): DataFrame =
+    dedupStream(
+      graft.dedup.BloomIndex.classify(docs, index, idCol, textCol)
+        .filter(col("status") === "kept")
+        .withColumn("_fp",
+          graft.text.TextAnalysis.fingerprint(col(textCol))),
+      Seq("_fp"), tsCol, watermarkDelay, bounded)
+      .drop("_fp", "status")
+
   /** Watermarked stream-stream interval join: each left event
     * inner-joined to right events with the matching key whose timestamp
     * lies in `[leftTs - lookback, leftTs]` — the continuous form of the

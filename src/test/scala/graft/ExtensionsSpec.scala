@@ -80,6 +80,47 @@ class ExtensionsSpec extends SparkSpec {
       12L -> "kept"))
   }
 
+  test("bloom incremental dedup: one-sided error vs the exact index, " +
+      "deterministic, and map-only") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
+      .select($"doc_id", $"text")
+    val exact = Dedup.incrementalStatus(batch,
+        Dedup.dedupIndex(hist, "doc_id", "text", k = 16, bands = 2),
+        "doc_id", "text", k = 16, bands = 2)
+      .select($"doc_id", $"status")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val idx = graft.dedup.BloomIndex.build(hist, "doc_id", "text",
+      expectedItems = 5000, fpp = 0.001, k = 16, bands = 2)
+    val bloomDf = graft.dedup.BloomIndex
+      .classify(batch, idx, "doc_id", "text")
+    val bloom = bloomDf.select($"doc_id", $"status")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // no false negatives: every bloom `kept` is exactly kept; a true
+    // dup can never leak through
+    bloom.foreach { case (id, st) =>
+      if (st == "kept") assert(exact(id) === "kept", s"doc $id")
+    }
+    // the error really is one-sided AND rare: full agreement bar at
+    // most a fpp-sized handful of kept->hist misclassifications
+    val disagree = bloom.count { case (id, st) => exact(id) != st }
+    assert(disagree <= math.max(2, (0.01 * bloom.size).toInt),
+      s"$disagree/${bloom.size} disagreements")
+    // deterministic (OR-merged bits, order-independent)
+    val again = graft.dedup.BloomIndex
+      .classify(batch.repartition(7),
+        graft.dedup.BloomIndex.build(hist.repartition(5), "doc_id",
+          "text", expectedItems = 5000, fpp = 0.001, k = 16, bands = 2),
+        "doc_id", "text")
+      .select($"doc_id", $"status")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === bloom)
+    // map-only: classification adds no exchange
+    assert(!bloomDf.queryExecution.executedPlan.toString
+      .contains("Exchange"))
+  }
+
   test("incremental dedup: a batch equal to history is all exact_hist; " +
       "empty-token docs never near-match") {
     val docs = Tables.documents(spark, sf).limit(60)

@@ -61,4 +61,10 @@ class GoldenDigestsSpec extends SparkSpec {
   // independent — pinned in CorpusOpsSpec); digest verified
   // back-to-back identical
   check("corpus_sketch_stats", 20L, "-20952102406550928144")
+  // r7: Bloom-index incremental dedup — filter bits aren't
+  // SQL-expressible (no oracle) but are the OR of per-key scatters:
+  // order/partitioning-independent, digest verified back-to-back
+  // identical; one-sided-error contract vs the exact path pinned in
+  // ExtensionsSpec
+  check("dedup_incremental_bloom", 201L, "-35337134575005675953")
 }

@@ -167,6 +167,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalDedupStream: history dups dropped map-only, stream " +
+      "dups first-occurrence, novel docs pass — batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val batchDf = docs.filter(pmod($"doc_id", lit(3)) === 0)
+      .select($"doc_id", $"text").orderBy($"doc_id")
+    val idx = graft.dedup.BloomIndex.build(hist, "doc_id", "text",
+      expectedItems = 2000, fpp = 0.001, k = 16, bands = 2)
+    // stream the batch in id order with a synthetic arrival ts
+    val rows = batchDf.collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        ts("2026-01-01 00:00:00")))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = IncrementalStream.incrementalDedupStream(
+      input.toDF().toDF("doc_id", "text", "ts"), idx,
+      "doc_id", "text", "ts", watermarkDelay = "1 hour",
+      bounded = false)
+      .writeStream.format("memory").queryName("inc_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.toSeq)
+      // a second arrival of the first kept doc, later: in-stream dup
+      q.processAllAvailable()
+      val keptBatch = graft.dedup.Dedup.exactDedup(
+        graft.dedup.BloomIndex.classify(batchDf, idx, "doc_id", "text")
+          .filter($"status" === "kept"), "doc_id", "text")
+        .select($"doc_id").as[Long].collect().toSet
+      val got = spark.table("inc_out").select($"doc_id")
+        .as[Long].collect()
+      assert(got.toSet === keptBatch)
+      assert(got.length === got.toSet.size)
+      assert(got.nonEmpty)
+      // replaying an emitted doc under a fresh id: in-stream content
+      // dup, must not re-emit
+      val dupOf = got.min
+      val text0 = batchDf.filter($"doc_id" === dupOf)
+        .select($"text").as[String].head()
+      input.addData(Seq((9999999L, text0, ts("2026-01-01 00:00:01"))))
+      q.processAllAvailable()
+      assert(spark.table("inc_out").count() === got.length.toLong)
+    } finally q.stop()
+  }
+
   test("dedupStream batch parity: streaming output keys = ev_dedup_first") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

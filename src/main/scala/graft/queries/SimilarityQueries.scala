@@ -58,6 +58,31 @@ object SimilarityQueries extends QueryPack {
       Similarity.bruteForceTopK(queries, corpus, k = 5)
     }),
 
+    // retrieval over RAW text end to end: sliding-window chunks ->
+    // hashed embeddings -> brute-force cosine top-k; every stage is
+    // md5/IEEE-portable so the WHOLE pipeline has a DuckDB oracle.
+    // Tail chunks under 5 tokens are noise for retrieval and dropped;
+    // chunk ids offset by 1e6 so they can never collide with query ids.
+    "sim_chunk_search" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val chunks = graft.text.Chunker
+        .chunkByTokens(docs, "doc_id", "text", width = 64, stride = 48)
+        .filter($"n_chunk_tokens" >= 5)
+        .select(($"doc_id" * 1000 + $"chunk_id" + 1000000L).as("c_id"),
+          $"chunk_text")
+      val corpus = graft.text.TextAnalysis
+        .hashedEmbeddings(chunks, "c_id", "chunk_text", dim = 64)
+        .select($"c_id", $"embedding".as("c_vec"))
+      val queries = graft.text.TextAnalysis
+        .hashedEmbeddings(
+          docs.filter(pmod($"doc_id", lit(100)) === 7)
+            .select($"doc_id", $"text"),
+          "doc_id", "text", dim = 64)
+        .select($"doc_id".as("q_id"), $"embedding".as("q_vec"))
+      Similarity.bruteForceTopK(queries, corpus, k = 5)
+    }),
+
     // int8-quantized brute force (the 4x-memory index path): same query
     // set as the exact baseline; scores rank on the int8 codes directly
     // (cosine scale-invariance). Digest-pinned; recall floor vs exact in
@@ -106,6 +131,36 @@ object SimilarityQueries extends QueryPack {
     })
   )
 
+  /** Hashed set-of-words embedding as CTEs (mirrors the proven
+    * text_hash_embed oracle in TextQueries); `src` must expose ($id,
+    * text).
+    */
+  private def embedCtes(p: String, src: String, id: String): String =
+    s"""${p}w AS (
+       |  SELECT $id, list_distinct(list_filter(
+       |    string_split_regex(lower(trim(text)), '\\s+'),
+       |    x -> len(x) > 0)) AS w FROM $src),
+       |${p}h AS (
+       |  SELECT $id,
+       |    [coalesce(list_sum([
+       |        CASE WHEN ('0x' || substring(md5(x), 1, 8))::BIGINT % 64 = i
+       |          THEN CASE WHEN ('0x' || substring(md5(x), 9, 1))::BIGINT < 8
+       |            THEN 1.0 ELSE -1.0 END
+       |          ELSE 0.0 END
+       |      for x in w]), 0.0)
+       |     for i in range(0, 64)] AS hist
+       |  FROM ${p}w),
+       |${p}n AS (SELECT $id, hist,
+       |    sqrt(list_sum(list_transform(hist, x -> x * x))) AS nrm
+       |  FROM ${p}h),
+       |${p}v AS (
+       |  SELECT $id,
+       |    CASE WHEN nrm = 0
+       |      THEN list_transform(hist, x -> CAST(x AS FLOAT))
+       |      ELSE list_transform(hist, x -> CAST(x / nrm AS FLOAT)) END
+       |      AS vec
+       |  FROM ${p}n)""".stripMargin
+
   private val cos =
     """list_sum(list_transform(list_zip(%s, %s),
       |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
@@ -122,6 +177,43 @@ object SimilarityQueries extends QueryPack {
                                  "q.embedding", "c.embedding")}, 6) AS sim
          |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 10)
+         |SELECT q_id, c_id, sim, rank FROM (
+         |  SELECT q_id, c_id, sim, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+
+    // chunk (mirrors text_chunk_overlap) -> embed (mirrors
+    // text_hash_embed) -> guarded cosine top-k (Similarity.cosine's
+    // zero-norm guard spelled out: 0.0, never NULL/NaN)
+    "sim_chunk_search" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS _toks,
+         |    (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n
+         |  FROM documents),
+         |st AS (SELECT doc_id, _toks,
+         |        unnest(range(0, n, 48)) AS _start FROM t),
+         |chk AS (
+         |  SELECT doc_id * 1000 + (_start // 48) + 1000000 AS c_id,
+         |    array_to_string(_toks[_start + 1 : _start + 64], ' ') AS text
+         |  FROM st WHERE len(_toks[_start + 1 : _start + 64]) >= 5),
+         |qd AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 7),
+         |${embedCtes("cc", "chk", "c_id")},
+         |${embedCtes("qq", "qd", "doc_id")},
+         |scored AS (
+         |  SELECT q_id, c_id,
+         |    round(CASE WHEN na * nb > 0
+         |      THEN dot / (na * nb) ELSE 0.0 END, 6) AS sim
+         |  FROM (
+         |    SELECT q.doc_id AS q_id, c.c_id AS c_id,
+         |      list_sum(list_transform(list_zip(q.vec, c.vec),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) AS dot,
+         |      sqrt(list_sum(list_transform(q.vec,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+         |      sqrt(list_sum(list_transform(c.vec,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+         |    FROM qqv q JOIN ccv c ON q.doc_id <> c.c_id))
          |SELECT q_id, c_id, sim, rank FROM (
          |  SELECT q_id, c_id, sim, row_number() OVER (
          |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank

@@ -76,7 +76,8 @@ object BloomIndex {
     val sc = newDocs.sparkSession.sparkContext
     val fpB = sc.broadcast(index.fp)
     val bandB = sc.broadcast(index.band)
-    val mightFp = udf((s: String) => fpB.value.mightContainString(s))
+    val mightFp = udf((s: String) =>
+      s != null && fpB.value.mightContainString(s))
     val mightBand = udf((keys: Seq[String]) =>
       keys != null && keys.exists(bandB.value.mightContainString))
     val text = col(textCol)

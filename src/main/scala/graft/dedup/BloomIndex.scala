@@ -44,26 +44,28 @@ object BloomIndex {
 
   /** Fold `df`'s exact fingerprints and LSH band keys into Bloom
     * filters. `expectedItems` sizes the filters (per filter; overshoot
-    * is safe — fpp only drops).
+    * is safe — fpp only drops). ONE pass over history: both filters
+    * fold from the shared [[Dedup.indexKeys]] derivation (no distinct —
+    * sketch inserts are idempotent, so the exact index's dedup shuffles
+    * are pure overhead here) in a single treeAggregate.
     */
-  def build(df: DataFrame, idCol: String, textCol: String,
+  def build(df: DataFrame, textCol: String,
             expectedItems: Long, fpp: Double = 0.001,
             k: Int = 16, bands: Int = 4): Index = {
     import df.sparkSession.implicits._
-    val text = col(textCol)
-    val fpKeys = df.select(TextAnalysis.fingerprint(text).as("key"))
-    val bandKeys = df
-      .filter(size(graft.functions.TokensExpr.tokens(text)) > 0)
-      .select(Dedup.minhashSignature(text, k).as("sig"))
-      .select(col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(Dedup.bandKey(col("sig"), col("band"), k / bands).as("key"))
-    def fold(keys: DataFrame): BloomFilter =
-      keys.as[String].rdd.treeAggregate(
-        BloomFilter.create(expectedItems, fpp))(
-        (bf, s) => { bf.putString(s); bf },
-        (a, b) => { a.mergeInPlace(b); a })
-    Index(fold(fpKeys), fold(bandKeys), k, bands)
+    val (fp, band) = Dedup.indexKeys(df, textCol, k, bands)
+      .as[(String, String)].rdd
+      .treeAggregate(
+        (BloomFilter.create(expectedItems, fpp),
+          BloomFilter.create(expectedItems, fpp)))(
+        (acc, kv) => {
+          (if (kv._1 == "fp") acc._1 else acc._2).putString(kv._2)
+          acc
+        },
+        (a, b) => {
+          a._1.mergeInPlace(b._1); a._2.mergeInPlace(b._2); a
+        })
+    Index(fp, band, k, bands)
   }
 
   /** [[Dedup.incrementalStatus]] semantics against the Bloom index:
@@ -72,7 +74,7 @@ object BloomIndex {
     * key array so no UDF sits inside a higher-order lambda).
     */
   def classify(newDocs: DataFrame, index: Index,
-               idCol: String, textCol: String): DataFrame = {
+               textCol: String): DataFrame = {
     val sc = newDocs.sparkSession.sparkContext
     val fpB = sc.broadcast(index.fp)
     val bandB = sc.broadcast(index.band)

@@ -456,12 +456,17 @@ object Dedup {
     * Empty-token docs get no band rows (same contract as
     * [[minhashCandidates]]'s token CTE).
     */
-  def dedupIndex(df: DataFrame, idCol: String, textCol: String,
-                 k: Int = 16, bands: Int = 4): DataFrame = {
+  /** The raw (kind, key) stream [[dedupIndex]] distincts — exposed to
+    * [[BloomIndex]], whose idempotent inserts don't need the distinct
+    * shuffles. Null-text fingerprints are dropped (they can never match
+    * a join key, and a sketch insert would NPE on them).
+    */
+  private[dedup] def indexKeys(df: DataFrame, textCol: String,
+                               k: Int, bands: Int): DataFrame = {
     val text = col(textCol)
     val fp = df
       .select(TextAnalysis.fingerprint(text).as("key"))
-      .distinct()
+      .filter(col("key").isNotNull)
       .select(lit("fp").as("kind"), col("key"))
     // foldable band sequence exploded against the sig ATTRIBUTE — same
     // plan shape as minhashCandidates (the array-then-explode form
@@ -472,10 +477,18 @@ object Dedup {
       .select(col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(bandKey(col("sig"), col("band"), k / bands).as("key"))
-      .distinct()
       .select(lit("band").as("kind"), col("key"))
     fp.unionByName(band)
   }
+
+  def dedupIndex(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 16, bands: Int = 4): DataFrame =
+    indexKeys(df, textCol, k, bands).distinct()
+      // one marker row records the banding geometry, so a classify call
+      // with mismatched (k, bands) fails loudly instead of silently
+      // never matching a band key (every near-dup would leak as `kept`)
+      .unionByName(df.sparkSession.range(1)
+        .select(lit("geom").as("kind"), lit(s"$k|$bands").as("key")))
 
   /** Classify every document of a new crawl increment against the
     * history index: `exact_hist` (content fingerprint already seen),
@@ -492,6 +505,16 @@ object Dedup {
   def incrementalStatus(newDocs: DataFrame, index: DataFrame,
                         idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4): DataFrame = {
+    // geometry guard (1-row bounded driver read): probing with a
+    // different (k, bands) than the index was built with can never
+    // match a band key — the failure is silent dup leakage, so check
+    val geom = index.filter(col("kind") === "geom")
+      .select(col("key")).limit(2).collect()
+    geom.headOption.foreach { r =>
+      require(geom.length == 1 && r.getString(0) == s"$k|$bands",
+        s"index built with geometry ${geom.map(_.getString(0)).mkString(",")}, " +
+          s"classified with $k|$bands — band keys would never match")
+    }
     val id = col(idCol)
     val text = col(textCol)
     val exact = newDocs

@@ -104,11 +104,19 @@ object Packing {
 
   /** Per-shard delivery manifest — the sidecar a loader reads to plan
     * work: document count and byte/token volume per shard. One
-    * aggregation shuffle on the shard id (shard count rows out).
+    * aggregation shuffle on the shard id; DENSE over all `nShards` rows
+    * (an empty shard reports 0/0 explicitly — a loader iterating shard
+    * ids must be able to distinguish "legitimately empty" from "entry
+    * lost", and a sparse groupBy output can't).
     */
   def shardManifest(df: DataFrame, key: Column, sizeCol: Column,
-                    nShards: Int, salt: String = ""): DataFrame =
-    df.groupBy(assignShard(key, nShards, salt).as("shard"))
+                    nShards: Int, salt: String = ""): DataFrame = {
+    val counts = df.groupBy(assignShard(key, nShards, salt).as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(sizeCol).cast("long").as("total_size"))
+    df.sparkSession.range(nShards)
+      .select(col("id").cast("int").as("shard"))
+      .join(counts, Seq("shard"), "left")
+      .na.fill(0L, Seq("n_docs", "total_size"))
+  }
 }

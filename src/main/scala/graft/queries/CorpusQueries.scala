@@ -395,13 +395,20 @@ object CorpusQueries extends QueryPack {
         |    * 16 / 4294967296.0) AS INT) AS shard
         |FROM documents""".stripMargin,
 
+    // dense over all 16 shards (empty shards report 0/0 explicitly)
     "pack_shard_manifest" ->
-      """SELECT
-        |  CAST(floor(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
-        |    * 16 / 4294967296.0) AS INT) AS shard,
-        |  count(*) AS n_docs,
-        |  CAST(sum(length(text)) AS BIGINT) AS total_size
-        |FROM documents GROUP BY 1""".stripMargin,
+      """WITH g AS (
+        |  SELECT
+        |    CAST(floor(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      * 16 / 4294967296.0) AS INT) AS shard,
+        |    count(*) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS total_size
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(s.i AS INT) AS shard,
+        |  coalesce(g.n_docs, 0) AS n_docs,
+        |  coalesce(g.total_size, 0) AS total_size
+        |FROM generate_series(0, 15) s(i)
+        |LEFT JOIN g ON s.i = g.shard""".stripMargin,
 
     "pack_assemble" ->
       s"""WITH p AS (

@@ -79,9 +79,9 @@ object DedupQueries extends QueryPack {
         .unionByName(hist
           .filter(pmod($"doc_id", lit(10)) === 1)
           .select(($"doc_id" + 100000).as("doc_id"), $"text"))
-      val idx = graft.dedup.BloomIndex.build(hist, "doc_id", "text",
+      val idx = graft.dedup.BloomIndex.build(hist, "text",
         expectedItems = 20000, fpp = 0.001, k = 16, bands = 2)
-      graft.dedup.BloomIndex.classify(batch, idx, "doc_id", "text")
+      graft.dedup.BloomIndex.classify(batch, idx, "text")
         .select($"doc_id", $"status")
     }),
 

@@ -138,7 +138,7 @@ object SimilarityQueries extends QueryPack {
   private def embedCtes(p: String, src: String, id: String): String =
     s"""${p}w AS (
        |  SELECT $id, list_distinct(list_filter(
-       |    string_split_regex(lower(trim(text)), '\\s+'),
+       |    string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
        |    x -> len(x) > 0)) AS w FROM $src),
        |${p}h AS (
        |  SELECT $id,

@@ -150,7 +150,9 @@ object TextQueries extends QueryPack {
       // docs embed as the zero vector
       "text_hash_embed" ->
         s"""WITH t AS (
-           |  SELECT doc_id, list_distinct($ltoks) AS w FROM documents),
+           |  SELECT doc_id, list_distinct(list_filter(
+           |    string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+           |    x -> len(x) > 0)) AS w FROM documents),
            |h AS (
            |  SELECT doc_id,
            |    [coalesce(list_sum([

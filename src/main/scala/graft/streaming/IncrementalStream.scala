@@ -206,7 +206,7 @@ object IncrementalStream {
                              watermarkDelay: String,
                              bounded: Boolean = true): DataFrame =
     dedupStream(
-      graft.dedup.BloomIndex.classify(docs, index, idCol, textCol)
+      graft.dedup.BloomIndex.classify(docs, index, textCol)
         .filter(col("status") === "kept")
         .withColumn("_fp",
           graft.text.TextAnalysis.fingerprint(col(textCol))),

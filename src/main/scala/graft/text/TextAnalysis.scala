@@ -158,7 +158,11 @@ object TextAnalysis {
     */
   def hashedEmbeddings(df: DataFrame, idCol: String, textCol: String,
                        dim: Int = 64): DataFrame = {
-    val toks = graft.functions.TokensExpr.tokens(col(textCol))
+    // null text folds like the empty token set (zero vector) — the
+    // documented contract; without the coalesce the null propagates
+    // through the fold and the row embeds as NULL
+    val toks = coalesce(graft.functions.TokensExpr.tokens(col(textCol)),
+      array().cast("array<string>"))
     val pairs = transform(toks, w => {
       val h = md5(w)
       struct(

@@ -243,9 +243,14 @@ class CorpusOpsSpec extends SparkSpec {
       .groupBy(Packing.assignShard($"doc_id", 16).as("shard")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(again === counts)
-    // manifest totals reconcile with the corpus
+    // manifest totals reconcile with the corpus, and the manifest is
+    // DENSE: one row per shard id even when a shard is empty
     val m = Packing.shardManifest(docs, $"doc_id", length($"text"), 16)
     assert(m.agg(sum($"n_docs")).head().getLong(0) === docs.count())
+    val sparse = Packing.shardManifest(docs.limit(3), $"doc_id",
+      length($"text"), 4096)
+    assert(sparse.count() === 4096L)
+    assert(sparse.filter($"n_docs" === 0).count() >= 4093L)
     intercept[IllegalArgumentException] {
       Packing.assignShard($"doc_id", 0)
     }

@@ -91,10 +91,10 @@ class ExtensionsSpec extends SparkSpec {
         "doc_id", "text", k = 16, bands = 2)
       .select($"doc_id", $"status")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val idx = graft.dedup.BloomIndex.build(hist, "doc_id", "text",
+    val idx = graft.dedup.BloomIndex.build(hist, "text",
       expectedItems = 5000, fpp = 0.001, k = 16, bands = 2)
     val bloomDf = graft.dedup.BloomIndex
-      .classify(batch, idx, "doc_id", "text")
+      .classify(batch, idx, "text")
     val bloom = bloomDf.select($"doc_id", $"status")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     // no false negatives: every bloom `kept` is exactly kept; a true
@@ -110,15 +110,35 @@ class ExtensionsSpec extends SparkSpec {
     // deterministic (OR-merged bits, order-independent)
     val again = graft.dedup.BloomIndex
       .classify(batch.repartition(7),
-        graft.dedup.BloomIndex.build(hist.repartition(5), "doc_id",
-          "text", expectedItems = 5000, fpp = 0.001, k = 16, bands = 2),
-        "doc_id", "text")
+        graft.dedup.BloomIndex.build(hist.repartition(5), "text",
+          expectedItems = 5000, fpp = 0.001, k = 16, bands = 2),
+        "text")
       .select($"doc_id", $"status")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again === bloom)
     // map-only: classification adds no exchange
     assert(!bloomDf.queryExecution.executedPlan.toString
       .contains("Exchange"))
+  }
+
+  test("incremental dedup: geometry mismatch between index and classify " +
+      "fails loudly instead of silently keeping every near-dup") {
+    val docs = Tables.documents(spark, sf).limit(30)
+    val idx = Dedup.dedupIndex(docs, "doc_id", "text", k = 16, bands = 2)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.incrementalStatus(docs, idx, "doc_id", "text",
+        k = 16, bands = 4).count()
+    }
+    assert(err.getMessage.contains("16|2"))
+    // null-text history must not break the Bloom build (putString NPEs
+    // on null; the key derivation drops null fingerprints)
+    import spark.implicits._
+    val withNull = docs.select($"doc_id", $"text").unionByName(
+      Seq((9999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val bidx = graft.dedup.BloomIndex.build(withNull, "text",
+      expectedItems = 1000, fpp = 0.001)
+    assert(graft.dedup.BloomIndex.classify(docs, bidx, "text")
+      .filter(col("status") === "exact_hist").count() === 30L)
   }
 
   test("incremental dedup: a batch equal to history is all exact_hist; " +
@@ -142,7 +162,8 @@ class ExtensionsSpec extends SparkSpec {
       (1L, "alpha beta gamma delta"),
       (2L, "delta GAMMA beta alpha"), // same token set -> same vector
       (3L, "totally disjoint vocabulary here"),
-      (4L, "   ")) // no tokens -> zero vector
+      (4L, "   "),                    // no tokens -> zero vector
+      (5L, null.asInstanceOf[String])) // null text -> zero vector too
       .toDF("doc_id", "text")
     val got = TextAnalysis.hashedEmbeddings(df, "doc_id", "text", dim = 64)
       .collect().map(r => r.getLong(0) ->
@@ -152,6 +173,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(n2(got(1L)) - 1.0) < 1e-6)
     assert(got(1L) === got(2L))
     assert(got(4L).forall(_ === 0.0))
+    assert(got(5L).forall(_ === 0.0))
     def cos(a: Seq[Double], b: Seq[Double]) =
       a.zip(b).map { case (x, y) => x * y }.sum / (n2(a) * n2(b))
     assert(cos(got(1L), got(3L)) < 0.5)

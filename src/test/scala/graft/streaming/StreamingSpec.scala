@@ -175,7 +175,7 @@ class StreamingSpec extends SparkSpec {
     val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
     val batchDf = docs.filter(pmod($"doc_id", lit(3)) === 0)
       .select($"doc_id", $"text").orderBy($"doc_id")
-    val idx = graft.dedup.BloomIndex.build(hist, "doc_id", "text",
+    val idx = graft.dedup.BloomIndex.build(hist, "text",
       expectedItems = 2000, fpp = 0.001, k = 16, bands = 2)
     // stream the batch in id order with a synthetic arrival ts
     val rows = batchDf.collect().map(r =>
@@ -193,7 +193,7 @@ class StreamingSpec extends SparkSpec {
       // a second arrival of the first kept doc, later: in-stream dup
       q.processAllAvailable()
       val keptBatch = graft.dedup.Dedup.exactDedup(
-        graft.dedup.BloomIndex.classify(batchDf, idx, "doc_id", "text")
+        graft.dedup.BloomIndex.classify(batchDf, idx, "text")
           .filter($"status" === "kept"), "doc_id", "text")
         .select($"doc_id").as[Long].collect().toSet
       val got = spark.table("inc_out").select($"doc_id")

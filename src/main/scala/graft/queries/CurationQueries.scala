@@ -123,6 +123,26 @@ object CurationQueries extends QueryPack {
           $"pack_bucket", $"pack_seq")
     }),
 
+    // the scale-stable form of the perplexity gate inside the full
+    // composition: keep the lowest-scoring 60% (corpus quantile)
+    // instead of a fixed bits cut — the mode a 100 TB deployment runs
+    // (see NgramLm.perplexityBuckets scaladoc + the r7 100x probe).
+    // Rows-only for the driver; digest-pinned, wiring pinned in
+    // CurationSpec (survivors ⊆ head bucket).
+    "corpus_curate_quantile" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod($"doc_id", lit(50)) =!= 0)
+      val bench = docs.filter(pmod($"doc_id", lit(50)) === 0)
+      graft.operators.Curate.curate(corpus, bench, "doc_id", "text",
+          graft.operators.Curate.CurateConfig(
+            contaminationN = 3, maxContaminationFrac = 0.06,
+            perplexityQuantile = Some(0.6)),
+          lmRef = Some(bench))
+        .select($"doc_id", $"lang", $"split", $"n_tokens",
+          $"pack_bucket", $"pack_seq")
+    }),
+
     // fastText-style hashed-BoW logistic quality scorer, distilled from
     // the rule heuristic: the doc_id%10==0 slice provides proxy labels
     // (qualityScore >= 0.8), every other doc gets a map-only

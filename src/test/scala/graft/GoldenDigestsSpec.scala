@@ -67,4 +67,8 @@ class GoldenDigestsSpec extends SparkSpec {
   // identical; one-sided-error contract vs the exact path pinned in
   // ExtensionsSpec
   check("dedup_incremental_bloom", 201L, "-35337134575005675953")
+  // r7: quantile-mode curate (the scale-stable perplexity gate inside
+  // the full composition); digest verified back-to-back identical,
+  // wiring invariant in CurationSpec
+  check("corpus_curate_quantile", 31L, "-8274052756616005695")
 }

@@ -119,4 +119,19 @@ object Packing {
       .join(counts, Seq("shard"), "left")
       .na.fill(0L, Seq("n_docs", "total_size"))
   }
+
+  /** The write side of delivery sharding: one `shard=N/` parquet
+    * directory per shard id. `repartition(col("shard"))` clusters each
+    * shard's rows before `partitionBy` so every shard directory is
+    * written by exactly one task (without it, every task appends a file
+    * to every shard directory — nShards × tasks small files, the
+    * classic partitioned-write mistake). One shuffle keyed on the shard
+    * id; membership is [[assignShard]]'s pure content-hash function, so
+    * re-running the write reproduces identical shard contents.
+    */
+  def writeShards(df: DataFrame, key: Column, nShards: Int, path: String,
+                  salt: String = ""): Unit =
+    df.withColumn("shard", assignShard(key, nShards, salt))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
 }

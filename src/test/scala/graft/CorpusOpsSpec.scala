@@ -254,6 +254,23 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Packing.assignShard($"doc_id", 0)
     }
+    // the writer round-trips: one directory per populated shard, and
+    // the read-back corpus (with its shard labels) is exactly the input
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    try {
+      Packing.writeShards(docs, $"doc_id", 8, out)
+      val back = spark.read.parquet(out)
+      assert(back.count() === docs.count())
+      assert(back.select($"shard").distinct().count() === 8L)
+      val mismatch = back
+        .withColumn("expect", Packing.assignShard($"doc_id", 8))
+        .filter($"shard" =!= $"expect").count()
+      assert(mismatch === 0L)
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(out))
+    }
   }
 
   test("pack chunks: budget boundaries and straddling docs") {

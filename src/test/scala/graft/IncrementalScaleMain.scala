@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   *    index persists and only the NEW batch's rows append)
   *  - classify (the per-increment cost that must stay linear)
   *
-  * Usage: Test/runMain graft.IncrementalScaleMain [sfDir] [factor]
+  * `bloom` mode times the same classification on the Bloom fast path
+  * (build = one treeAggregate pass, classify = map-only projection) so
+  * the two regimes are directly comparable at each factor.
+  *
+  * Usage: Test/runMain graft.IncrementalScaleMain [sfDir] [factor] [exact|bloom]
   */
 object IncrementalScaleMain {
   def main(args: Array[String]): Unit = {
@@ -65,21 +69,34 @@ object IncrementalScaleMain {
       .repartition(par).persist()
     val nBatch = batch.count()
 
-    val t0 = System.nanoTime()
-    val idx = graft.dedup.Dedup
-      .dedupIndex(hist, "doc_id", "text", k = 16, bands = 2).persist()
-    val nIdx = idx.count()
-    val tIdx = (System.nanoTime() - t0) / 1e9
+    val bloom = args.drop(2).headOption.contains("bloom")
+    val (tIdx, idxSize, classified) = if (bloom) {
+      val t0 = System.nanoTime()
+      val idx = graft.dedup.BloomIndex.build(hist, "text",
+        expectedItems = 3L * nHist, fpp = 0.001, k = 16, bands = 2)
+      val tB = (System.nanoTime() - t0) / 1e9
+      (tB, s"${idx.fp.bitSize() / 8 + idx.band.bitSize() / 8}B",
+        graft.dedup.BloomIndex.classify(batch, idx, "text"))
+    } else {
+      val t0 = System.nanoTime()
+      val idx = graft.dedup.Dedup
+        .dedupIndex(hist, "doc_id", "text", k = 16, bands = 2).persist()
+      val n = idx.count()
+      val tB = (System.nanoTime() - t0) / 1e9
+      (tB, s"${n}rows",
+        graft.dedup.Dedup.incrementalStatus(batch, idx, "doc_id", "text",
+          k = 16, bands = 2))
+    }
 
     val t1 = System.nanoTime()
-    val counts = graft.dedup.Dedup
-      .incrementalStatus(batch, idx, "doc_id", "text", k = 16, bands = 2)
+    val counts = classified
       .groupBy($"status").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val tCls = (System.nanoTime() - t1) / 1e9
 
-    println(f"INC_SCALE factor=$factor hist=$nHist batch=$nBatch " +
-      f"index_rows=$nIdx index_build=$tIdx%.1fs classify=$tCls%.1fs " +
+    println(f"INC_SCALE mode=${if (bloom) "bloom" else "exact"} " +
+      f"factor=$factor hist=$nHist batch=$nBatch " +
+      f"index=$idxSize index_build=$tIdx%.1fs classify=$tCls%.1fs " +
       f"classify_rate=${nBatch / tCls}%.0f docs/s statuses=" +
       counts.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }
         .mkString(","))

@@ -17,6 +17,27 @@ import graft.text.{CorpusQc, NgramLm, QualityClassifier, TextAnalysis}
   */
 object CurationQueries extends QueryPack {
 
+  /** Materialized hashed embeddings per (session, dir) — the memo that
+    * keeps sim_semdedup_text tractable: fed LAZILY into the k-means
+    * training aggregation, the unevaluated per-doc embedding fold
+    * inlines into each of the 64 per-dimension sum expressions (the
+    * CollapseProject blowup the hashedEmbeddings scaladoc stages
+    * against — here across an aggregate boundary, where staging can't
+    * help; first registration attempt never finished at sf0.01).
+    * Persisting the tiny (id, 64-float) frame is also what a
+    * deployment does between the embed and cluster stages.
+    */
+  private val embCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def hashedEmb(s: SparkSession, d: String): DataFrame =
+    embCache.computeIfAbsent((s, d), { case (s2, d2) =>
+      val e = TextAnalysis.hashedEmbeddings(
+        Tables.documents(s2, d2), "doc_id", "text", dim = 64).persist()
+      e.count()
+      e
+    })
+
   /** Reference slice for the perplexity LM: every 10th doc. */
   private val lmRefMod = 10
 
@@ -86,6 +107,25 @@ object CurationQueries extends QueryPack {
         iterations = 2)
       Similarity.semDedup(emb, "vec_id", "embedding", centroids,
         threshold = 0.99)
+    }),
+
+    // SemDeDup over RAW text — no shipped vectors: hashed set-of-words
+    // embeddings feed the same trained-quantizer cluster/pair/keeper
+    // machinery. Threshold 0.995 on the hashed space ~ exact-ish
+    // semantic template collapse. Rows-only (k-means); digest-pinned.
+    "sim_semdedup_text" -> ((s, d) => {
+      import s.implicits._
+      val emb = hashedEmb(s, d)
+      val stride = math.max(1, math.sqrt(emb.count().toDouble).toLong)
+      val seeds = emb.filter($"doc_id" % stride === 0)
+        .select($"doc_id".as("cent_id"), $"embedding".as("cent_vec"))
+      val sample = graft.operators.Sampling.hashSample(
+        emb.select($"doc_id".as("c_id"), $"embedding".as("c_vec")),
+        $"c_id", "8", "ivf")
+      val centroids = Similarity.trainIvfCentroids(sample, seeds,
+        iterations = 2)
+      Similarity.semDedup(emb, "doc_id", "embedding", centroids,
+        threshold = 0.995)
     }),
 
     // per-language release data card

@@ -71,4 +71,7 @@ class GoldenDigestsSpec extends SparkSpec {
   // the full composition); digest verified back-to-back identical,
   // wiring invariant in CurationSpec
   check("corpus_curate_quantile", 31L, "-8274052756616005695")
+  // r7: SemDeDup over RAW text via hashed embeddings (no shipped
+  // vectors); digest verified back-to-back identical
+  check("sim_semdedup_text", 500L, "-221115505242612320926")
 }

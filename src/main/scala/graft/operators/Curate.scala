@@ -204,6 +204,31 @@ object Curate {
       .drop(textCol)
   }
 
+  /** The per-increment form of [[curate]] — the shape a production
+    * crawl pipeline actually runs: classify the new batch against the
+    * persisted history index FIRST ([[graft.dedup.Dedup.dedupIndex]] /
+    * [[graft.dedup.Dedup.incrementalStatus]], geometry taken from
+    * `cfg.minhashK`/`cfg.bands` so the guard can't trip), drop
+    * exact/near history dups before any stage runs — at 100 TB an
+    * increment is MOSTLY dups and this two-semi-join cut is the
+    * cheapest possible first stage — then run the standard composition
+    * on the novel docs only. Between increments the caller appends the
+    * emitted docs' keys to the index (`Dedup.indexKeys` union / Bloom
+    * `putString`).
+    */
+  def curateIncrement(newDocs: DataFrame, benchmark: DataFrame,
+                      historyIndex: DataFrame, idCol: String,
+                      textCol: String,
+                      cfg: CurateConfig = CurateConfig(),
+                      lmRef: Option[DataFrame] = None,
+                      classifier: Option[graft.text.QualityClassifier.Model] = None)
+      : DataFrame = {
+    val fresh = Dedup.incrementalStatus(newDocs, historyIndex,
+        idCol, textCol, cfg.minhashK, cfg.bands)
+      .filter(col("status") === "kept").drop("status")
+    curate(fresh, benchmark, idCol, textCol, cfg, lmRef, classifier)
+  }
+
   /** The stage-1 QC/repetition gate predicate of [[curate]], exposed so
     * the harness can oracle-check the gate in isolation (the full
     * composition has no tractable SQL oracle; its gates do —

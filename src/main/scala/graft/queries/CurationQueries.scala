@@ -109,6 +109,27 @@ object CurationQueries extends QueryPack {
         threshold = 0.99)
     }),
 
+    // the per-increment production shape: the crawl batch classifies
+    // against the history index FIRST (exact/near dups drop before any
+    // stage runs), then the standard composition curates the novel
+    // docs. Rows-only; digest-pinned, disjointness invariant in
+    // CurationSpec.
+    "corpus_curate_increment" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+      val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
+      val bench = docs.filter(pmod($"doc_id", lit(50)) === 0)
+      val cfg = graft.operators.Curate.CurateConfig(
+        contaminationN = 3, maxContaminationFrac = 0.06)
+      graft.operators.Curate.curateIncrement(batch, bench,
+          Dedup.dedupIndex(hist, "doc_id", "text",
+            cfg.minhashK, cfg.bands),
+          "doc_id", "text", cfg)
+        .select($"doc_id", $"lang", $"split", $"n_tokens",
+          $"pack_bucket", $"pack_seq")
+    }),
+
     // SemDeDup over RAW text — no shipped vectors: hashed set-of-words
     // embeddings feed the same trained-quantizer cluster/pair/keeper
     // machinery. Threshold 0.995 on the hashed space ~ exact-ish

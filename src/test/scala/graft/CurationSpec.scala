@@ -130,6 +130,29 @@ class CurationSpec extends SparkSpec {
     assert((ungated -- headIds).nonEmpty)
   }
 
+  test("curateIncrement: history dups never reach the composition") {
+    import graft.operators.Curate
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
+    val bench = docs.filter(pmod($"doc_id", lit(50)) === 0)
+    val cfg = Curate.CurateConfig(contaminationN = 3,
+      maxContaminationFrac = 0.06)
+    val idx = Dedup.dedupIndex(hist, "doc_id", "text",
+      cfg.minhashK, cfg.bands)
+    val out = Curate.curateIncrement(batch, bench, idx, "doc_id", "text",
+        cfg)
+      .select($"doc_id").as[Long].collect().toSet
+    Curate.clearManifests()
+    assert(out.nonEmpty)
+    val histDups = Dedup.incrementalStatus(batch, idx, "doc_id", "text",
+        cfg.minhashK, cfg.bands)
+      .filter($"status" =!= "kept")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(histDups.nonEmpty)
+    assert((out & histDups).isEmpty)
+  }
+
   // --------------------------------------------------- repeated spans
   private val spanDocs = Seq(
     (1L, "a b c d e"),     // first occurrence of every gram it has

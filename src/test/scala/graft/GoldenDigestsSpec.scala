@@ -74,4 +74,8 @@ class GoldenDigestsSpec extends SparkSpec {
   // r7: SemDeDup over RAW text via hashed embeddings (no shipped
   // vectors); digest verified back-to-back identical
   check("sim_semdedup_text", 500L, "-221115505242612320926")
+  // r7: per-increment curate (history-index cut -> standard
+  // composition); digest verified back-to-back identical, history-dup
+  // disjointness in CurationSpec
+  check("corpus_curate_increment", 12L, "792833489907115093")
 }

@@ -59,12 +59,20 @@ object Tuning {
     */
   private val SelfInstalledKey = "graft.tuning.autoShuffle.selfInstalled"
 
-  /** Catalyst's upper-bound size estimate for a frame's plan (file sizes
-    * for parquet scans; generators/fan-outs are NOT reflected — the
-    * parallelism floor covers those).
+  /** Upper-bound estimate of the bytes a frame's plan READS: the sum of
+    * its LEAF relations' size estimates (file sizes for parquet scans).
+    * Deliberately not the root plan's `stats.sizeInBytes`: Catalyst's
+    * size-only visitor MULTIPLIES child sizes through non-semi joins,
+    * so a join-rooted input (e.g. curateIncrement's history-classified
+    * batch) would estimate ~1e17 bytes from KB-scale scans, saturate
+    * the partition cap, and stickily pin 65536 initial partitions on
+    * the whole session. Generators/fan-outs are still NOT reflected —
+    * the parallelism floor covers those (documented blind spot, probed
+    * in the curate scale runs).
     */
   def estimatedBytes(df: DataFrame): BigInt =
-    df.queryExecution.optimizedPlan.stats.sizeInBytes
+    df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
 
   /** Install the input-adaptive initial partition count on the session
     * unless the user already set one. No-op when AQE is off (a fixed

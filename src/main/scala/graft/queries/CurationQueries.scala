@@ -30,13 +30,43 @@ object CurationQueries extends QueryPack {
   private val embCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
-  private def hashedEmb(s: SparkSession, d: String): DataFrame =
+  private def hashedEmb(s: SparkSession, d: String): DataFrame = {
+    // sweep dead-session entries (the persistedManifest lesson: stale
+    // keys pin plans + persisted frames for the JVM lifetime)
+    val it = embCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     embCache.computeIfAbsent((s, d), { case (s2, d2) =>
+      import s2.implicits._
       val e = TextAnalysis.hashedEmbeddings(
-        Tables.documents(s2, d2), "doc_id", "text", dim = 64).persist()
+          Tables.documents(s2, d2), "doc_id", "text", dim = 64)
+        // zero vectors (empty docs) out per hashedEmbeddings' contract:
+        // cosine-0-to-everything rows would pile into one cluster, drag
+        // its centroid toward zero through Lloyd iterations, and never
+        // group with their own duplicates (cosine(0,0) = 0)
+        .filter(exists($"embedding", v => v =!= 0.0f))
+        .persist()
       e.count()
       e
     })
+  }
+
+  /** The shared SemDeDup recipe (sqrt-stride seeds, 50% hash-sample,
+    * 2 Lloyd iterations) — one definition for both the embeddings-table
+    * and the raw-text query so the two cannot drift.
+    */
+  private def semdedupOver(emb: DataFrame, idCol: String,
+                           threshold: Double): DataFrame = {
+    import emb.sparkSession.implicits._
+    val stride = math.max(1, math.sqrt(emb.count().toDouble).toLong)
+    val seeds = emb.filter(col(idCol) % stride === 0)
+      .select(col(idCol).as("cent_id"), col("embedding").as("cent_vec"))
+    val sample = graft.operators.Sampling.hashSample(
+      emb.select(col(idCol).as("c_id"), col("embedding").as("c_vec")),
+      $"c_id", "8", "ivf")
+    val centroids = Similarity.trainIvfCentroids(sample, seeds,
+      iterations = 2)
+    Similarity.semDedup(emb, idCol, "embedding", centroids, threshold)
+  }
 
   /** Reference slice for the perplexity LM: every 10th doc. */
   private val lmRefMod = 10
@@ -94,20 +124,8 @@ object CurationQueries extends QueryPack {
     // the IVF queries train theirs, near-dup threshold 0.99 within
     // clusters, keeper = min id per semantic group. Rows-only for the
     // driver; digest + invariants in specs.
-    "sim_semdedup" -> ((s, d) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
-      val stride = math.max(1, math.sqrt(emb.count().toDouble).toLong)
-      val seeds = emb.filter($"vec_id" % stride === 0)
-        .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
-      val sample = graft.operators.Sampling.hashSample(
-        corpus, $"c_id", "8", "ivf")
-      val centroids = Similarity.trainIvfCentroids(sample, seeds,
-        iterations = 2)
-      Similarity.semDedup(emb, "vec_id", "embedding", centroids,
-        threshold = 0.99)
-    }),
+    "sim_semdedup" -> ((s, d) =>
+      semdedupOver(Tables.embeddings(s, d), "vec_id", threshold = 0.99)),
 
     // the per-increment production shape: the crawl batch classifies
     // against the history index FIRST (exact/near dups drop before any
@@ -134,20 +152,8 @@ object CurationQueries extends QueryPack {
     // embeddings feed the same trained-quantizer cluster/pair/keeper
     // machinery. Threshold 0.995 on the hashed space ~ exact-ish
     // semantic template collapse. Rows-only (k-means); digest-pinned.
-    "sim_semdedup_text" -> ((s, d) => {
-      import s.implicits._
-      val emb = hashedEmb(s, d)
-      val stride = math.max(1, math.sqrt(emb.count().toDouble).toLong)
-      val seeds = emb.filter($"doc_id" % stride === 0)
-        .select($"doc_id".as("cent_id"), $"embedding".as("cent_vec"))
-      val sample = graft.operators.Sampling.hashSample(
-        emb.select($"doc_id".as("c_id"), $"embedding".as("c_vec")),
-        $"c_id", "8", "ivf")
-      val centroids = Similarity.trainIvfCentroids(sample, seeds,
-        iterations = 2)
-      Similarity.semDedup(emb, "doc_id", "embedding", centroids,
-        threshold = 0.995)
-    }),
+    "sim_semdedup_text" -> ((s, d) =>
+      semdedupOver(hashedEmb(s, d), "doc_id", threshold = 0.995)),
 
     // per-language release data card
     "corpus_data_card" -> ((s, d) => {

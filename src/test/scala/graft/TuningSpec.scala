@@ -8,6 +8,22 @@ class TuningSpec extends SparkSpec {
 
   private def reset(): Unit = { spark.conf.unset(Key); spark.conf.unset(Marker) }
 
+  test("estimatedBytes sums LEAF scans — a join-rooted plan must not " +
+      "inherit Catalyst's multiplied size estimate") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val scanOnly = Tuning.estimatedBytes(docs)
+    // a triple self-join's root stats are ~size^3 under the size-only
+    // visitor; the leaf-sum estimate stays at 3 scans (the
+    // curateIncrement shape — unfixed, this saturated the 65536 cap
+    // and stickily pinned it on the whole session)
+    val joined = docs.join(docs.select($"doc_id"), Seq("doc_id"), "left")
+      .join(docs.select($"doc_id", $"lang".as("l2")), Seq("doc_id"), "left")
+    val est = Tuning.estimatedBytes(joined)
+    assert(est <= scanOnly * 4, s"join-rooted estimate exploded: $est")
+    assert(est >= scanOnly)
+  }
+
   test("autoShuffle installs the parallelism floor and respects overrides") {
     import spark.implicits._
     reset()

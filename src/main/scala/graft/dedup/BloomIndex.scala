@@ -43,11 +43,16 @@ object BloomIndex {
                          k: Int, bands: Int) extends Serializable
 
   /** Fold `df`'s exact fingerprints and LSH band keys into Bloom
-    * filters. `expectedItems` sizes the filters (per filter; overshoot
-    * is safe — fpp only drops). ONE pass over history: both filters
-    * fold from the shared [[Dedup.indexKeys]] derivation (no distinct —
-    * sketch inserts are idempotent, so the exact index's dedup shuffles
-    * are pure overhead here) in a single treeAggregate.
+    * filters. `expectedItems` is the DOCUMENT count: the fp filter
+    * receives one key per doc, the band filter ~`bands`× that, so the
+    * band filter is sized `expectedItems * bands` — a caller sizing to
+    * its doc count gets the requested `fpp` on BOTH filters (r7
+    * advice: same-size filters silently inflated the band filter's
+    * effective fpp by ~bands×; overshoot is safe — fpp only drops).
+    * ONE pass over history: both filters fold from the shared
+    * [[Dedup.indexKeys]] derivation (no distinct — sketch inserts are
+    * idempotent, so the exact index's dedup shuffles are pure overhead
+    * here) in a single treeAggregate.
     */
   def build(df: DataFrame, textCol: String,
             expectedItems: Long, fpp: Double = 0.001,
@@ -57,7 +62,7 @@ object BloomIndex {
       .as[(String, String)].rdd
       .treeAggregate(
         (BloomFilter.create(expectedItems, fpp),
-          BloomFilter.create(expectedItems, fpp)))(
+          BloomFilter.create(expectedItems * bands, fpp)))(
         (acc, kv) => {
           (if (kv._1 == "fp") acc._1 else acc._2).putString(kv._2)
           acc

@@ -505,16 +505,19 @@ object Dedup {
   def incrementalStatus(newDocs: DataFrame, index: DataFrame,
                         idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4): DataFrame = {
-    // geometry guard (1-row bounded driver read): probing with a
+    // geometry guard (2-row bounded driver read): probing with a
     // different (k, bands) than the index was built with can never
-    // match a band key — the failure is silent dup leakage, so check
+    // match a band key — the failure is silent dup leakage. The marker
+    // row must exist EXACTLY once: an index with no geom row (filtered/
+    // projected subset, or keys persisted without the marker) would
+    // otherwise silently pass the check and leak every near-dup as
+    // "kept" (r7 advice)
     val geom = index.filter(col("kind") === "geom")
       .select(col("key")).limit(2).collect()
-    geom.headOption.foreach { r =>
-      require(geom.length == 1 && r.getString(0) == s"$k|$bands",
-        s"index built with geometry ${geom.map(_.getString(0)).mkString(",")}, " +
-          s"classified with $k|$bands — band keys would never match")
-    }
+    require(geom.length == 1 && geom.head.getString(0) == s"$k|$bands",
+      s"index geometry marker [${geom.map(_.getString(0)).mkString(",")}] " +
+        s"(want exactly one row '$k|$bands') — missing/duplicated marker " +
+        "or mismatched (k,bands): band keys would never match")
     val id = col(idCol)
     val text = col(textCol)
     val exact = newDocs

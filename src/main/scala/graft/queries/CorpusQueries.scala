@@ -97,13 +97,27 @@ object CorpusQueries extends QueryPack {
         "doc_id", "n_tokens", budget = 2048, buckets = 16)
     }),
 
-    // sketch-first corpus stats (no SQL oracle: the HLL++ estimate is
-    // engine-specific — digest-pinned in GoldenDigestsSpec, error bound
-    // vs exact asserted in CorpusOpsSpec)
+    // sketch-first corpus stats. The compared surface is the portable
+    // scalar projection (counts, sums, exact interpolated percentiles —
+    // all engine-exact, so a full DuckDB oracle applies); the HLL++
+    // estimate is engine-specific and rides the separate no-oracle
+    // `corpus_sketch_hll` surface (digest-pinned in GoldenDigestsSpec,
+    // error bound vs exact asserted in CorpusOpsSpec)
     "corpus_sketch_stats" -> ((s, d) => {
       import s.implicits._
       CorpusQc.sketchStats(Tables.documents(s, d), "source",
-        TextAnalysis.fingerprint($"text"), $"n_chars")
+          TextAnalysis.fingerprint($"text"), $"n_chars")
+        .select($"source", $"n_rows", $"total_size",
+          element_at($"size_percentiles", 1).as("p50"),
+          element_at($"size_percentiles", 2).as("p90"),
+          element_at($"size_percentiles", 3).as("p99"))
+    }),
+
+    "corpus_sketch_hll" -> ((s, d) => {
+      import s.implicits._
+      CorpusQc.sketchStats(Tables.documents(s, d), "source",
+          TextAnalysis.fingerprint($"text"), $"n_chars")
+        .select($"source", $"approx_distinct")
     }),
 
     // deterministic balanced delivery sharding (WebDataset-style): every
@@ -279,6 +293,18 @@ object CorpusQueries extends QueryPack {
   }
 
   override def oracleSql: Map[String, String] = Map(
+
+    // exact-side of sketchStats: counts/sums are integers, the
+    // percentiles are the exact interpolating aggregate — both engines
+    // compute position = p*(n-1), then lo + frac*(hi-lo) in doubles, so
+    // the values match bit-for-bit (no rounding on the surface)
+    "corpus_sketch_stats" ->
+      """SELECT source, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_size,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90,
+        |  quantile_cont(n_chars, 0.99) AS p99
+        |FROM documents GROUP BY source""".stripMargin,
 
     "curate_qc_gate" ->
       s"""SELECT doc_id, ${ntoks()} AS n_tokens FROM documents

@@ -62,14 +62,17 @@ object SimilarityQueries extends QueryPack {
     // hashed embeddings -> brute-force cosine top-k; every stage is
     // md5/IEEE-portable so the WHOLE pipeline has a DuckDB oracle.
     // Tail chunks under 5 tokens are noise for retrieval and dropped;
-    // chunk ids offset by 1e6 so they can never collide with query ids.
+    // chunk ids = doc_id*1e6 + chunk_id + 1e12: the 1e6 multiplier
+    // keys up to 1M chunks/doc (~48M tokens at stride 48) without
+    // cross-doc collision — the r7 advice found *1000 collides at
+    // ≥1000 chunks/doc — and the 1e12 offset clears the doc-id space.
     "sim_chunk_search" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val chunks = graft.text.Chunker
         .chunkByTokens(docs, "doc_id", "text", width = 64, stride = 48)
         .filter($"n_chunk_tokens" >= 5)
-        .select(($"doc_id" * 1000 + $"chunk_id" + 1000000L).as("c_id"),
+        .select(($"doc_id" * 1000000L + $"chunk_id" + 1000000000000L).as("c_id"),
           $"chunk_text")
       val corpus = graft.text.TextAnalysis
         .hashedEmbeddings(chunks, "c_id", "chunk_text", dim = 64)
@@ -195,7 +198,7 @@ object SimilarityQueries extends QueryPack {
          |st AS (SELECT doc_id, _toks,
          |        unnest(range(0, n, 48)) AS _start FROM t),
          |chk AS (
-         |  SELECT doc_id * 1000 + (_start // 48) + 1000000 AS c_id,
+         |  SELECT doc_id * 1000000 + (_start // 48) + 1000000000000 AS c_id,
          |    array_to_string(_toks[_start + 1 : _start + 64], ' ') AS text
          |  FROM st WHERE len(_toks[_start + 1 : _start + 64]) >= 5),
          |qd AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 7),

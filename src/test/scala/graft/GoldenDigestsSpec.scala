@@ -56,11 +56,12 @@ class GoldenDigestsSpec extends SparkSpec {
   // perplexity gate + cross-doc span dedup, thresholds measured by
   // CurateFullProbeMain); digest verified back-to-back identical
   check("corpus_curate_full", 46L, "13732983899389218483")
-  // r7: sketch stats — HLL++ estimate is engine-specific (no SQL
-  // oracle) but DETERMINISTIC (max-merge registers, order/partitioning
-  // independent — pinned in CorpusOpsSpec); digest verified
-  // back-to-back identical
-  check("corpus_sketch_stats", 20L, "-20952102406550928144")
+  // r8: sketch stats split — the portable scalar columns moved to the
+  // oracled corpus_sketch_stats surface; the HLL++ estimate (engine-
+  // specific, no SQL oracle, but DETERMINISTIC: max-merge registers,
+  // order/partitioning independent — pinned in CorpusOpsSpec) rides
+  // this surface; digest verified back-to-back identical
+  check("corpus_sketch_hll", 20L, "-6589303582331205121")
   // r7: Bloom-index incremental dedup — filter bits aren't
   // SQL-expressible (no oracle) but are the OR of per-key scatters:
   // order/partitioning-independent, digest verified back-to-back

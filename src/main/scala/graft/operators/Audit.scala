@@ -150,10 +150,12 @@ object Audit {
                        existing: DataFrame): DataFrame = {
     import AnnotationPipeline._
     val spark = gaf.sparkSession
+    val tStart = System.nanoTime()
     def dbg[A](n: String)(f: => A): A =
       if (sys.env.contains("GRAFT_COUNTER_DEBUG")) {
         val t0 = System.nanoTime(); val r = f
-        System.err.println(f"CDBG $n%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+        System.err.println(f"CDBG $n%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
+          f"  @${(System.nanoTime() - tStart) / 1e9}%6.2f"); r
       } else f
 
     // ---- main pass: one end-to-end plan with observe() hooks at every
@@ -170,30 +172,53 @@ object Audit {
     // round-6: ~14.6s; this shape cuts the side-job count 6 -> 2).
     val src = filterSources(gaf, cfg.sources)
 
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    // dedicated daemon pool for the dump's concurrent passes: the
+    // default global ExecutionContext throttles new tasks while other
+    // futures sit BLOCKED in Spark actions (measured: the qc fill
+    // future did not start until the fixpoint future finished),
+    // defeating the whole overlap design. A cached pool starts every
+    // pass immediately; daemon threads so a crashed dump can't pin the
+    // JVM.
+    val pool = java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => { val t = new Thread(r, "graft-counters")
+        t.setDaemon(true); t })
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    // the dump's caches are single-run scratch: written once, read two
+    // or three times within the same dump, unpersisted at the end.
+    // Columnar compression CPU sits squarely on the critical path and
+    // buys nothing here (measured ~1.6s of the sf0.1 wall); scope it
+    // OFF for the persists this function creates (the conf is read at
+    // persist() time, so other queries' caches are unaffected),
+    // restored before returning.
+    val compressKey = "spark.sql.inMemoryColumnarStorage.compressed"
+    val oldCompress = spark.conf.get(compressKey, "true")
+    spark.conf.set(compressKey, "false")
+
     // F4/F5 as observed markers — identical row set to qcTermFilters()
     val not4curation = dims.ontSynonyms
       .filter(col("synonym_name") === Constants.NOT4CURATION)
       .select(col("term_acc").as("go_id")).distinct()
-    val catalytic = dbg("closureBuild")(DagClosure
+    // the closure BFS and the redirect-fixpoint walk are independent
+    // bounded driver precomputes (each a couple of driver-side collect
+    // rounds) — run them concurrently (round 8; they were ~3.3s
+    // sequential at sf0.1, ~1.8s overlapped)
+    val catalyticF = Future(dbg("closureBuild")(DagClosure
       .descendantsOf(dims.ontDag, "parent_term_acc", "child_term_acc",
         lit(Constants.CATALYTIC_ACTIVITY))
       .select(col("descendant").as("go_id"))
-      .union(spark.sql(s"SELECT '${Constants.CATALYTIC_ACTIVITY}' AS go_id")))
-    val f4Hit = col("_n4c").isNotNull
-    val f5Hit = !f4Hit && col("evidence") === "IPI" && col("_ipi").isNotNull
-
+      .union(spark.sql(s"SELECT '${Constants.CATALYTIC_ACTIVITY}' AS go_id"))))
     // ONE redirect-fixpoint walk feeds both resolve variants (main
     // species-scoped + the unmatched counter's any-species), halving the
     // chain-depth precomputation collects
-    val fix = dbg("fixBuild")(resolveFixpoint(dims))
-    val mainResolve = fix
-      .filter(col("cur_status") === "ACTIVE" &&
-        col("cur_species") === lit(cfg.speciesTypeKey))
-      .select(col("raw_rgd_id"), col("cur_id").as("final_rgd_id"))
-    val anyResolve = fix
-      .filter(col("cur_status") === "ACTIVE")
-      .select(col("raw_rgd_id"), col("cur_id").as("final_rgd_id"))
+    val fixF = Future(dbg("fixBuild")(resolveFixpoint(dims)))
+    val catalytic = Await.result(catalyticF, Duration.Inf)
+    val f4Hit = col("_n4c").isNotNull
+    val f5Hit = !f4Hit && col("evidence") === "IPI" && col("_ipi").isNotNull
 
+    dbg("preQc")(())
     val obsQc = new Observation("qc")
     val qc = src
       .join(broadcast(not4curation.withColumn("_n4c", lit(1))),
@@ -206,6 +231,21 @@ object Audit {
       .filter(!f4Hit && !f5Hit)
       .drop("_n4c", "_ipi")
       .persist()
+    // the qc plan needs only the closure, not the fixpoint — fill the
+    // fact cache (the dump's ONE scan of the input) while the fixpoint
+    // walk is still running (round 8: this moves the scan off the
+    // critical path's sequential prefix). obsQc fires exactly once here.
+    dbg("qcBuilt")(())
+    val qcFillF = Future(dbg("qcFill")(qc.count()))
+
+    val fix = Await.result(fixF, Duration.Inf)
+    val mainResolve = fix
+      .filter(col("cur_status") === "ACTIVE" &&
+        col("cur_species") === lit(cfg.speciesTypeKey))
+      .select(col("raw_rgd_id"), col("cur_id").as("final_rgd_id"))
+    val anyResolve = fix
+      .filter(col("cur_status") === "ACTIVE")
+      .select(col("raw_rgd_id"), col("cur_id").as("final_rgd_id"))
 
     // noRatGene (MAHQC.java:195-200) as a broadcast ortholog-id marker
     // on the matched spine — replaces the former anti-join side job
@@ -290,16 +330,72 @@ object Audit {
         count(when(col("_op") === "update", 1)).as("update"),
         count(when(col("_op") === "touch", 1)).as("touch"))
 
-    // ONE fill + one main action (round 7): buildAnnotations is now
-    // single-pass (no direct ∪ iso double-subtree), so the spine up to
-    // `enriched` is linear and a single enrichedFill materializes BOTH
-    // caches (qc fills as a byproduct of streaming through it). The fill
-    // is still load-bearing: Consolidator's mergeable/empties branches
-    // consume its staging exchange twice, and with an UNFILLED persist
-    // below them the branches race to recompute the whole upstream spine
-    // (measured: dropping this fill doubled the main action). The former
-    // qcFill/matchedFill actions, by contrast, were pure overhead once
-    // the union double-subtree was gone.
+    // Fill discipline (round-8 measured shape). Three arrangements were
+    // timed at sf0.1 (GRAFT_COUNTER_DEBUG stage table, BASELINE.md):
+    // cache-everything with all side jobs separate (r7, 21.2s cold),
+    // fusing linesRemoved INTO the fill action (22.7s — it moved the
+    // window onto the critical path), and dropping the enriched cache
+    // for fully-concurrent recomputing consumers (23.1s — the dump is
+    // CPU-bound at local[32], so duplicated map-side spines cost wall
+    // even when perfectly overlapped). Work-minimal wins: ONE spine
+    // compute into the enriched cache, then concurrent cache-readers.
+    // The fill is still load-bearing for correctness, not just speed:
+    // obsQc/obsMatch/obsBuilt CollectMetrics sit BELOW the persists,
+    // and concurrent consumers racing an UNFILLED persist each execute
+    // the metrics node and double-count (cache partitions are not
+    // cross-task locked); the dedicated fills fire each exactly once.
+    // This fill reads the qc cache the qcFillF future already
+    // materialized (awaited first), so it pays only the map-side
+    // matched->built->enriched chain plus the cache write.
+    Await.result(qcFillF, Duration.Inf)
+
+    // ---- inactive/unmatched side counters — ONE future reading the
+    // just-filled qc cache, launched BEFORE the enriched fill so it
+    // overlaps the fill AND the main pass (round 8). Match-ness per
+    // line depends only on (db, db_object_id, gene_product_form_id),
+    // so BOTH counters reduce to cascades over one shared
+    // dimension-sized per-triple count frame:
+    //  - inactive (identity-resolve match hitting a non-ACTIVE gene):
+    //    sum of _n over matched triples semi-joined to the inactive
+    //    dim — exactly inactive(qc, ..).count(), since matchGenes'
+    //    per-triple fan-out is what each of the triple's lines fans to;
+    //  - unmatched (MAHQC.java:81-84 — lines with no ACTIVE gene of
+    //    ANY species after redirect; a line counts as matched when ANY
+    //    gpfi variant of its (db, id) matched): anti-join over the
+    //    (db, id) groups — no anti-join against fact rows, no spine
+    //    marker join (a spine marker was measured costing ~2s of
+    //    broadcast build inside the fill).
+    // Sequential INSIDE the future: the first action fills the triples
+    // persist, the second reads it warm — no unfilled-cache race, and
+    // the former separate inactive job (matchGenes over every FACT
+    // row) is now a dimension-sized cascade.
+    val sideF = Future(dbg("side")({
+      val triples = qc
+        .groupBy(col("db"), col("db_object_id"), col("gene_product_form_id"))
+        .agg(count(lit(1)).as("_n")).persist()
+      val notActive = dims.rgdIds
+        .filter(col("object_key") === Constants.GENES_OBJECT_KEY &&
+          col("object_status") =!= "ACTIVE")
+        .select(col("rgd_id"))
+      val inactiveN = dbg("side:inactive")(matchGenes(triples, dims,
+          cfg.speciesTypeKey, Some(identityResolve(dims)))
+        .join(broadcast(notActive), Seq("rgd_id"), "left_semi")
+        .agg(coalesce(sum(col("_n")), lit(0L)).cast("long"))
+        .head().getLong(0))
+      val matchedKeys = matchGenes(triples, dims, cfg.speciesTypeKey,
+          Some(anyResolve))
+        .select(col("db"), col("db_object_id"))
+        .dropDuplicates("db", "db_object_id")
+      val unmatchedN = dbg("side:unmatched")(triples
+        .groupBy(col("db"), col("db_object_id"))
+        .agg(sum(col("_n")).as("_n"))
+        .join(matchedKeys, Seq("db", "db_object_id"), "left_anti")
+        .agg(coalesce(sum(col("_n")), lit(0L)).cast("long"))
+        .head().getLong(0))
+      triples.unpersist()
+      (inactiveN, unmatchedN)
+    }))
+
     dbg("enrichedFill")(enriched.count())
 
     // AQE's empty-relation propagation can prune a CollectMetrics node
@@ -310,42 +406,6 @@ object Audit {
     def cnt(metrics: Map[String, Any])(k: String): Long =
       metrics.get(k).fold(0L)(_.asInstanceOf[Long])
 
-    // ---- side passes, only where a different plan is genuinely needed —
-    // both read caches the fill just materialized, and both launch
-    // BEFORE the main action so they overlap it (the reference's
-    // CounterPool is concurrent for the same reason)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-
-    val inactiveF = Future(dbg("inactive")(
-      inactive(qc, dims, cfg.speciesTypeKey).count()))
-
-    // unmatched (MAHQC.java:81-84 — lines with no ACTIVE gene of ANY
-    // species after redirect; the species test comes later): match-ness
-    // per line depends only on (db, db_object_id, gene_product_form_id),
-    // and a line counts as matched when ANY gpfi variant of its (db, id)
-    // matched. So: ONE map-combined aggregation reduces the qc cache to
-    // per-triple counts (dimension-sized), the any-species cascade runs
-    // over that dim, and the unmatched total is a sum over the anti-
-    // joined (db, id) groups — no anti-join against fact rows, no spine
-    // marker join (a spine marker was measured costing ~2s of broadcast
-    // build inside the fill; this whole job hides behind the main pass)
-    val unmatchedF = Future(dbg("unmatched")({
-      val triples = qc
-        .groupBy(col("db"), col("db_object_id"), col("gene_product_form_id"))
-        .agg(count(lit(1)).as("_n"))
-      val matchedKeys = matchGenes(triples, dims, cfg.speciesTypeKey,
-          Some(anyResolve))
-        .select(col("db"), col("db_object_id"))
-        .dropDuplicates("db", "db_object_id")
-      triples.groupBy(col("db"), col("db_object_id"))
-        .agg(sum(col("_n")).as("_n"))
-        .join(matchedKeys, Seq("db", "db_object_id"), "left_anti")
-        .agg(coalesce(sum(col("_n")), lit(0L)).cast("long"))
-        .head().getLong(0)
-    }))
-
     // A4 deltas: "with_info merges" counts merged-away annotations;
     // "incoming lines removed" counts LINES whose every annotation was
     // consolidated into a group kept by another line
@@ -354,12 +414,9 @@ object Audit {
     // this engine does not preserve file order, so keeper = min
     // content-hash line id — deterministic on any cluster layout, and
     // identical duplicate lines count once, not per physical line.
-    // (enrichedN/mergesN are computed after the main action below —
-    // obsEnriched sits ABOVE the cache on the consolidated lineage and
-    // obsCons fires in the main action, so reading either here blocks)
-    // one window + one groupBy instead of the former two groupBys, two
-    // distincts and an anti-join: a line is kept iff it has an empty-wi
-    // annotation or is the min-_row_id owner of some mergeable group
+    // one window + one groupBy: a line is kept iff it has an empty-wi
+    // annotation or is the min-_row_id owner of some mergeable group;
+    // reads the warm enriched cache, concurrent with the main pass
     val keyW = org.apache.spark.sql.expressions.Window
       .partitionBy(consolidationKey.map(col): _*)
     val nonEmptyWi = length(coalesce(col("with_info"), lit(""))) > 0
@@ -372,6 +429,7 @@ object Audit {
       .groupBy(col("_row_id"), col("_row_id2"))
       .agg(max(col("_keep")).as("_kept"))
       .filter(!col("_kept")).count()))
+
 
     // THE MAIN ACTION: A2 overflow + updatedOrigCreatedDate, fused into
     // the one job that drives the whole merge spine (consolidate ->
@@ -408,6 +466,7 @@ object Audit {
     val truncatedN = mainRow.getLong(0)
     val updOrigN = mainRow.getLong(1)
 
+    dbg("tailStart")(())
     val opsC = cnt(obsOps.get) _
     val m = cnt(obsMatch.get) _
     val b = cnt(obsBuilt.get) _
@@ -418,8 +477,7 @@ object Audit {
     val matchBy = cfg.sources
       .map(s => s"MATCH BY $s" -> m(s"by_$s"))
       .filter(_._2 > 0)
-    val inactiveN = Await.result(inactiveF, Duration.Inf)
-    val unmatchedN = Await.result(unmatchedF, Duration.Inf)
+    val (inactiveN, unmatchedN) = Await.result(sideF, Duration.Inf)
     val linesRemovedN = Await.result(linesRemovedF, Duration.Inf)
     val noRatN = m("noRat")
 
@@ -446,6 +504,8 @@ object Audit {
     ) ++ matchBy
 
     Seq(qc, enriched).foreach(_.unpersist()) // merged is never persisted
+    spark.conf.set(compressKey, oldCompress)
+    pool.shutdown()
     import spark.implicits._
     // the reference dumps counters alphabetically (dumpStats) — match it
     rows.toDF("counter", "value").orderBy(col("counter"))

@@ -12,6 +12,10 @@ object CounterProfMain {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.scheduler.mode",
+        sys.env.getOrElse("GRAFT_SCHED", "FIFO"))
+      .config("spark.sql.inMemoryColumnarStorage.compressed",
+        sys.env.getOrElse("GRAFT_CACHE_COMPRESS", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

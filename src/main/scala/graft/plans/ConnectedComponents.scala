@@ -28,9 +28,20 @@ object ConnectedComponents {
     */
   def components(edges: DataFrame, aCol: String = "id_a",
                  bCol: String = "id_b", maxIters: Int = 32): DataFrame = {
+    // persist the deduped edge list for the split's lifetime: the size
+    // probe (count) and the consumer (driver collect, or the union +
+    // label seed of the distributed path) otherwise each re-execute the
+    // FULL upstream edge derivation — for SemDeDup that upstream is the
+    // whole blocked pair join, measured as ~half the query's warm cost
+    // at sf0.1 (r8). Both paths finish with the edges consumed (the
+    // local result is a driver frame; the distributed path starts from
+    // a localCheckpoint), so the unpersist is safe.
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b")).distinct()
-    if (e.count() <= driverSideEdgeLimit) componentsLocal(e)
-    else componentsDistributed(e, maxIters)
+      .persist()
+    try {
+      if (e.count() <= driverSideEdgeLimit) componentsLocal(e)
+      else componentsDistributed(e, maxIters)
+    } finally e.unpersist()
   }
 
   private def componentsLocal(e: DataFrame): DataFrame = {

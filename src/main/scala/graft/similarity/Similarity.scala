@@ -127,8 +127,26 @@ object Similarity {
                         iterations: Int = 2, id: String = "c_id",
                         vec: String = "c_vec"): DataFrame = {
     require(iterations >= 0, s"negative iterations: $iterations")
+    val spark = sample.sparkSession
+    // Materialize each iteration's quantizer to a LOCAL relation. The
+    // quantizer is bounded driver data by construction (maxCentroids,
+    // enforced here as in centroidLit), and every consumer collects it
+    // anyway (centroidLit per assignment). Left lazy, iteration i's
+    // collect re-executed the whole i-1-iteration Lloyd chain from
+    // scratch and the CALLER's first use re-ran all of training again —
+    // a quadratic re-execution the r8 bench measured as the bulk of
+    // sim_semdedup_text's cost. Collect-and-rebuild keeps the exact
+    // plan arithmetic (decimal means cast to double), so trained values
+    // are bit-identical and downstream digests unchanged.
+    def localize(df: DataFrame): DataFrame = {
+      val rows = df.collect()
+      require(rows.length <= maxCentroids,
+        s"${rows.length} centroids exceed the literal-quantizer cap " +
+          s"$maxCentroids")
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    }
     val vectors = sample.select(col(id).as("v_id"), col(vec).as("v_vec"))
-    var cents = seeds.select(col("cent_id"), col("cent_vec"))
+    var cents = localize(seeds.select(col("cent_id"), col("cent_vec")))
     (1 to iterations).foreach { _ =>
       val means = assignToCentroids(vectors, cents)
         .select(col("cent_id"), posexplode(col("v_vec")).as(Seq("pos", "x")))
@@ -139,9 +157,9 @@ object Similarity {
         .select(col("cent_id"),
           transform(col("pm"), p => p.getField("m").cast("double"))
             .as("new_vec"))
-      cents = cents.join(means, Seq("cent_id"), "left")
+      cents = localize(cents.join(means, Seq("cent_id"), "left")
         .select(col("cent_id"),
-          coalesce(col("new_vec"), col("cent_vec")).as("cent_vec"))
+          coalesce(col("new_vec"), col("cent_vec")).as("cent_vec")))
     }
     cents
   }

@@ -15,13 +15,14 @@ import graft.text.{CorpusQc, TextAnalysis}
   *
   *   quality filters -> repetition rules -> [classifier gate] ->
   *   [perplexity gate] -> exact dedup -> LSH near-dup clustering ->
-  *   [cross-doc span dedup] -> benchmark-contamination gate ->
-  *   train/val/test split -> per-split sequence packing
+  *   [semantic dedup] -> [cross-doc span dedup] ->
+  *   benchmark-contamination gate -> train/val/test split ->
+  *   per-split sequence packing
   *
-  * Bracketed stages are the round-7 statistical additions, enabled by
-  * passing a classifier model / reference-LM corpus / spanDedupN — all
-  * absent by default, keeping the classic composition (and its pinned
-  * digests) bit-identical.
+  * Bracketed stages are the round-7/8 statistical additions, enabled by
+  * passing a classifier model / reference-LM corpus / spanDedupN /
+  * semDedupThreshold — all absent by default, keeping the classic
+  * composition (and its pinned digests) bit-identical.
   *
   * Every stage is one of the already-verified operators; this object
   * only composes them, so the shuffle budget is the sum of its parts
@@ -77,7 +78,11 @@ object Curate {
       // maxPerplexityBits — the scale-stable CCNet form (a fixed bits
       // threshold empties under vocabulary growth; measured in the r7
       // 100x probe, see NgramLm.perplexityBuckets)
-      perplexityQuantile: Option[Double] = None)
+      perplexityQuantile: Option[Double] = None,
+      // when set, SemDeDup (round 8) runs on the LSH survivors' hashed
+      // embeddings with this cosine threshold — semantic template
+      // collapse beyond what lexical LSH catches
+      semDedupThreshold: Option[Double] = None)
 
   /** Run the full curation over `docs` against a benchmark (eval-set)
     * table. Returns one row per surviving document: the input columns
@@ -166,6 +171,33 @@ object Curate {
         .select(col(idCol)))
     val deduped = qc.join(keeperIds, Seq(idCol), "left_semi")
 
+    // optional SemDeDup (round 8): semantic near-dup collapse on the
+    // LSH survivors — embed (map-only hashed set-of-words, the
+    // no-shipped-vectors bridge), self-train the quantizer
+    // (Similarity.semDedupTrained, the exact recipe the sim_semdedup*
+    // queries pin), keep one representative per semantic component.
+    // The embedding frame persists as a stage manifest (id + 64 floats,
+    // bounded; training + assignment + the pair join all read it), with
+    // the zero-vector filter ABOVE the persist (below it, pushdown
+    // substitutes the whole embedding fold into the predicate and
+    // doubles the fill — the r8 embCache lesson). Zero-vector docs
+    // (possible only when cfg.minTokens == 0) pass through unharmed:
+    // semantic identity is undefined for them, and a dedup stage must
+    // never silently drop rows it cannot judge.
+    val semDeduped = cfg.semDedupThreshold.fold(deduped) { th =>
+      val embAll = persistedManifest(TextAnalysis.hashedEmbeddings(
+        deduped.select(col(idCol), col(textCol)), idCol, textCol, dim = 64))
+      val emb = embAll.filter(exists(col("embedding"), v => v =!= 0.0f))
+      val zeroIds = embAll
+        .filter(!exists(col("embedding"), v => v =!= 0.0f))
+        .select(col(idCol))
+      val keepIds = persistedManifest(
+        graft.similarity.Similarity.semDedupTrained(emb, idCol, th)
+          .filter(col("keep")).select(col(idCol))
+          .unionByName(zeroIds))
+      deduped.join(keepIds, Seq(idCol), "left_semi")
+    }
+
     // optional cross-document span dedup (round 7): run on the doc-dedup
     // SURVIVORS (dropped docs need no span scan), replace the text with
     // the cleaned form so contamination/token counting/packing all see
@@ -176,11 +208,11 @@ object Curate {
     // slice (in deployment this is a stage write); three downstream
     // consumers (contamination dim, contamination corpus, packing spine)
     // would otherwise re-run the span windows each
-    val kept = cfg.spanDedupN.fold(deduped) { n =>
-      deduped.drop(textCol).join(
+    val kept = cfg.spanDedupN.fold(semDeduped) { n =>
+      semDeduped.drop(textCol).join(
         persistedManifest(
           Dedup.removeRepeatedSpans(
-              deduped.select(col(idCol), col(textCol)), idCol, textCol, n)
+              semDeduped.select(col(idCol), col(textCol)), idCol, textCol, n)
             .filter(col("clean_text") =!= "")
             .select(col(idCol), col("clean_text").as(textCol))),
         Seq(idCol))

@@ -55,23 +55,15 @@ object CurationQueries extends QueryPack {
     })
   }
 
-  /** The shared SemDeDup recipe (sqrt-stride seeds, 50% hash-sample,
-    * 2 Lloyd iterations) — one definition for both the embeddings-table
-    * and the raw-text query so the two cannot drift.
+  /** The shared SemDeDup recipe — now literally
+    * [[Similarity.semDedupTrained]] (sqrt-stride seeds, 50%
+    * hash-sample, 2 Lloyd iterations), the same definition `curate()`'s
+    * semantic stage runs, so the harness queries and the flagship
+    * composition cannot drift.
     */
   private def semdedupOver(emb: DataFrame, idCol: String,
-                           threshold: Double): DataFrame = {
-    import emb.sparkSession.implicits._
-    val stride = math.max(1, math.sqrt(emb.count().toDouble).toLong)
-    val seeds = emb.filter(col(idCol) % stride === 0)
-      .select(col(idCol).as("cent_id"), col("embedding").as("cent_vec"))
-    val sample = graft.operators.Sampling.hashSample(
-      emb.select(col(idCol).as("c_id"), col("embedding").as("c_vec")),
-      $"c_id", "8", "ivf")
-    val centroids = Similarity.trainIvfCentroids(sample, seeds,
-      iterations = 2)
-    Similarity.semDedup(emb, idCol, "embedding", centroids, threshold)
-  }
+                           threshold: Double): DataFrame =
+    Similarity.semDedupTrained(emb, idCol, threshold)
 
   /** Reference slice for the perplexity LM: every 10th doc. */
   private val lmRefMod = 10
@@ -191,6 +183,28 @@ object CurationQueries extends QueryPack {
             maxPerplexityBits = 5.2, minQualityProb = 0.3,
             spanDedupN = Some(8)),
           lmRef = Some(bench), classifier = Some(model))
+        .select($"doc_id", $"lang", $"split", $"n_tokens",
+          $"pack_bucket", $"pack_seq")
+    }),
+
+    // SemDeDup inside the full composition (round 8): the classic
+    // curate stages plus the semantic stage on the LSH survivors'
+    // hashed embeddings. Threshold 0.9 on the hashed set-of-words
+    // space — the measured non-vacuous operating point for the
+    // composition (CurateSemProbeMain at sf0.01: 0.995/0.95 drop
+    // nothing the precision-leaning LSH left behind, 0.9 collapses a
+    // semantic template pair, 0.8 halves the corpus). Rows-only for
+    // the driver (k-means); digest-pinned, doc-set-subset invariant vs
+    // the classic config in CurationSpec.
+    "corpus_curate_semantic" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod($"doc_id", lit(50)) =!= 0)
+      val bench = docs.filter(pmod($"doc_id", lit(50)) === 0)
+      graft.operators.Curate.curate(corpus, bench, "doc_id", "text",
+          graft.operators.Curate.CurateConfig(
+            contaminationN = 3, maxContaminationFrac = 0.06,
+            semDedupThreshold = Some(0.9)))
         .select($"doc_id", $"lang", $"split", $"n_tokens",
           $"pack_bucket", $"pack_seq")
     }),

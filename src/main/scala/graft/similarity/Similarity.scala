@@ -366,6 +366,27 @@ object Similarity {
     * Returns every input id with its semantic `group` (= min member id,
     * self for singletons), its `cent_id`, and `keep`.
     */
+  /** [[semDedup]] with the standard self-trained quantizer recipe —
+    * sqrt-stride seeds (k ~ sqrt(n) bounds expected cluster size at
+    * ~sqrt(n)), a 50% content-hash sample for Lloyd (shape converges on
+    * a deterministic sample at half the assignment cost), 2 iterations.
+    * ONE definition shared by the harness queries and the curate()
+    * semantic stage so the recipes cannot drift. `emb` must carry an
+    * `embedding` column and should exclude zero vectors (see
+    * hashedEmbeddings' contract).
+    */
+  def semDedupTrained(emb: DataFrame, idCol: String, threshold: Double,
+                      iterations: Int = 2): DataFrame = {
+    val stride = math.max(1, math.sqrt(emb.count().toDouble).toLong)
+    val seeds = emb.filter(col(idCol) % stride === 0)
+      .select(col(idCol).as("cent_id"), col("embedding").as("cent_vec"))
+    val sample = graft.operators.Sampling.hashSample(
+      emb.select(col(idCol).as("c_id"), col("embedding").as("c_vec")),
+      col("c_id"), "8", "ivf")
+    val centroids = trainIvfCentroids(sample, seeds, iterations)
+    semDedup(emb, idCol, "embedding", centroids, threshold)
+  }
+
   def semDedup(vectors: DataFrame, id: String, vec: String,
                centroids: DataFrame, threshold: Double): DataFrame = {
     val assigned = assignToCentroids(

@@ -32,13 +32,21 @@ import org.apache.spark.sql.functions._
   * model-build cost a deployment amortizes across runs, not per-corpus
   * work.
   *
-  * Usage: Test/runMain graft.CurateScaleMain [sfDir] [factor] [classic|full]
+  * Round-8 `semantic` mode: the classic composition plus the SemDeDup
+  * stage (threshold 0.9, the harness corpus_curate_semantic operating
+  * point) — embed + self-trained quantizer + within-cluster pair join
+  * get the same measured fan-out treatment.
+  *
+  * Usage: Test/runMain graft.CurateScaleMain [sfDir] [factor]
+  *        [classic|full|semantic]
   */
 object CurateScaleMain {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
-    val full = args.drop(2).headOption.contains("full")
+    val mode = args.drop(2).headOption.getOrElse("classic")
+    val full = mode == "full"
+    val semantic = mode == "semantic"
     val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
@@ -107,8 +115,11 @@ object CurateScaleMain {
       println(f"CURATE_SCALE ppl_p75=$t%.3f")
       t
     } else 0.0
-    val cfg = if (full) base.copy(maxPerplexityBits = thrBits,
-      minQualityProb = 0.3, spanDedupN = Some(8)) else base
+    val cfg =
+      if (full) base.copy(maxPerplexityBits = thrBits,
+        minQualityProb = 0.3, spanDedupN = Some(8))
+      else if (semantic) base.copy(semDedupThreshold = Some(0.9))
+      else base
     val model = if (full) {
       val tTrain = System.nanoTime()
       val m = graft.text.QualityClassifier.train(
@@ -135,7 +146,7 @@ object CurateScaleMain {
     val keepers = out.count()
     val installed = spark.conf.getOption(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum").orNull
-    println(f"CURATE_SCALE mode=${if (full) "full" else "classic"} " +
+    println(f"CURATE_SCALE mode=$mode " +
       f"factor=$factor in=$nDocs keepers=$keepers " +
       f"wall=$wall%.1fs rate=${nDocs / wall}%.0f docs/s " +
       f"initialPartitionNum=$installed digest=$digest%016x")

@@ -282,6 +282,21 @@ class CurationSpec extends SparkSpec {
     shared.foreach { id => assert(full(id) <= classic(id)) }
   }
 
+  test("semantic curate keeps a strict subset of the classic doc set") {
+    val sf = "/root/testdata/sf0.01"
+    val sem = SparkEntry.queries("corpus_curate_semantic")(spark, sf)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val classic = SparkEntry.queries("corpus_curate_e2e")(spark, sf)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // the semantic stage only ever REMOVES docs from the LSH survivors
+    // (keeper = component min id, already a survivor), so unlike the
+    // span/gate configs the doc set is a true subset — and at the
+    // pinned 0.9 threshold a PROPER one (the stage is non-vacuous)
+    assert(sem.nonEmpty)
+    assert(sem.subsetOf(classic))
+    assert(sem.size < classic.size)
+  }
+
   // ---------------------------------------------------------- data card
   test("data card aggregates per language") {
     val docs = Seq(

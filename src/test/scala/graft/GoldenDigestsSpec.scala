@@ -79,4 +79,8 @@ class GoldenDigestsSpec extends SparkSpec {
   // composition); digest verified back-to-back identical, history-dup
   // disjointness in CurationSpec
   check("corpus_curate_increment", 12L, "792833489907115093")
+  // r8: SemDeDup as a curate() stage (threshold 0.9 — the measured
+  // non-vacuous operating point, CurateSemProbeMain); digest verified
+  // back-to-back identical, subset invariant in CurationSpec
+  check("corpus_curate_semantic", 47L, "8670201794719716203")
 }

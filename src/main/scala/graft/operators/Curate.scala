@@ -261,6 +261,35 @@ object Curate {
     curate(fresh, benchmark, idCol, textCol, cfg, lmRef, classifier)
   }
 
+  /** [[curateIncrement]] against the Bloom history index
+    * ([[graft.dedup.BloomIndex]]) — the 100 TB form of the increment's
+    * first stage: the exact index costs two semi-joins (shuffles on
+    * md5-sized keys); the Bloom pair classifies MAP-ONLY against
+    * MB-scale broadcast filters, zero shuffle. The error is one-sided
+    * in the cheap direction: a filter false positive drops a genuinely
+    * novel doc as a presumed dup (bounded by fpp), never the reverse —
+    * so this variant's kept set is always a SUBSET of the exact path's
+    * (asserted in CurationSpec), and no history dup ever reaches the
+    * composition. Geometry must match the config's so the band keys
+    * probe the space the index was built over — checked loudly, the
+    * same guard incrementalStatus applies via its marker row.
+    */
+  def curateIncrementBloom(newDocs: DataFrame, benchmark: DataFrame,
+                           historyIndex: graft.dedup.BloomIndex.Index,
+                           idCol: String, textCol: String,
+                           cfg: CurateConfig = CurateConfig(),
+                           lmRef: Option[DataFrame] = None,
+                           classifier: Option[graft.text.QualityClassifier.Model] = None)
+      : DataFrame = {
+    require(historyIndex.k == cfg.minhashK && historyIndex.bands == cfg.bands,
+      s"Bloom index geometry ${historyIndex.k}|${historyIndex.bands} != " +
+        s"config ${cfg.minhashK}|${cfg.bands} — band keys would never match")
+    val fresh = graft.dedup.BloomIndex
+      .classify(newDocs, historyIndex, textCol)
+      .filter(col("status") === "kept").drop("status")
+    curate(fresh, benchmark, idCol, textCol, cfg, lmRef, classifier)
+  }
+
   /** The stage-1 QC/repetition gate predicate of [[curate]], exposed so
     * the harness can oracle-check the gate in isolation (the full
     * composition has no tractable SQL oracle; its gates do —

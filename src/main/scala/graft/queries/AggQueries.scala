@@ -310,6 +310,51 @@ object AggQueries extends QueryPack {
       s.read.parquet(resultDir)
     }),
 
+    // the STREAMING incremental-dedup composition driven end-to-end
+    // (round 8): Bloom history classify (map-only) -> in-stream
+    // first-occurrence dedup, run as a real MemoryStream query in two
+    // increments — the second replays an emitted doc's content under a
+    // fresh id, which the cross-batch state must suppress. Rows-only
+    // for the driver (streaming memory sink); the kept doc-id set is
+    // deterministic (unbounded exact state, fixed arrival order) and
+    // digest-pinned; batch parity is asserted in StreamingSpec.
+    "ev_dedup_incremental" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+      val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
+        .select($"doc_id", $"text")
+      val idx = graft.dedup.BloomIndex.build(hist, "text",
+        expectedItems = hist.count(), fpp = 0.001, k = 16, bands = 2)
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val rows = batch.orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), t0)).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, java.sql.Timestamp)]
+      val sink = "ev_dedup_incremental_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.IncrementalStream.incrementalDedupStream(
+          input.toDF().toDF("doc_id", "text", "ts"), idx,
+          "doc_id", "text", "ts", watermarkDelay = "1 hour",
+          bounded = false)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try {
+        input.addData(rows)
+        q.processAllAvailable()
+        // increment 2: the first batch doc's text under a fresh id — a
+        // content dup either way (against history via the Bloom probe,
+        // or across batches via the stream state); must not emit
+        val dupText = rows.head._2
+        input.addData(Seq((9999999L, dupText,
+          java.sql.Timestamp.valueOf("2026-01-01 00:00:01"))))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).select($"doc_id")
+    }),
+
     // U4 guard inputs: the two scalar counts the threshold brake compares
     "u4_threshold_counts" -> ((s, d) => {
       import s.implicits._

@@ -129,6 +129,28 @@ object CorpusQueries extends QueryPack {
         Packing.assignShard($"doc_id", nShards = 16).as("shard"))
     }),
 
+    // shard write -> read-back ROUNDTRIP (round 8): writeShards to a
+    // temp dir, read the partitioned tree back, and aggregate per
+    // shard. The DuckDB oracle recomputes the same per-shard stats
+    // straight from the base table AND pins n_files = 1 — the
+    // one-task-per-shard-directory layout contract (repartition before
+    // partitionBy) — so the file-layout behavior itself is
+    // oracle-checked, not just the assignment arithmetic.
+    "pack_shard_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_shard_roundtrip").toString
+      graft.operators.Packing.writeShards(
+        Tables.documents(s, d).select($"doc_id", $"n_chars"),
+        $"doc_id", nShards = 16, tmp)
+      s.read.parquet(tmp)
+        .withColumn("_file", input_file_name()) // staged: not allowed
+        .groupBy($"shard")                      // directly inside an agg
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("long").as("total_size"),
+          countDistinct($"_file").as("n_files"))
+    }),
+
     "pack_shard_manifest" -> ((s, d) => {
       import s.implicits._
       Packing.shardManifest(Tables.documents(s, d), $"doc_id",
@@ -420,6 +442,17 @@ object CorpusQueries extends QueryPack {
         |  CAST(floor(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
         |    * 16 / 4294967296.0) AS INT) AS shard
         |FROM documents""".stripMargin,
+
+    // nonempty shards only (an empty shard writes no directory);
+    // n_files = 1 is the layout contract the roundtrip pins
+    "pack_shard_roundtrip" ->
+      """SELECT
+        |  CAST(floor(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |    * 16 / 4294967296.0) AS INT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_size,
+        |  CAST(1 AS BIGINT) AS n_files
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // dense over all 16 shards (empty shards report 0/0 explicitly)
     "pack_shard_manifest" ->

@@ -145,6 +145,28 @@ object CurationQueries extends QueryPack {
           $"pack_bucket", $"pack_seq")
     }),
 
+    // the Bloom-form increment (round 8): same split as
+    // corpus_curate_increment, but the history cut is the MAP-ONLY
+    // Bloom classification (zero shuffle; one-sided error — fp drops a
+    // novel doc, never admits a dup). Rows-only; digest-pinned,
+    // kept ⊆ exact-kept containment in CurationSpec.
+    "corpus_curate_increment_bloom" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+      val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
+      val bench = docs.filter(pmod($"doc_id", lit(50)) === 0)
+      val cfg = graft.operators.Curate.CurateConfig(
+        contaminationN = 3, maxContaminationFrac = 0.06)
+      graft.operators.Curate.curateIncrementBloom(batch, bench,
+          graft.dedup.BloomIndex.build(hist, "text",
+            expectedItems = hist.count(), fpp = 0.001,
+            k = cfg.minhashK, bands = cfg.bands),
+          "doc_id", "text", cfg)
+        .select($"doc_id", $"lang", $"split", $"n_tokens",
+          $"pack_bucket", $"pack_seq")
+    }),
+
     // SemDeDup over RAW text — no shipped vectors: hashed set-of-words
     // embeddings feed the same trained-quantizer cluster/pair/keeper
     // machinery. Threshold 0.995 on the hashed space ~ exact-ish

@@ -282,6 +282,19 @@ class CurationSpec extends SparkSpec {
     shared.foreach { id => assert(full(id) <= classic(id)) }
   }
 
+  test("Bloom-form increment keeps a subset of the exact increment") {
+    val sf = "/root/testdata/sf0.01"
+    val bloom = SparkEntry.queries("corpus_curate_increment_bloom")(spark, sf)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val exact = SparkEntry.queries("corpus_curate_increment")(spark, sf)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // one-sided error: a Bloom fp can only DROP a novel doc (classified
+    // as a presumed history dup), never admit one — so the Bloom
+    // variant's survivors are always contained in the exact path's
+    assert(bloom.nonEmpty)
+    assert(bloom.subsetOf(exact))
+  }
+
   test("semantic curate keeps a strict subset of the classic doc set") {
     val sf = "/root/testdata/sf0.01"
     val sem = SparkEntry.queries("corpus_curate_semantic")(spark, sf)

@@ -83,4 +83,15 @@ class GoldenDigestsSpec extends SparkSpec {
   // non-vacuous operating point, CurateSemProbeMain); digest verified
   // back-to-back identical, subset invariant in CurationSpec
   check("corpus_curate_semantic", 47L, "8670201794719716203")
+  // r8: Bloom-form increment — the map-only history cut. The digest
+  // EQUALS corpus_curate_increment's: zero Bloom false positives at
+  // sf0.01, so the one-sided-error containment (kept ⊆ exact-kept,
+  // CurationSpec) holds as equality here; verified back-to-back
+  // identical
+  check("corpus_curate_increment_bloom", 12L, "792833489907115093")
+  // r8: streaming incremental dedup driven end-to-end on a MemoryStream
+  // (two increments; cross-batch content-dup suppression); kept-id set
+  // deterministic (unbounded exact state, fixed arrival order); digest
+  // verified back-to-back identical, batch parity in StreamingSpec
+  check("ev_dedup_incremental", 29L, "14160447500710946773")
 }

@@ -188,7 +188,8 @@ object Bench {
     // the timed surface (untimed surface is where cost hides — round-4/5
     // lesson) but pinned to run LAST within each pass, so the replay's
     // writeback can't contaminate neighboring query timings.
-    val opsDumps = Set("a7_counter_dump", "ev_merge_replay")
+    val opsDumps = Set("a7_counter_dump", "ev_merge_replay",
+      "ev_dedup_incremental", "pack_shard_roundtrip")
     val sorted = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
       (if (opsDumps(n)) 1 else 0, n)
     }

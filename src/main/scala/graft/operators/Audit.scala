@@ -196,6 +196,12 @@ object Audit {
     val compressKey = "spark.sql.inMemoryColumnarStorage.compressed"
     val oldCompress = spark.conf.get(compressKey, "true")
     spark.conf.set(compressKey, "false")
+    // every persist this dump creates registers here so the finally
+    // below can release it on ANY exit — a thrown job must not leave
+    // the SESSION-wide compression conf flipped, the pool alive, or
+    // the scratch caches pinned for the rest of the session
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
 
     // F4/F5 as observed markers — identical row set to qcTermFilters()
     val not4curation = dims.ontSynonyms
@@ -231,6 +237,7 @@ object Audit {
       .filter(!f4Hit && !f5Hit)
       .drop("_n4c", "_ipi")
       .persist()
+    scratch += qc
     // the qc plan needs only the closure, not the fixpoint — fill the
     // fact cache (the dump's ONE scan of the input) while the fixpoint
     // walk is still running (round 8: this moves the scan off the
@@ -300,6 +307,7 @@ object Audit {
       .drop("_known")
 
     val enriched = qcAndEnrich(built, dims, cfg).persist()
+    scratch += enriched
     val obsEnriched = new Observation("enriched")
     val obsCons = new Observation("consolidated")
     val consolidated = graft.operators.Consolidator.consolidate(
@@ -373,27 +381,28 @@ object Audit {
       val triples = qc
         .groupBy(col("db"), col("db_object_id"), col("gene_product_form_id"))
         .agg(count(lit(1)).as("_n")).persist()
-      val notActive = dims.rgdIds
-        .filter(col("object_key") === Constants.GENES_OBJECT_KEY &&
-          col("object_status") =!= "ACTIVE")
-        .select(col("rgd_id"))
-      val inactiveN = dbg("side:inactive")(matchGenes(triples, dims,
-          cfg.speciesTypeKey, Some(identityResolve(dims)))
-        .join(broadcast(notActive), Seq("rgd_id"), "left_semi")
-        .agg(coalesce(sum(col("_n")), lit(0L)).cast("long"))
-        .head().getLong(0))
-      val matchedKeys = matchGenes(triples, dims, cfg.speciesTypeKey,
-          Some(anyResolve))
-        .select(col("db"), col("db_object_id"))
-        .dropDuplicates("db", "db_object_id")
-      val unmatchedN = dbg("side:unmatched")(triples
-        .groupBy(col("db"), col("db_object_id"))
-        .agg(sum(col("_n")).as("_n"))
-        .join(matchedKeys, Seq("db", "db_object_id"), "left_anti")
-        .agg(coalesce(sum(col("_n")), lit(0L)).cast("long"))
-        .head().getLong(0))
-      triples.unpersist()
-      (inactiveN, unmatchedN)
+      try {
+        val notActive = dims.rgdIds
+          .filter(col("object_key") === Constants.GENES_OBJECT_KEY &&
+            col("object_status") =!= "ACTIVE")
+          .select(col("rgd_id"))
+        val inactiveN = dbg("side:inactive")(matchGenes(triples, dims,
+            cfg.speciesTypeKey, Some(identityResolve(dims)))
+          .join(broadcast(notActive), Seq("rgd_id"), "left_semi")
+          .agg(coalesce(sum(col("_n")), lit(0L)).cast("long"))
+          .head().getLong(0))
+        val matchedKeys = matchGenes(triples, dims, cfg.speciesTypeKey,
+            Some(anyResolve))
+          .select(col("db"), col("db_object_id"))
+          .dropDuplicates("db", "db_object_id")
+        val unmatchedN = dbg("side:unmatched")(triples
+          .groupBy(col("db"), col("db_object_id"))
+          .agg(sum(col("_n")).as("_n"))
+          .join(matchedKeys, Seq("db", "db_object_id"), "left_anti")
+          .agg(coalesce(sum(col("_n")), lit(0L)).cast("long"))
+          .head().getLong(0))
+        (inactiveN, unmatchedN)
+      } finally triples.unpersist()
     }))
 
     dbg("enrichedFill")(enriched.count())
@@ -503,11 +512,14 @@ object Audit {
       "updatedOrigCreatedDate" -> updOrigN
     ) ++ matchBy
 
-    Seq(qc, enriched).foreach(_.unpersist()) // merged is never persisted
-    spark.conf.set(compressKey, oldCompress)
-    pool.shutdown()
     import spark.implicits._
     // the reference dumps counters alphabetically (dumpStats) — match it
     rows.toDF("counter", "value").orderBy(col("counter"))
+    } finally { // merged is never persisted; scratch = qc, enriched
+      scratch.foreach(df =>
+        try df.unpersist() catch { case _: Throwable => () })
+      spark.conf.set(compressKey, oldCompress)
+      pool.shutdown()
+    }
   }
 }

@@ -255,9 +255,16 @@ object Curate {
                       lmRef: Option[DataFrame] = None,
                       classifier: Option[graft.text.QualityClassifier.Model] = None)
       : DataFrame = {
-    val fresh = Dedup.incrementalStatus(newDocs, historyIndex,
-        idCol, textCol, cfg.minhashK, cfg.bands)
-      .filter(col("status") === "kept").drop("status")
+    // the novel slice persists as a stage manifest (it carries text,
+    // like the span stage's): curate()'s composition consumes its
+    // input from several plan branches, and the history-classification
+    // subtree (signature computation per doc) would otherwise
+    // re-execute once per consumer (measured ~3s/execution at sf0.1 on
+    // the Bloom form)
+    val fresh = persistedManifest(
+      Dedup.incrementalStatus(newDocs, historyIndex,
+          idCol, textCol, cfg.minhashK, cfg.bands)
+        .filter(col("status") === "kept").drop("status"))
     curate(fresh, benchmark, idCol, textCol, cfg, lmRef, classifier)
   }
 
@@ -284,9 +291,21 @@ object Curate {
     require(historyIndex.k == cfg.minhashK && historyIndex.bands == cfg.bands,
       s"Bloom index geometry ${historyIndex.k}|${historyIndex.bands} != " +
         s"config ${cfg.minhashK}|${cfg.bands} — band keys would never match")
+    // same single-execution treatment as the exact form (see
+    // curateIncrement) — classify is map-only but pays a minhash
+    // signature per doc, and curate() would re-execute it once per
+    // internal consumer — but via an eager localCheckpoint, NOT
+    // persistedManifest: classify's plan embeds per-call UDF closures
+    // over the broadcast filters, so the manifest memo's canonicalized-
+    // plan key can never hit and every invocation would grow the memo
+    // until the cap's wholesale clear unpersists manifests live queries
+    // are consuming. The checkpoint materializes once, truncates the
+    // lineage, and its blocks are released with the RDD by the context
+    // cleaner — no cache-manager entry to leak.
     val fresh = graft.dedup.BloomIndex
       .classify(newDocs, historyIndex, textCol)
       .filter(col("status") === "kept").drop("status")
+      .localCheckpoint()
     curate(fresh, benchmark, idCol, textCol, cfg, lmRef, classifier)
   }
 

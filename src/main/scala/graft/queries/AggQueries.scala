@@ -334,10 +334,15 @@ object AggQueries extends QueryPack {
         .MemoryStream[(Long, String, java.sql.Timestamp)]
       val sink = "ev_dedup_incremental_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
+      // the sink buffers only doc ids (projected BEFORE the write — a
+      // memory sink holding full text would retain a corpus copy per
+      // invocation), and the uniquely-named sink view is dropped after
+      // the bounded result is copied out
       val q = graft.streaming.IncrementalStream.incrementalDedupStream(
           input.toDF().toDF("doc_id", "text", "ts"), idx,
           "doc_id", "text", "ts", watermarkDelay = "1 hour",
           bounded = false)
+        .select($"doc_id")
         .writeStream.format("memory").queryName(sink)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .start()
@@ -352,7 +357,10 @@ object AggQueries extends QueryPack {
           java.sql.Timestamp.valueOf("2026-01-01 00:00:01"))))
         q.processAllAvailable()
       } finally q.stop()
-      s.table(sink).select($"doc_id")
+      val out = s.table(sink).select($"doc_id")
+      val kept = out.collect() // bounded: one id per kept increment doc
+      s.catalog.dropTempView(sink)
+      s.createDataFrame(java.util.Arrays.asList(kept: _*), out.schema)
     }),
 
     // U4 guard inputs: the two scalar counts the threshold brake compares

@@ -138,17 +138,28 @@ object CorpusQueries extends QueryPack {
     // oracle-checked, not just the assignment arithmetic.
     "pack_shard_roundtrip" -> ((s, d) => {
       import s.implicits._
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_shard_roundtrip").toString
-      graft.operators.Packing.writeShards(
-        Tables.documents(s, d).select($"doc_id", $"n_chars"),
-        $"doc_id", nShards = 16, tmp)
-      s.read.parquet(tmp)
-        .withColumn("_file", input_file_name()) // staged: not allowed
-        .groupBy($"shard")                      // directly inside an agg
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"n_chars").cast("long").as("total_size"),
-          countDistinct($"_file").as("n_files"))
+      val tmpPath = java.nio.file.Files
+        .createTempDirectory("graft_shard_roundtrip")
+      try {
+        graft.operators.Packing.writeShards(
+          Tables.documents(s, d).select($"doc_id", $"n_chars"),
+          $"doc_id", nShards = 16, tmpPath.toString)
+        val agg = s.read.parquet(tmpPath.toString)
+          .withColumn("_file", input_file_name()) // staged: not allowed
+          .groupBy($"shard")                      // directly inside an agg
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").cast("long").as("total_size"),
+            countDistinct($"_file").as("n_files"))
+        // shard-count-bounded result copied out so the temp tree can be
+        // deleted before returning (a lazy frame would pin the files)
+        val rows = agg.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        Files.walk(tmpPath).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p: Path))
+      }
     }),
 
     "pack_shard_manifest" -> ((s, d) => {

@@ -377,9 +377,26 @@ object Similarity {
     */
   def semDedupTrained(emb: DataFrame, idCol: String, threshold: Double,
                       iterations: Int = 2): DataFrame = {
-    val stride = math.max(1, math.sqrt(emb.count().toDouble).toLong)
-    val seeds = emb.filter(col(idCol) % stride === 0)
+    val n = emb.count()
+    // empty input -> empty output with the semDedup schema (the curate
+    // semantic stage must tolerate an increment whose docs were ALL
+    // history dups — a normal production event, and exactly the input
+    // the classic config handles by returning an empty frame)
+    if (n == 0)
+      return emb.select(col(idCol), lit(0L).as("cent_id"),
+        col(idCol).as("group"), lit(true).as("keep"))
+    val stride = math.max(1, math.sqrt(n.toDouble).toLong)
+    val strided = emb.filter(col(idCol) % stride === 0)
       .select(col(idCol).as("cent_id"), col("embedding").as("cent_vec"))
+    // a sparse id set can dodge every stride multiple (ids {1,3,5,7} at
+    // stride 2): fall back to the min-id row so the quantizer always
+    // has >= 1 seed — deterministic, and with one cluster the stage
+    // degrades to plain within-corpus near-dup, never a crash
+    val seeds =
+      if (strided.limit(1).isEmpty)
+        emb.orderBy(col(idCol)).limit(1)
+          .select(col(idCol).as("cent_id"), col("embedding").as("cent_vec"))
+      else strided
     val sample = graft.operators.Sampling.hashSample(
       emb.select(col(idCol).as("c_id"), col("embedding").as("c_vec")),
       col("c_id"), "8", "ivf")

@@ -45,6 +45,9 @@ object CurateScaleMain {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val mode = args.drop(2).headOption.getOrElse("classic")
+    require(Set("classic", "full", "semantic")(mode),
+      s"unknown mode '$mode' (classic|full|semantic) — refusing to " +
+        "silently record a classic run under a bogus label")
     val full = mode == "full"
     val semantic = mode == "semantic"
     val builder = SparkSession.builder().master("local[32]")

@@ -231,6 +231,26 @@ class CurationSpec extends SparkSpec {
     assert(out.count() === emb.count()) // total: every vector classified
   }
 
+  test("semDedupTrained tolerates empty input and stride-dodging ids") {
+    // empty survivor set (an increment that was ALL history dups):
+    // empty output with the semDedup schema, no 'empty centroid' crash
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val out0 = Similarity.semDedupTrained(empty, "vec_id", 0.9)
+    assert(out0.columns.toSeq ===
+      Seq("vec_id", "cent_id", "group", "keep"))
+    assert(out0.count() === 0)
+    // ids {1,3,5,7}: n=4 -> stride=2, no id divisible by 2 — the
+    // min-id fallback seed must kick in instead of crashing
+    def unit(deg: Double) = Seq(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val sparse = Seq((1L, unit(0)), (3L, unit(2)), (5L, unit(45)),
+      (7L, unit(90))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedupTrained(sparse, "vec_id", 0.995)
+    assert(out.count() === 4)
+    assert(out.filter($"keep").count() >= 1)
+  }
+
   // --------------------------------------------------- quality classifier
   test("hashed-BoW logistic learns a separable vocabulary") {
     import graft.text.QualityClassifier

@@ -33,6 +33,30 @@ object TextQueries extends QueryPack {
         .select($"doc_id", $"i".cast("long").as("i"), $"v")
     }),
 
+    // C4-style line-level filter (round 8): the corpus ships no line
+    // structure, so lines are fabricated by breaking before every
+    // 'table' occurrence (plain non-overlapping replace — identical
+    // semantics in both engines), then lines under 4 words drop
+    "text_line_filter" -> ((s, d) => {
+      import s.implicits._
+      val lined = Tables.documents(s, d).select($"doc_id",
+        regexp_replace($"text", " table ", "\ntable ").as("ltext"))
+      val kept = TextAnalysis.filterLines($"ltext", minWords = 4)
+      lined.select($"doc_id",
+        size(split($"ltext", "\n")).cast("long").as("n_lines"),
+        when(length(kept) === 0, lit(0L))
+          .otherwise(size(split(kept, "\n")).cast("long")).as("n_kept"),
+        kept.as("clean"))
+    }),
+
+    // per-doc top-3 salient terms by the rational tf/(df+1) weighting
+    // (see TextAnalysis.tfIdfTopK for why not ln-idf on a compared
+    // surface); full pipeline — tf agg, vocabulary df agg, term join,
+    // per-doc top-k window — exact-matched against DuckDB
+    "text_tfidf_topk" -> ((s, d) =>
+      TextAnalysis.tfIdfTopK(Tables.documents(s, d), "doc_id", "text",
+        k = 3)),
+
     "text_token_counts" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d).select($"doc_id",
@@ -186,6 +210,41 @@ object TextQueries extends QueryPack {
            |  CASE WHEN nrm = 0 THEN CAST(hist[r.i + 1] AS FLOAT)
            |    ELSE CAST(hist[r.i + 1] / nrm AS FLOAT) END AS v
            |FROM n, range(0, 64) r(i)""".stripMargin,
+
+      "text_line_filter" ->
+        """WITH l AS (
+          |  SELECT doc_id,
+          |    replace(text, ' table ', chr(10) || 'table ') AS ltext
+          |  FROM documents),
+          |k AS (SELECT doc_id, ltext,
+          |    array_to_string(list_filter(string_split(ltext, chr(10)),
+          |      x -> len(list_filter(string_split_regex(trim(x), '\s+'),
+          |        w -> len(w) > 0)) >= 4), chr(10)) AS clean
+          |  FROM l)
+          |SELECT doc_id,
+          |  CAST(len(string_split(ltext, chr(10))) AS BIGINT) AS n_lines,
+          |  CAST(CASE WHEN length(clean) = 0 THEN 0
+          |    ELSE len(string_split(clean, chr(10))) END AS BIGINT)
+          |    AS n_kept,
+          |  clean
+          |FROM k""".stripMargin,
+
+      "text_tfidf_topk" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(
+          |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+          |    x -> len(x) > 0)) AS term FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf
+          |  FROM tok GROUP BY 1, 2),
+          |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |scored AS (SELECT doc_id, term, tf, df,
+          |    CAST(tf AS DOUBLE) / (df + 1) AS score,
+          |    CAST(row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY CAST(tf AS DOUBLE) / (df + 1) DESC, term)
+          |      AS INT) AS rank
+          |  FROM tf JOIN dfreq USING (term))
+          |SELECT doc_id, term, tf, df, score, rank
+          |FROM scored WHERE rank <= 3""".stripMargin,
 
       "text_token_counts" ->
         s"""SELECT doc_id, $ntoks AS n_ws_tokens,

@@ -140,6 +140,54 @@ object TextAnalysis {
         "[\\p{Cntrl}]", " "),
       "\\s+", " "))
 
+  // -------------------------------------------------------- line filtering
+  /** C4/Gopher-style line-level filter: keep only lines with at least
+    * `minWords` whitespace words, rejoined with newlines (docs whose
+    * every line fails collapse to the empty string — callers gate on
+    * token count downstream as usual). Map-only higher-order filter
+    * over the line split; no shuffle.
+    */
+  def filterLines(text: Column, minWords: Int): Column =
+    array_join(
+      filter(split(coalesce(text, lit("")), "\n"), l =>
+        when(length(trim(l)) === 0, lit(0))
+          .otherwise(size(split(trim(l), "\\s+"))) >= minWords),
+      "\n")
+
+  // ------------------------------------------------------------- tf-idf
+  /** Per-document top-k salient terms by a log-free tf-idf variant:
+    * score = tf / (df + 1) — term frequency damped by document
+    * frequency. The classic `tf·ln(N/df)` weighting is deliberately
+    * avoided on this compared surface: `ln` is not guaranteed
+    * correctly-rounded and differs by ulps across engines, while this
+    * rational form is one exact IEEE division, so the DuckDB oracle
+    * matches it bit-for-bit. Ranking ties break by term (ascending) —
+    * deterministic under any partitioning.
+    *
+    * Scale shape: explode -> ONE (id, term) agg shuffle with map-side
+    * partials, a vocabulary-sized df aggregation, a term join (AQE
+    * broadcasts the df dim when it fits), and the per-doc top-k
+    * window on the id key. No driver actions, no all-pairs anything.
+    */
+  def tfIdfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val toks = filter(
+      split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
+      t => length(t) > 0)
+    val tf = df.select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score", col("tf").cast("double") / (col("df") + 1))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** Deterministic hashed set-of-words embedding (the feature-hashing
     * trick, Weinberger et al. 2009, over the distinct-token set): each
     * token md5-hashes to one of `dim` buckets with a ±1 sign, the doc's

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Packing, Sampling}
-import graft.text.CorpusQc
+import graft.text.{CorpusQc, TextAnalysis}
 
 /** Semantics of the round-4 corpus-QC family: repetition rules,
   * contamination scoring, PII scrub, deterministic sampling, sequence
@@ -104,6 +104,41 @@ class CorpusOpsSpec extends SparkSpec {
       .as[String].collect()
     assert(out.contains("mail <EMAIL> or <IP> or <PHONE> ok"), out.toSeq)
     assert(out.contains("clean words only here"))
+  }
+
+  // ----------------------------------------------------- line filtering
+  test("filterLines keeps >=minWords lines, collapses all-short docs") {
+    val out = Seq(
+      "one two three four\nshort line\nfive six seven eight nine",
+      "a b\nc d",
+      "",
+      "   \nx y z w").toDF("text")
+      .select(TextAnalysis.filterLines($"text", minWords = 4).as("f"))
+      .as[String].collect().toSeq
+    assert(out.contains(
+      "one two three four\nfive six seven eight nine"))
+    assert(out.contains("x y z w")) // blank line drops, 4-word line stays
+    assert(out.count(_ == "") === 2) // all-short doc + empty doc
+  }
+
+  // -------------------------------------------------------------- tf-idf
+  test("tfIdfTopK damps by document frequency and bounds k per doc") {
+    val docs3 = Seq(
+      (1L, "common rare"),
+      (2L, "common common zz"),
+      (3L, "common yy yy")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopK(docs3, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Int]("rank"))).toSet
+    assert(out.count(_._1 == 1L) === 2)
+    // doc 1, equal tf=1: rare df=1 -> 0.5 beats common df=3 -> 0.25 —
+    // the df damping in isolation
+    assert(out.contains((1L, "rare", 1)))
+    assert(out.contains((1L, "common", 2)))
+    // doc 2: common tf=2 df=3 -> 0.5 TIES zz tf=1 df=1 -> 0.5; the
+    // ascending-term tiebreak must put 'common' first, deterministically
+    assert(out.contains((2L, "common", 1)))
+    assert(out.contains((2L, "zz", 2)))
   }
 
   // --------------------------------------------------------- sampling

@@ -46,5 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("top_gram_chars", classOf[graft.functions.TopGramCharsExpr], exprs =>
       graft.functions.TopGramCharsExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()))
+    inject("hashed_embed", classOf[graft.functions.HashedEmbedExpr], exprs =>
+      graft.functions.HashedEmbedExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 }

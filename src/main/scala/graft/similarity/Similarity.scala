@@ -41,6 +41,21 @@ object Similarity {
     when(n > 0, d / n).otherwise(lit(0.0))
   }
 
+  /** [[cosine]] with the norms PRECOMPUTED as per-row columns — the
+    * pairwise operators stage `norm(v)` once per row in a projection
+    * below their join, because the inline form recomputes both norms
+    * per PAIR (3 sequential-fold dots per candidate instead of 1 — a
+    * measured 3x on the blocked pair joins; round 8). The staged norm
+    * column is referenced twice (guard + divisor), which is also what
+    * keeps CollapseProject from re-inlining it. Arithmetic is
+    * unchanged — same product, same guard, same division — so every
+    * score is bit-identical to the inline form.
+    */
+  private def cosinePre(d: Column, na: Column, nb: Column): Column = {
+    val n = na * nb
+    when(n > 0, d / n).otherwise(lit(0.0))
+  }
+
   /** Brute-force cosine top-k. `queries`/`corpus`: (id, vec) pairs.
     * Scores are rounded before ranking so result order is reproducible
     * across engines; ties break by corpus id.
@@ -48,9 +63,15 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      queryId: String = "q_id", corpusId: String = "c_id")
       : DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    // norms staged once per query / per corpus row, not per PAIR (see
+    // cosinePre): with |q| queries the inline form paid |q|x the corpus
+    // norm cost inside the cross join
+    val q = broadcast(queries.withColumn("_qn", norm(col("q_vec"))))
+    val scored = corpus.withColumn("_cn", norm(col("c_vec")))
+      .crossJoin(q)
       .filter(col(queryId) =!= col(corpusId))
-      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("sim", round(cosinePre(dot(col("q_vec"), col("c_vec")),
+        col("_qn"), col("_cn")), 6))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("sim").desc, col(corpusId))
     scored.withColumn("rank", row_number().over(w))
@@ -197,9 +218,13 @@ object Similarity {
       .select(col("q_id"), col("q_vec"),
         (-col("_probe.neg_id")).as("cent_id"))
 
-    val scored = index.join(broadcast(probes), Seq("cent_id"))
+    // norms staged per index row / per probe row (see cosinePre)
+    val scored = index.withColumn("_cn", norm(col("c_vec")))
+      .join(broadcast(probes.withColumn("_qn", norm(col("q_vec")))),
+        Seq("cent_id"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("sim", round(cosinePre(dot(col("q_vec"), col("c_vec")),
+        col("_qn"), col("_cn")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -310,14 +335,19 @@ object Similarity {
   def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     def codes(c: Column) =
       transform(c.getField("q"), x => x.cast("double"))
+    // code arrays AND their norms staged once per side row (see
+    // cosinePre): the inline form re-ran the dequant transform and both
+    // norm folds per PAIR
     val qq = broadcast(queries.select(col("q_id"),
-      quantizeInt8(col("q_vec")).as("_qq")))
+        codes(quantizeInt8(col("q_vec"))).as("_qc"))
+      .withColumn("_qn", norm(col("_qc"))))
     val scored = corpus
-      .select(col("c_id"), quantizeInt8(col("c_vec")).as("_cq"))
+      .select(col("c_id"), codes(quantizeInt8(col("c_vec"))).as("_cc"))
+      .withColumn("_cn", norm(col("_cc")))
       .crossJoin(qq)
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("sim",
-        round(cosine(codes(col("_qq")), codes(col("_cq"))), 6))
+      .withColumn("sim", round(cosinePre(dot(col("_qc"), col("_cc")),
+        col("_qn"), col("_cn")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -335,11 +365,14 @@ object Similarity {
                          threshold: Double,
                          block: Option[String] = None): DataFrame = {
     val bCol = block.map(col).getOrElse(lit(0))
+    // norm staged once per ROW below the self-join (see cosinePre)
     val v = vectors.select(col(id).as("id"), col(vec).as("v"),
-      bCol.as("_block"))
+        bCol.as("_block"))
+      .withColumn("_nrm", norm(col("v")))
     v.as("a").join(v.as("b"),
         col("a._block") === col("b._block") && col("a.id") < col("b.id"))
-      .withColumn("sim", round(cosine(col("a.v"), col("b.v")), 6))
+      .withColumn("sim", round(cosinePre(dot(col("a.v"), col("b.v")),
+        col("a._nrm"), col("b._nrm")), 6))
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }

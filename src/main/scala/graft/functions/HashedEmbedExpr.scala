@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StringType}
   * the dominant cost of the text->vector bridge that SemDeDup, chunk
   * search and embedding dedup all stand on).
   *
-  * EXACT parity with the column form (HashedEmbedSpec pins it over the
+  * EXACT parity with the column form (NativeExprSpec pins it over the
   * corpus and on edge cases; the text_hash_embed DuckDB oracle
   * recomputes the same family):
   *  - bucket = first 4 md5 bytes as an unsigned 32-bit value mod `dim`

@@ -39,14 +39,20 @@ object TextQueries extends QueryPack {
     // semantics in both engines), then lines under 4 words drop
     "text_line_filter" -> ((s, d) => {
       import s.implicits._
+      // null-symmetric with the oracle (coalesce like every other text
+      // oracle here); the filterLines HOF stages in its OWN projection
+      // — referenced three times below, an unstaged form would run the
+      // whole interpreted split/filter/join chain 3x per row
       val lined = Tables.documents(s, d).select($"doc_id",
-        regexp_replace($"text", " table ", "\ntable ").as("ltext"))
-      val kept = TextAnalysis.filterLines($"ltext", minWords = 4)
+        regexp_replace(coalesce($"text", lit("")), " table ", "\ntable ")
+          .as("ltext"))
+        .select($"doc_id", $"ltext",
+          TextAnalysis.filterLines($"ltext", minWords = 4).as("clean"))
       lined.select($"doc_id",
         size(split($"ltext", "\n")).cast("long").as("n_lines"),
-        when(length(kept) === 0, lit(0L))
-          .otherwise(size(split(kept, "\n")).cast("long")).as("n_kept"),
-        kept.as("clean"))
+        when(length($"clean") === 0, lit(0L))
+          .otherwise(size(split($"clean", "\n")).cast("long")).as("n_kept"),
+        $"clean")
     }),
 
     // per-doc top-3 salient terms by the rational tf/(df+1) weighting
@@ -214,7 +220,8 @@ object TextQueries extends QueryPack {
       "text_line_filter" ->
         """WITH l AS (
           |  SELECT doc_id,
-          |    replace(text, ' table ', chr(10) || 'table ') AS ltext
+          |    replace(coalesce(text, ''), ' table ', chr(10) || 'table ')
+          |      AS ltext
           |  FROM documents),
           |k AS (SELECT doc_id, ltext,
           |    array_to_string(list_filter(string_split(ltext, chr(10)),

@@ -281,7 +281,10 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
               nBits: Int, k: Int, nProbes: Int = 0): DataFrame = {
+    // norms staged per corpus/query row, not per candidate pair (see
+    // cosinePre)
     val c = corpus.withColumn("bucket", lshBucket(col("c_vec"), dim, nBits))
+      .withColumn("_cn", norm(col("c_vec")))
     val home = lshBucket(col("q_vec"), dim, nBits)
     val probes = (0 until (nProbes min nBits)).map(p =>
       home.bitwiseXOR(lit(1L << p)))
@@ -292,9 +295,11 @@ object Similarity {
     val q = queries
       .withColumn("bucket", explode_outer(array(home +: probes: _*)))
       .filter(col("bucket").isNotNull)
+      .withColumn("_qn", norm(col("q_vec")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("sim", round(cosinePre(dot(col("q_vec"), col("c_vec")),
+        col("_qn"), col("_cn")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

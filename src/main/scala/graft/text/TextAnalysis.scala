@@ -149,9 +149,13 @@ object TextAnalysis {
     */
   def filterLines(text: Column, minWords: Int): Column =
     array_join(
+      // count NON-EMPTY segments: a bare size(split(trim(l))) keeps a
+      // leading empty token when the line starts with regex-whitespace
+      // trim doesn't strip (tab/CR) and a trailing one (split limit
+      // -1), inflating the count — and the empty-segment filter also
+      // subsumes the blank-line special case
       filter(split(coalesce(text, lit("")), "\n"), l =>
-        when(length(trim(l)) === 0, lit(0))
-          .otherwise(size(split(trim(l), "\\s+"))) >= minWords),
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minWords),
       "\n")
 
   // ------------------------------------------------------------- tf-idf
@@ -201,7 +205,7 @@ object TextAnalysis {
     *    shuffle, no trained state, no UDF, no per-row allocations
     *    beyond the output (round 8: replaces an interpreted HOF fold
     *    chain measured at ~1.6 ms/doc; bit-identical, pinned by
-    *    HashedEmbedSpec against the retained HOF reference form);
+    *    NativeExprSpec against the retained HOF reference form);
     *  - md5-derived bucket+sign (like the minhash family), so every
     *    value is reproducible in any engine — the DuckDB oracle checks
     *    the float vectors bit-for-bit (pure IEEE division + float cast,
@@ -219,7 +223,7 @@ object TextAnalysis {
 
   /** The pre-round-8 higher-order-function form of [[hashedEmbeddings]]
     * — retained as the PARITY REFERENCE the native expression is pinned
-    * against (HashedEmbedSpec asserts bit-identical vectors over the
+    * against (NativeExprSpec asserts bit-identical vectors over the
     * corpus and on edge cases). Not for production use: every lambda
     * below evaluates interpreted.
     */

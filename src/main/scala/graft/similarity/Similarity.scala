@@ -91,17 +91,20 @@ object Similarity {
     * the expanded corpus on v_id — a |centroids|× shuffle amplification
     * (and it benched slower than brute force).
     */
-  private def centroidLit(centroids: DataFrame): Column = {
+  private def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Double])] = {
     val rows = centroids.select(col("cent_id").cast("long"), col("cent_vec"))
       .collect()
     require(rows.nonEmpty, "empty centroid set")
     require(rows.length <= maxCentroids,
       s"${rows.length} centroids exceed the literal-quantizer cap $maxCentroids")
-    array(rows.map { r =>
-      val vec = r.getSeq[Number](1).map(_.doubleValue())
-      struct(lit(r.getLong(0)).as("cent_id"), typedLit(vec).as("cent_vec"))
-    }.toIndexedSeq: _*)
+    rows.toSeq.map(r =>
+      (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toSeq))
   }
+
+  private def centroidLit(centroids: DataFrame): Column =
+    array(collectCentroids(centroids).map { case (id, vec) =>
+      struct(lit(id).as("cent_id"), typedLit(vec).as("cent_vec"))
+    }.toIndexedSeq: _*)
 
   /** Per-centroid cosine scores of `vec`, sorted best-first (ties by
     * ascending cent_id, encoded as descending neg_id). Pure projection —
@@ -113,14 +116,18 @@ object Similarity {
         (-c.getField("cent_id")).as("neg_id"))), asc = false)
 
   /** Assign each vector to its nearest centroid — one map-side
-    * projection against the literal quantizer, no shuffle.
+    * projection against the driver-embedded quantizer, no shuffle.
+    * Round 8: runs the native fused
+    * [[graft.functions.NearestCentroidExpr]] (argmax parity with the
+    * former sort_array formula pinned in NativeExprSpec) — the
+    * interpreted per-centroid transform recomputed `norm(v)` per
+    * centroid and sorted a struct array per row just to read its head.
     */
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
-                        vecId: String = "v_id"): DataFrame = {
-    val best = element_at(centroidScores(col("v_vec"), centroidLit(centroids)), 1)
+                        vecId: String = "v_id"): DataFrame =
     vectors.select(col(vecId), col("v_vec"),
-      (-best.getField("neg_id")).as("cent_id"))
-  }
+      graft.functions.NearestCentroidExpr.nearest_centroid(
+        col("v_vec"), collectCentroids(centroids)).as("cent_id"))
 
   /** Lloyd (k-means) refinement of the coarse quantizer, as plain
     * DataFrame aggregations. Per iteration: every sample vector is
@@ -196,8 +203,8 @@ object Similarity {
     */
   def buildIvfIndex(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.withColumn("cent_id",
-      -element_at(centroidScores(col("c_vec"), centroidLit(centroids)), 1)
-        .getField("neg_id"))
+      graft.functions.NearestCentroidExpr.nearest_centroid(
+        col("c_vec"), collectCentroids(centroids)))
 
   /** Probe a built index: map-side probe selection against the literal
     * quantizer, hash-join on cent_id (cheap integer probe, no cosine for

@@ -63,8 +63,11 @@ case class NearestCentroidExpr(child: Expression,
     math.sqrt(acc)
   }
 
+  // Spark's Round returns non-finite doubles unchanged (BigDecimal.valueOf
+  // would throw on them); replicate so an Inf element can't crash the job.
   private def round6(d: Double): Double =
-    JBigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else JBigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
 
   def compute(input: ArrayData): Long = {
     val isFloat =
@@ -80,18 +83,26 @@ case class NearestCentroidExpr(child: Expression,
     i = 0
     while (i < n) { vAcc += v(i) * v(i); i += 1 }
     val vNorm = math.sqrt(vAcc)
-    var bestScore = Double.NegativeInfinity
-    var bestId = Long.MinValue
+    var bestScore = 0.0
+    var bestId = 0L
+    var any = false
     var j = 0
     while (j < vecs.length) {
       val c = vecs(j)
-      val m = math.min(n, c.length)
+      if (c.length != n) throw new IllegalArgumentException(
+        s"nearest_centroid: input vector has $n elements but centroid " +
+          s"${ids(j)} has ${c.length} — dimensions must match " +
+          s"(DotProductExpr contract)")
       var d = 0.0
       var k = 0
-      while (k < m) { d += v(k) * c(k); k += 1 }
+      while (k < n) { d += v(k) * c(k); k += 1 }
       val nn = vNorm * centNorms(j)
       val score = round6(if (nn > 0) d / nn else 0.0)
-      if (score > bestScore || (score == bestScore && ids(j) < bestId)) {
+      // Double.compare = Spark's double sort order (NaN greatest), so a
+      // NaN score wins exactly like the descending struct sort it mirrors.
+      val cmp = java.lang.Double.compare(score, bestScore)
+      if (!any || cmp > 0 || (cmp == 0 && ids(j) < bestId)) {
+        any = true
         bestScore = score
         bestId = ids(j)
       }

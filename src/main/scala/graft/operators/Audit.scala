@@ -192,7 +192,11 @@ object Audit {
     // buys nothing here (measured ~1.6s of the sf0.1 wall); scope it
     // OFF for the persists this function creates (the conf is read at
     // persist() time, so other queries' caches are unaffected),
-    // restored before returning.
+    // restored before returning. CONTRACT: the flip is session-wide
+    // while this dump runs, so a query persisting CONCURRENTLY in the
+    // same SparkSession would cache uncompressed — callers that share a
+    // session across threads should wrap the dump in spark.newSession()
+    // (the bench/Verify drivers run queries sequentially, so they don't).
     val compressKey = "spark.sql.inMemoryColumnarStorage.compressed"
     val oldCompress = spark.conf.get(compressKey, "true")
     spark.conf.set(compressKey, "false")

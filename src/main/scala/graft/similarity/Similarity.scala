@@ -422,6 +422,15 @@ object Similarity {
     */
   def semDedupTrained(emb: DataFrame, idCol: String, threshold: Double,
                       iterations: Int = 2): DataFrame = {
+    // stride seeding (`id % stride`) and cent_id (cast long) both assume a
+    // numeric id: a string id nulls the modulo (collapsing every seed) and
+    // then NPEs on the null cent_id deep in centroid collection — fail at
+    // the API boundary with an actionable message instead
+    require(emb.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType],
+      s"semDedupTrained requires a numeric id column; '$idCol' is " +
+        s"${emb.schema(idCol).dataType.simpleString} — hash it to a long " +
+        "(e.g. xxhash64) before calling")
     val n = emb.count()
     // empty input -> empty output with the semDedup schema (the curate
     // semantic stage must tolerate an increment whose docs were ALL

@@ -38,9 +38,17 @@ object BloomIndex {
     * (classification must probe with identical band keys). Serializable
     * — broadcast-friendly, and `BloomFilter.writeTo/readFrom` is the
     * between-increments persistence format.
+    *
+    * `expectedItems` is the DOC budget the filters were sized for and
+    * `inserted` the docs folded in so far (build + every [[fold]]):
+    * a Bloom filter cannot grow, so once `inserted` passes the budget
+    * the real fpp silently degrades past the requested one — [[fold]]
+    * guards that loudly instead.
     */
   final case class Index(fp: BloomFilter, band: BloomFilter,
-                         k: Int, bands: Int) extends Serializable
+                         k: Int, bands: Int,
+                         expectedItems: Long, inserted: Long)
+      extends Serializable
 
   /** Fold `df`'s exact fingerprints and LSH band keys into Bloom
     * filters. `expectedItems` is the DOCUMENT count: the fp filter
@@ -57,20 +65,62 @@ object BloomIndex {
   def build(df: DataFrame, textCol: String,
             expectedItems: Long, fpp: Double = 0.001,
             k: Int = 16, bands: Int = 4): Index = {
+    val (fp, band, n) = foldKeys(df, textCol, k, bands,
+      BloomFilter.create(expectedItems, fpp),
+      BloomFilter.create(expectedItems * bands, fpp))
+    require(n <= expectedItems,
+      s"BloomIndex.build: $n docs exceed the expectedItems=$expectedItems " +
+        "budget — the filters are already saturated at build time; size " +
+        "expectedItems to the whole crawl loop (history + every increment)")
+    Index(fp, band, k, bands, expectedItems, n)
+  }
+
+  /** Fold a new batch's fp/band keys into an EXISTING index — the
+    * between-increments evolution step the 100 TB crawl loop needs
+    * (classify increment N → fold its kept docs → classify increment
+    * N+1 against the grown index). Pure: treeAggregate copies the zero
+    * value per partition, so the caller's index is untouched and the
+    * returned Index is a new value (bitwise-OR merge keeps the original
+    * bits exactly once — same order-independence as [[build]]).
+    *
+    * Saturation guard: filters cannot grow, so inserting past the
+    * `expectedItems` budget silently degrades the real fpp — fail
+    * loudly instead; the caller sizes the budget for the whole loop up
+    * front (or rebuilds from the exact [[Dedup.dedupIndex]] when the
+    * crawl outlives the plan).
+    */
+  def fold(index: Index, newDocs: DataFrame, textCol: String): Index = {
+    val (fp, band, n) =
+      foldKeys(newDocs, textCol, index.k, index.bands, index.fp, index.band)
+    val total = index.inserted + n
+    require(total <= index.expectedItems,
+      s"BloomIndex.fold: ${index.inserted} + $n docs exceed the " +
+        s"expectedItems=${index.expectedItems} budget the filters were " +
+        "sized for — past it the effective fpp silently degrades; rebuild " +
+        "with a larger budget (or from the exact Dedup.dedupIndex)")
+    index.copy(fp = fp, band = band, inserted = total)
+  }
+
+  /** One treeAggregate folding `df`'s keys into the given filters,
+    * counting inserted docs (= fp-kind keys) as it goes. The zero value
+    * is serialized per partition, so the caller's filters are never
+    * mutated.
+    */
+  private def foldKeys(df: DataFrame, textCol: String, k: Int, bands: Int,
+                       fp0: BloomFilter, band0: BloomFilter)
+      : (BloomFilter, BloomFilter, Long) = {
     import df.sparkSession.implicits._
-    val (fp, band) = Dedup.indexKeys(df, textCol, k, bands)
+    Dedup.indexKeys(df, textCol, k, bands)
       .as[(String, String)].rdd
-      .treeAggregate(
-        (BloomFilter.create(expectedItems, fpp),
-          BloomFilter.create(expectedItems * bands, fpp)))(
+      .treeAggregate((fp0, band0, 0L))(
         (acc, kv) => {
-          (if (kv._1 == "fp") acc._1 else acc._2).putString(kv._2)
-          acc
+          if (kv._1 == "fp") { acc._1.putString(kv._2); (acc._1, acc._2, acc._3 + 1) }
+          else { acc._2.putString(kv._2); acc }
         },
         (a, b) => {
-          a._1.mergeInPlace(b._1); a._2.mergeInPlace(b._2); a
+          a._1.mergeInPlace(b._1); a._2.mergeInPlace(b._2)
+          (a._1, a._2, a._3 + b._3)
         })
-    Index(fp, band, k, bands)
   }
 
   /** [[Dedup.incrementalStatus]] semantics against the Bloom index:

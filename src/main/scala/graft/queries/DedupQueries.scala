@@ -85,6 +85,40 @@ object DedupQueries extends QueryPack {
         .select($"doc_id", $"status")
     }),
 
+    // the between-increments EVOLUTION loop the 100 TB crawl story
+    // needs: classify increment 1 against the history index, FOLD
+    // inc1's kept docs into the same filters (BloomIndex.fold — one
+    // treeAggregate putString-ing into copies of the existing bits,
+    // saturation-guarded), then classify increment 2, which re-crawls
+    // some inc1-kept pages under fresh ids (+200000): those must now
+    // read exact_hist off the GROWN index, not leak as kept. No SQL
+    // oracle (filter bits) — digest-pinned; fold/saturation contracts
+    // are asserted in ExtensionsSpec.
+    "dedup_incremental_bloom_fold" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+      val inc1 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+          pmod($"doc_id", lit(2)) === 0)
+        .select($"doc_id", $"text")
+      val inc2 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+          pmod($"doc_id", lit(2)) === 1)
+        .select($"doc_id", $"text")
+        .unionByName(inc1.filter(pmod($"doc_id", lit(4)) === 0)
+          .select(($"doc_id" + 200000).as("doc_id"), $"text"))
+      // budget sized to the whole loop (history + both increments) —
+      // the contract fold's saturation guard enforces
+      val idx0 = graft.dedup.BloomIndex.build(hist, "text",
+        expectedItems = docs.count(), fpp = 0.001, k = 16, bands = 2)
+      val c1 = graft.dedup.BloomIndex.classify(inc1, idx0, "text")
+      val kept1 = c1.filter($"status" === "kept").select($"doc_id", $"text")
+      val idx1 = graft.dedup.BloomIndex.fold(idx0, kept1, "text")
+      val c2 = graft.dedup.BloomIndex.classify(inc2, idx1, "text")
+      c1.select($"doc_id", lit(1).as("increment"), $"status")
+        .unionByName(
+          c2.select($"doc_id", lit(2).as("increment"), $"status"))
+    }),
+
     // the full text->vector->near-dup path over RAW documents: hashed
     // set-of-words embeddings (no shipped vectors needed) feed the same
     // blocked cosine pairing the embeddings table uses; oracle-checked

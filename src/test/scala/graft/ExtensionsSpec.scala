@@ -121,6 +121,51 @@ class ExtensionsSpec extends SparkSpec {
       .contains("Exchange"))
   }
 
+  test("bloom fold grows the index across increments without mutating " +
+      "the original, and the saturation guard fires loudly") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val inc1 = docs.filter(pmod($"doc_id", lit(3)) === 0)
+      .select($"doc_id", $"text")
+    val idx0 = graft.dedup.BloomIndex.build(hist, "text",
+      expectedItems = 2000, fpp = 0.001, k = 16, bands = 2)
+    val kept1 = graft.dedup.BloomIndex.classify(inc1, idx0, "text")
+      .filter($"status" === "kept").select($"doc_id", $"text")
+    val keptN = kept1.count()
+    assert(keptN > 0, "fixture must keep some inc1 docs")
+    // re-crawl of inc1-kept pages under fresh ids: 'kept' against the
+    // original index, exact_hist against the folded one — the fold is
+    // what catches the cross-increment duplicate
+    val recrawl = kept1.select(($"doc_id" + 200000).as("doc_id"), $"text")
+    val pre = graft.dedup.BloomIndex.classify(recrawl, idx0, "text")
+      .filter($"status" === "exact_hist").count()
+    assert(pre === 0, "re-crawled kept docs must not be in the ORIGINAL index")
+    val idx1 = graft.dedup.BloomIndex.fold(idx0, kept1, "text")
+    assert(idx1.inserted === idx0.inserted + keptN)
+    val post = graft.dedup.BloomIndex.classify(recrawl, idx1, "text")
+      .select($"status").as[String].collect()
+    assert(post.nonEmpty && post.forall(_ == "exact_hist"),
+      s"folded index must catch every re-crawled dup: ${post.toSeq}")
+    // treeAggregate folds into COPIES: the caller's index is untouched
+    val preAgain = graft.dedup.BloomIndex.classify(recrawl, idx0, "text")
+      .filter($"status" === "exact_hist").count()
+    assert(preAgain === 0, "fold must not mutate the original index")
+    // saturation: a fold past the expectedItems budget fails loudly
+    // (filters can't grow; past the budget the real fpp silently rots)
+    val tiny = graft.dedup.BloomIndex.build(hist.limit(5), "text",
+      expectedItems = 6, fpp = 0.001, k = 16, bands = 2)
+    val sat = intercept[IllegalArgumentException] {
+      graft.dedup.BloomIndex.fold(tiny, inc1.limit(10), "text")
+    }
+    assert(sat.getMessage.contains("expectedItems"), sat.getMessage)
+    // ... and so does a build already over budget
+    val satB = intercept[IllegalArgumentException] {
+      graft.dedup.BloomIndex.build(hist, "text",
+        expectedItems = 3, fpp = 0.001, k = 16, bands = 2)
+    }
+    assert(satB.getMessage.contains("saturated"), satB.getMessage)
+  }
+
   test("incremental dedup: geometry mismatch between index and classify " +
       "fails loudly instead of silently keeping every near-dup") {
     val docs = Tables.documents(spark, sf).limit(30)

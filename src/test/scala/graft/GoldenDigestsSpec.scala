@@ -89,6 +89,13 @@ class GoldenDigestsSpec extends SparkSpec {
   // CurationSpec) holds as equality here; verified back-to-back
   // identical
   check("corpus_curate_increment_bloom", 12L, "792833489907115093")
+  // r9: Bloom index EVOLUTION — build on history, classify inc1, FOLD
+  // inc1's kept docs into the same filters, classify inc2 (which
+  // re-crawls inc1-kept pages under fresh ids — those must read
+  // exact_hist off the grown index). Bits stay OR-of-scatters, so
+  // order/partitioning-independent; digest verified back-to-back
+  // identical; fold purity + saturation guard pinned in ExtensionsSpec
+  check("dedup_incremental_bloom_fold", 209L, "-87383621975144849642")
   // r8: streaming incremental dedup driven end-to-end on a MemoryStream
   // (two increments; cross-batch content-dup suppression); kept-id set
   // deterministic (unbounded exact state, fixed arrival order); digest

@@ -269,8 +269,46 @@ object Bench {
         calPre = calPre2; pass = pass2; calPost = calPost2; trace = trace2
       }
     }
-    val results = pass
+    val passResults = pass
     val throttled = suspect(calPre) || suspect(calPost)
+
+    // a7/flagship ratio rows (round 9): the ops-dump perf gate is a
+    // RATIO of two rows measured minutes apart in the pass, and its
+    // weather band is ±0.2 even on quiet hosts — one contended window
+    // under either row flips the verdict. Roll the PAIR twice more
+    // back-to-back (interleaved, so both rows sample the same weather
+    // windows) and report each row's MEDIAN-of-3; a single contended
+    // roll can no longer move the reported ratio. Raw samples go to the
+    // JSON as ratio_trace so a reader can audit the spread.
+    val ratioRows = Seq("gaf_pipeline_e2e", "a7_counter_dump")
+    val ratioExtra =
+      scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+    if (ratioRows.forall(n => SparkEntry.queries.contains(n) &&
+        passResults.exists(r => r.name == n && r.sec > 0))) {
+      for (_ <- 1 to 2; n <- ratioRows) {
+        val t0 = System.nanoTime()
+        val ok =
+          try { consume(SparkEntry.queries(n)(spark, sfDir),
+            useForeach(n)); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) ratioExtra(n) = ratioExtra(n) :+ dt
+      }
+    }
+    val results = passResults.map { r =>
+      val samples = r.sec +: ratioExtra(r.name)
+      if (r.sec > 0 && samples.size == 3)
+        r.copy(sec = samples.sorted.apply(1))
+      else r
+    }
+    val ratioTrace = ratioRows
+      .filter(n => ratioExtra(n).nonEmpty)
+      .map { n =>
+        val pass1 = passResults.find(_.name == n).map(_.sec).getOrElse(0.0)
+        val all = (pass1 +: ratioExtra(n)).map(fmt).mkString("[", ",", "]")
+        s""""$n":$all"""
+      }.mkString("{", ",", "}")
 
     // same-session DuckDB wall + the Spark total over the same (oracle-
     // backed) query subset — the 2x gate's like-for-like pair
@@ -302,6 +340,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""action":"digest","failed":$fs,"suspect":$ss,""" +
         s""""reruns":${results.count(_.reran)},"calib_trace":$tr,""" +
+        s""""ratio_trace":$ratioTrace,""" +
         s""""spark_oracle_subset":${fmt(sparkOracleSubset)},$duck,""" +
         s""""queries":$qs,$wm"sf":"$sfDir",""" +
         s""""calib_1t_pre":${fmt(calPre._1)},"calib_32t_pre":${fmt(calPre._2)},""" +

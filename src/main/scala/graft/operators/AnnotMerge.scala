@@ -23,6 +23,11 @@ object AnnotMerge {
 
   /** @param keyCols A2 key: term_acc, annotated_object_rgd_id, ref_rgd_id,
     *                evidence, qualifier, with_info (MAHDL.java:46-55)
+    * @param emitIdx also emit the 0-based overflow-fragment index as a
+    *                `_frag_idx` column (rows otherwise identical): a row
+    *                with `_frag_idx >= 1` IS an A2 overflow emission, so
+    *                an audit can count overflow map-side with observe()
+    *                instead of re-grouping the merged output by key.
     *
     * The group fold runs as the native
     * [[graft.functions.XrefMergeAgg]] TypedImperativeAggregate —
@@ -30,16 +35,21 @@ object AnnotMerge {
     * the order-sensitive overflow fold happens once per group at eval.
     */
   def merge(df: DataFrame, keyCols: Seq[String], xrefCol: String,
-            notesCol: String, cap: Int): DataFrame = {
+            notesCol: String, cap: Int,
+            emitIdx: Boolean = false): DataFrame = {
     val passCols =
       df.columns.filterNot(c => keyCols.contains(c) || c == xrefCol || c == notesCol)
     val aggs =
       graft.functions.XrefMergeAgg.xref_merge(col(xrefCol), col(notesCol), cap)
         .as("_merged") +: passCols.map(c => max(col(c)).as(c))
 
+    val outCols =
+      if (emitIdx) df.columns.map(col) :+ col("_frag_idx")
+      else df.columns.map(col)
     df.groupBy(keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("_m", explode(col("_merged")))
+      .select(col("*"),
+        posexplode(col("_merged")).as(Seq("_frag_idx", "_m")))
       .withColumn(xrefCol, nullIfEmpty(col("_m.xref")))
       .withColumn(notesCol, nullIfEmpty(col("_m.notes")))
       .drop("_merged", "_m")
@@ -47,7 +57,7 @@ object AnnotMerge {
       // (MAHDL.java:129-134)
       .withColumn(notesCol,
         when(col(notesCol) === col(xrefCol), lit(null)).otherwise(col(notesCol)))
-      .select(df.columns.map(col): _*)
+      .select(outCols: _*)
   }
 
   private def nullIfEmpty(c: org.apache.spark.sql.Column) =

@@ -312,15 +312,33 @@ object Audit {
 
     val enriched = qcAndEnrich(built, dims, cfg).persist()
     scratch += enriched
-    val obsEnriched = new Observation("enriched")
     val obsCons = new Observation("consolidated")
+    // stage = false: the input is the FILLED enriched cache, so the
+    // consolidate branches re-read a materialized cache instead of a
+    // staging exchange that would shuffle every row full-width before
+    // any reduction (the flagship keeps the staged form — its upstream
+    // is the whole uncached join cascade). NOTE: with the staging
+    // exchange gone there is no longer a single reused subtree below
+    // the two consolidate branches, so NO CollectMetrics may sit on the
+    // consolidate input (it would evaluate once per branch and
+    // double-count) — enrichedN now comes from the fill action's own
+    // count() instead of the former obsEnriched.
     val consolidated = graft.operators.Consolidator.consolidate(
-        enriched.observe(obsEnriched, count(lit(1)).as("n"))
-          .drop("_row_id", "_row_id2", "_prio"),
-        consolidationKey, "with_info", Constants.WITH_INFO_CAP)
+        enriched.drop("_row_id", "_row_id2", "_prio"),
+        consolidationKey, "with_info", Constants.WITH_INFO_CAP,
+        stage = false)
       .observe(obsCons, count(lit(1)).as("n"))
+    // emitIdx: a row with _frag_idx >= 1 IS an overflow emission (every
+    // fragment past a group's first), so the A2 truncation counter rides
+    // the spine as a map-side observe — the former mainRow re-grouping
+    // of the merged output by mergeKey (a second full-width hash-agg
+    // shuffle over the whole merge output) is gone (r9).
+    val obsA2 = new Observation("a2")
     val mergedA2 = AnnotMerge.merge(consolidated, mergeKey,
-      "xref_source", "notes", Constants.XREF_SOURCE_CAP)
+      "xref_source", "notes", Constants.XREF_SOURCE_CAP, emitIdx = true)
+      .observe(obsA2,
+        count(when(col("_frag_idx") >= 1, 1)).as("overflow"))
+      .drop("_frag_idx")
 
     val incoming = mergedA2
       .withColumn("full_annot_key", lit(null).cast("long"))
@@ -409,7 +427,7 @@ object Audit {
       } finally triples.unpersist()
     }))
 
-    dbg("enrichedFill")(enriched.count())
+    val enrichedN = dbg("enrichedFill")(enriched.count())
 
     // AQE's empty-relation propagation can prune a CollectMetrics node
     // wholesale when its input collapses to an empty LocalRelation (empty
@@ -427,57 +445,64 @@ object Audit {
     // this engine does not preserve file order, so keeper = min
     // content-hash line id — deterministic on any cluster layout, and
     // identical duplicate lines count once, not per physical line.
-    // one window + one groupBy: a line is kept iff it has an empty-wi
-    // annotation or is the min-_row_id owner of some mergeable group;
-    // reads the warm enriched cache, concurrent with the main pass
-    val keyW = org.apache.spark.sql.expressions.Window
-      .partitionBy(consolidationKey.map(col): _*)
+    // two hash aggregations, no window: a line is kept iff it has an
+    // empty-wi annotation or is the min-rid owner of some mergeable
+    // group. The r8 form computed the keeper with a whole-partition
+    // window over the enriched cache — a full sort on the consolidation
+    // key just to broadcast one min back to rows that are immediately
+    // re-grouped by rid. The keeper set IS groupBy(key).agg(min(rid))
+    // over the non-empty rows (same min over the same rows — the window
+    // partition's empty-wi rows were when()-excluded from the min), so
+    // compute it directly and resolve kept-ness with one rid-keyed
+    // max(_k) aggregation, both with map-side partials (measured: 3.8s
+    // -> ~1.5s at sf0.1, and the freed CPU shortens the concurrent main
+    // pass — the dump is CPU-bound at local[32]).
+    // Reads the warm enriched cache, concurrent with the main pass.
     val nonEmptyWi = length(coalesce(col("with_info"), lit(""))) > 0
     // line identity is the 128-bit (_row_id, _row_id2) pair (see
     // matchGenes); keeper choice orders by the struct, lexicographic
     val rid = struct(col("_row_id"), col("_row_id2"))
-    val linesRemovedF = Future(dbg("linesRemoved")(enriched
-      .withColumn("_keeper_id", min(when(nonEmptyWi, rid)).over(keyW))
-      .withColumn("_keep", !nonEmptyWi || rid === col("_keeper_id"))
-      .groupBy(col("_row_id"), col("_row_id2"))
-      .agg(max(col("_keep")).as("_kept"))
-      .filter(!col("_kept")).count()))
+    val linesRemovedF = Future(dbg("linesRemoved")({
+      val keepers = enriched.filter(nonEmptyWi)
+        .groupBy(consolidationKey.map(col): _*)
+        .agg(min(rid).as("_r"))
+        .select(col("_r"), lit(1).as("_k"))
+      enriched
+        .select(rid.as("_r"),
+          when(nonEmptyWi, lit(0)).otherwise(lit(1)).as("_k"))
+        .unionByName(keepers)
+        .groupBy(col("_r"))
+        .agg(max(col("_k")).as("_k"))
+        .filter(col("_k") === 0).count()
+    }))
 
 
-    // THE MAIN ACTION: A2 overflow + updatedOrigCreatedDate, fused into
-    // the one job that drives the whole merge spine (consolidate ->
-    // xref merge -> classify) off the enriched cache — the _op branch
-    // counts ride it as obsOps, so the dump's previously-separate
-    // groupBy(_op) job, truncated job and updOrig job are all THIS pass
-    // (round-6 verdict item 2).
-    // overflow: every emission past the first per merge-key group.
-    // merged's incoming-side rows (_op != keep) are 1:1 with mergedA2
-    // (unique-key full-outer against a unique existing side) and carry
-    // identical mergeKey values, so the merged frame answers this
-    // without re-running the two merge aggregations.
+    // THE MAIN ACTION: updatedOrigCreatedDate as one GLOBAL aggregation
+    // driving the whole merge spine (consolidate -> xref merge ->
+    // classify) off the enriched cache — the _op branch counts ride it
+    // as obsOps and the A2 overflow as obsA2, so the dump's
+    // previously-separate groupBy(_op) job, truncated job, updOrig job
+    // AND the r8 mainRow re-grouping of the merge output by mergeKey
+    // (the overflow used to be sum(cnt)-count(groups), a second
+    // full-width hash-agg shuffle — but merged's incoming-side rows are
+    // 1:1 with mergedA2, whose own explode already KNOWS each row's
+    // fragment index) are all THIS one pass (round 6 item 2, round 9).
     // updOrig: update rows whose original_created_date changed — the old
     // value comes from a left join back to existing on full_annot_key
     // (inserts' fresh surrogate keys are strictly > max existing key, so
     // they never spuriously match; left≡inner for update rows, whose key
-    // IS an existing key by construction).
-    // coalesce: on an empty incoming side the aggregation input has zero
-    // rows, sum() is null, and a bare getLong would NPE where 0 is meant
-    val mainRow = dbg("main")(
+    // IS an existing key by construction). count() over zero rows is 0,
+    // and a global agg always emits its one row — no empty-input NPE.
+    val updOrigN = dbg("main")(
       merged.filter(col("_op") =!= "keep")
         .join(existing.select(col("full_annot_key"),
           col("original_created_date").as("_old_ocd")),
           Seq("full_annot_key"), "left")
-        .groupBy(mergeKey.map(col): _*)
-        .agg(count(lit(1)).as("_cnt"),
-          count(when(col("_op") === "update" &&
+        .agg(count(when(col("_op") === "update" &&
             !(col("original_created_date") <=> col("_old_ocd")), 1))
-            .as("_uo"))
-        .agg(coalesce(sum(col("_cnt")) - count(lit(1)), lit(0L))
-            .cast("long").as("_trunc"),
-          coalesce(sum(col("_uo")), lit(0L)).cast("long").as("_updOrig"))
-        .head())
-    val truncatedN = mainRow.getLong(0)
-    val updOrigN = mainRow.getLong(1)
+          .cast("long"))
+        .head().getLong(0))
+    val truncatedN = cnt(obsA2.get)("overflow")
 
     dbg("tailStart")(())
     val opsC = cnt(obsOps.get) _
@@ -485,7 +510,6 @@ object Audit {
     val b = cnt(obsBuilt.get) _
     val q = cnt(obsQc.get) _
     val consolidatedN = cnt(obsCons.get)("n")
-    val enrichedN = cnt(obsEnriched.get)("n")
     val mergesN = enrichedN - consolidatedN
     val matchBy = cfg.sources
       .map(s => s"MATCH BY $s" -> m(s"by_$s"))

@@ -41,21 +41,29 @@ object Consolidator {
     *                 evidence, qualifier, xref_source, data_src, notes)
     * @param tokenCol the `[|,]`-delimited column to consolidate
     * @param cap      serialized-length cap (1700 for WITH_INFO)
+    * @param stage    stage the input through one explicit hash exchange
+    *                 (default). Pass false ONLY when `df` is a filled
+    *                 persisted cache: there the branch re-reads are cheap
+    *                 cache scans, the staging exchange would shuffle every
+    *                 row FULL-WIDTH before any reduction, and skipping it
+    *                 lets the mergeable branch's partial aggregation
+    *                 collapse rows map-side before its own exchange (the
+    *                 counter dump's measured shape).
     *
-    * Single-pass: the input is staged through ONE explicit hash exchange
-    * on the key, which both the mergeable branch (whose groupBy then
-    * needs no further shuffle — the partitioning already satisfies the
-    * clustered distribution) and the empties branch consume. Without the
-    * staging exchange each branch re-executes the whole upstream plan
-    * (for the e2e pipeline that upstream is the full broadcast-join
-    * cascade from the scan — a 2x scan at any scale). The cap split is a
-    * single conditional projection, not a second pair of branches, so
-    * the aggregate output is consumed exactly once.
+    * Single-pass (stage = true): the input is staged through ONE explicit
+    * hash exchange on the key, which both the mergeable branch (whose
+    * groupBy then needs no further shuffle — the partitioning already
+    * satisfies the clustered distribution) and the empties branch
+    * consume. Without the staging exchange each branch re-executes the
+    * whole upstream plan (for the e2e pipeline that upstream is the full
+    * broadcast-join cascade from the scan — a 2x scan at any scale). The
+    * cap split is a single conditional projection, not a second pair of
+    * branches, so the aggregate output is consumed exactly once.
     */
   def consolidate(df: DataFrame, keyCols: Seq[String], tokenCol: String,
-                  cap: Int): DataFrame = {
+                  cap: Int, stage: Boolean = true): DataFrame = {
     val passCols = df.columns.filterNot(c => keyCols.contains(c) || c == tokenCol)
-    val staged = df.repartition(keyCols.map(col): _*)
+    val staged = if (stage) df.repartition(keyCols.map(col): _*) else df
     val mergeable = staged.filter(length(coalesce(col(tokenCol), lit(""))) > 0)
     val empties = staged.filter(length(coalesce(col(tokenCol), lit(""))) === 0)
 

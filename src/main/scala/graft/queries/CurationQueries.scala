@@ -124,6 +124,17 @@ object CurationQueries extends QueryPack {
     "sim_semdedup" -> ((s, d) =>
       semdedupOver(Tables.embeddings(s, d), "vec_id", threshold = 0.99)),
 
+    // round 9: the two-level quantizer form — coarse Lloyd-trained
+    // native argmax (bounded driver literal) + per-cell fine argmax
+    // against a broadcast (coarse_id -> centroid array) frame the
+    // driver never holds whole, so total centroids (k1*k2) scale past
+    // the flat recipe's 65536-literal cap; pairs blocked by the
+    // (coarse, fine) CELL. Rows-only (k-means); digest-pinned, scale
+    // shape measured in SemdedupProbeMain.
+    "sim_semdedup_hier" -> ((s, d) =>
+      Similarity.semDedupHier(Tables.embeddings(s, d), "vec_id",
+        threshold = 0.99, coarseK = 16, fineK = 4, iterations = 1)),
+
     // the per-increment production shape: the crawl batch classifies
     // against the history index FIRST (exact/near dups drop before any
     // stage runs), then the standard composition curates the novel

@@ -127,8 +127,159 @@ object GafE2eQueries extends QueryPack {
   // dump that re-runs several stage plans for audit granularity; it is
   // value-asserted on the fixture in OpsSpec rather than registered here,
   // where its extra passes would dominate every Verify/Bench run.
+  /** Round 9 (verdict item 6): the FULL multi-species orchestration
+    * (PipelineRunner.runAll — GoNonratAnnotationPipeline.java:109-125,
+    * 285-325) as a driver-visible digest row. The harness dims are
+    * AUGMENTED with mouse (+3M ids, MGI xdb accs) and chinchilla (+2M
+    * ids) species, each with rat orthologs; the run is human (the
+    * flagship GAF) -> mouse (an MGI lineitem slice) -> chinchilla LAST
+    * (S5 manual annotations re-projected through S6 toGafLines,
+    * refRgdId = 0 so only the rat ISO derivation survives), then the U5
+    * rat-ISO stale delete fires against the TIME-ZERO snapshot: seeded
+    * stale ISO rows (old, pipeline-written, never re-derived) must
+    * vanish, and the threshold brake must NOT trip because the run
+    * derives many fresh ISO rows. Output = the final table's semantic
+    * columns (surrogate keys are the deterministic hash-bucket scheme,
+    * so they digest stably).
+    */
+  def runnerMultiSpecies(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val d0 = dims(s, d)
+    val part = Tables.part(s, d)
+    val runTs = Timestamp.valueOf("2026-01-02 00:00:00")
+    val cutoff = Timestamp.valueOf("2026-01-01 23:50:00")
+    val oldTs = Timestamp.valueOf("2025-06-01 00:00:00")
+
+    def genesFrom(mod: Int, offset: Int, species: Int, tag: String) =
+      part.filter($"p_partkey" % mod === 0).select(
+        ($"p_partkey" + offset).cast("int").as("rgd_id"),
+        concat(lit(tag), $"p_partkey").as("gene_symbol"),
+        $"p_name".as("full_name"),
+        lit("protein-coding").as("gene_type_lc"),
+        lit(species).as("species_type_key"))
+    val chinGenes = genesFrom(20, 2000000, Constants.CHINCHILLA, "Chin")
+    val mouseGenes = genesFrom(5, 3000000, Constants.MOUSE, "Mm")
+    val extraGenes = chinGenes.unionByName(mouseGenes)
+    val dimsAug = d0.copy(
+      rgdIds = d0.rgdIds.unionByName(extraGenes.select($"rgd_id",
+        lit(Constants.GENES_OBJECT_KEY).as("object_key"),
+        lit("ACTIVE").as("object_status"), $"species_type_key")),
+      genes = d0.genes.unionByName(extraGenes),
+      xdb = d0.xdb.unionByName(part.filter($"p_partkey" % 5 === 0).select(
+        ($"p_partkey" + 3000000).cast("int").as("rgd_id"),
+        lit(Constants.XDB_MGD).as("xdb_key"),
+        concat(lit("MGI:"), $"p_partkey").as("acc_id"))),
+      orthologs = d0.orthologs.unionByName(extraGenes.select(
+        $"rgd_id".as("src_rgd_id"),
+        (pmod($"rgd_id", lit(1000000)) + 1000000).cast("int")
+          .as("dest_rgd_id"))))
+
+    val nullS = lit(null).cast("string")
+    // chinchilla manual GO annotations (the S5 input) + STALE rat-ISO
+    // rows this run will not re-derive (with_info points at a retired
+    // provenance no species regenerates)
+    val chinManual = part.filter($"p_partkey" % 20 === 0).select(
+      ($"p_partkey" + 5000000).cast("long").as("full_annot_key"),
+      concat(lit("term "), $"p_partkey" % 497).as("term"),
+      ($"p_partkey" + 2000000).cast("int").as("annotated_object_rgd_id"),
+      lit(Constants.GENES_OBJECT_KEY).as("rgd_object_key"),
+      lit("RGD").as("data_src"),
+      concat(lit("Chin"), $"p_partkey").as("object_symbol"),
+      lit(555).as("ref_rgd_id"),
+      lit("IDA").as("evidence"),
+      nullS.as("with_info"),
+      lit("F").as("aspect"),
+      $"p_name".as("object_name"),
+      nullS.as("notes"),
+      nullS.as("qualifier"),
+      lit(oldTs).as("created_date"),
+      lit(oldTs).as("last_modified_date"),
+      concat(lit("GO:"), $"p_partkey" % 497).as("term_acc"),
+      lit(100).as("created_by"),
+      lit(100).as("last_modified_by"),
+      nullS.as("xref_source"),
+      nullS.as("annotation_extension"),
+      nullS.as("gene_product_form_id"),
+      lit(oldTs).as("original_created_date"))
+    val staleIso = part.filter($"p_partkey" % 40 === 1).select(
+      ($"p_partkey" + 6000000).cast("long").as("full_annot_key"),
+      concat(lit("term "), $"p_partkey" % 497).as("term"),
+      ($"p_partkey" + 1000000).cast("int").as("annotated_object_rgd_id"),
+      lit(Constants.GENES_OBJECT_KEY).as("rgd_object_key"),
+      lit("RGD").as("data_src"),
+      concat(lit("sym"), $"p_partkey", lit("_rat")).as("object_symbol"),
+      lit(Constants.REF_ISO).as("ref_rgd_id"),
+      lit("ISO").as("evidence"),
+      lit("RGD:9999").as("with_info"),
+      lit("F").as("aspect"),
+      $"p_name".as("object_name"),
+      nullS.as("notes"),
+      nullS.as("qualifier"),
+      lit(oldTs).as("created_date"),
+      lit(oldTs).as("last_modified_date"),
+      concat(lit("GO:"), $"p_partkey" % 497).as("term_acc"),
+      lit(Constants.CREATED_BY).as("created_by"),
+      lit(Constants.CREATED_BY).as("last_modified_by"),
+      nullS.as("xref_source"),
+      nullS.as("annotation_extension"),
+      nullS.as("gene_product_form_id"),
+      lit(oldTs).as("original_created_date"))
+    val existing = chinManual.unionByName(staleIso)
+
+    val human = PipelineRunner.SpeciesRun("human", gaf(s, d),
+      cfg.copy(runTs = runTs))
+    val mouseGaf = Tables.spread(Tables.lineitem(s, d))
+      .filter($"l_partkey" % 5 === 0 && $"l_linenumber" % 2 === 0)
+      .select(
+        lit("MGI").as("db"),
+        concat(lit("MGI:"), $"l_partkey").as("db_object_id"),
+        concat(lit("msym"), $"l_partkey").as("db_object_symbol"),
+        lit("").as("qualifier"),
+        concat(lit("GO:"), $"l_orderkey" % 497).as("go_id"),
+        concat(lit("PMID:"), $"l_orderkey" % 1000).as("db_reference"),
+        element_at(typedLit(Seq("IDA", "IEA", "IMP", "ISS")),
+          ($"l_linenumber" % 4 + 1).cast("int")).as("evidence"),
+        lit("").as("with_info"),
+        element_at(typedLit(Seq("F", "P", "C")),
+          ($"l_suppkey" % 3 + 1).cast("int")).as("aspect"),
+        lit("a name").as("db_object_name"),
+        lit("").as("db_object_synonym"),
+        lit("gene").as("db_object_type"),
+        lit("taxon:10090").as("taxon"),
+        date_format($"l_shipdate", "yyyyMMdd").as("gaf_date"),
+        lit("MGI").as("assigned_by"),
+        lit("").as("annotation_extension"),
+        lit("").as("gene_product_form_id"))
+    val mouse = PipelineRunner.SpeciesRun("mouse", mouseGaf,
+      PipelineConfig(speciesTypeKey = Constants.MOUSE, refRgdId = 77000002,
+        isoRefRgdId = Constants.REF_ISO, sources = Seq("MGI"),
+        runTs = runTs))
+    val chin = PipelineRunner.chinchillaRun(existing, dimsAug,
+      Constants.REF_ISO, runTs)
+
+    val rep = PipelineRunner.runAll(existing, dimsAug,
+      Seq(human, mouse, chin), Constants.REF_ISO, cutoff)
+    // runAll leaves the final table cached (the normal operational
+    // shape); a harness query is re-invoked many times, so materialize
+    // the semantic projection and release the run's cache to keep
+    // repeated calls from pinning one table snapshot per invocation
+    val out = rep.finalTable.select(
+        $"full_annot_key", $"annotated_object_rgd_id", $"term_acc",
+        $"ref_rgd_id", $"evidence",
+        coalesce($"qualifier", lit("")).as("qualifier"),
+        coalesce($"with_info", lit("")).as("with_info"),
+        coalesce($"xref_source", lit("")).as("xref_source"),
+        $"data_src", $"created_by", $"aspect")
+      .localCheckpoint()
+    rep.finalTable.unpersist()
+    out
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "gaf_pipeline_e2e" -> ((s, d) => annotateE2e(s, d))
+    "gaf_pipeline_e2e" -> ((s, d) => annotateE2e(s, d)),
+    // full orchestration loop (rows-only; digest-pinned — the 9-stage
+    // multi-species replay has no practical SQL form)
+    "gaf_runner_multispecies" -> ((s, d) => runnerMultiSpecies(s, d))
   )
 
   override def oracleSql: Map[String, String] = Map.empty

@@ -458,6 +458,131 @@ object Similarity {
     semDedup(emb, idCol, "embedding", centroids, threshold)
   }
 
+  /** Two-level (coarse -> fine) SemDeDup — the recipe that outgrows the
+    * flat quantizer's ceiling. [[semDedupTrained]] seeds k ~ sqrt(n)
+    * centroids into a driver-LITERAL quantizer, which hits the loud
+    * [[maxCentroids]] cap (65536) near n ~ 4B docs: past it the flat
+    * recipe simply cannot partition finely enough, and cluster sizes —
+    * and the quadratic within-cluster pair cost — grow without bound.
+    *
+    * Here the quantizer is hierarchical:
+    *  - COARSE: `coarseK` Lloyd-trained centroids (hash-ranked seeds,
+    *    50% sample, the standard recipe), assigned by the native
+    *    literal argmax ([[assignToCentroids]]) — bounded driver data,
+    *    one map-side pass.
+    *  - FINE: `fineK` seeds PER coarse cell (hash-ranked members),
+    *    refined by DISTRIBUTED Lloyd: assignment joins each row to its
+    *    cell's centroid array (broadcast of the (coarse_id -> cells)
+    *    frame) and argmaxes with the native
+    *    [[graft.functions.NearestInCellExpr]]; means are the same
+    *    exact-decimal aggregations as [[trainIvfCentroids]], but
+    *    grouped by (coarse_id, fine_id) — the fine centroid set NEVER
+    *    materializes on the driver, so total centroids = coarseK*fineK
+    *    scale past the literal cap (the driver holds only coarseK).
+    *    Each iteration localCheckpoints the (small) centroid frame —
+    *    the lazy chain otherwise re-executes all previous iterations
+    *    per consumer (the r8 quadratic-Lloyd lesson); values are
+    *    exact-decimal deterministic either way, so digests are stable.
+    *  - PAIRS: blocked by the (coarse, fine) CELL id, so pair cost is
+    *    quadratic only in the largest cell; with cells ~ n/(k1*k2) the
+    *    knob again bounds cluster size, now without a k ceiling.
+    *
+    * At broadcast-hostile totals (coarseK*fineK*dim past executor
+    * memory) drop the broadcast hint and the assignment degrades to a
+    * co-partitioned shuffle join on coarse_id — the plan shape is
+    * otherwise unchanged.
+    *
+    * Same output contract as [[semDedup]]; cent_id = coarse*fineK+fine.
+    * Scoring parity of the two argmax levels is pinned in
+    * NativeExprSpec; scale behavior measured in SemdedupProbeMain.
+    */
+  def semDedupHier(emb: DataFrame, idCol: String, threshold: Double,
+                   coarseK: Int = 256, fineK: Int = 16,
+                   iterations: Int = 1): DataFrame = {
+    require(emb.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType],
+      s"semDedupHier requires a numeric id column; '$idCol' is " +
+        s"${emb.schema(idCol).dataType.simpleString} — hash it to a long " +
+        "(e.g. xxhash64) before calling")
+    require(coarseK >= 1 && coarseK <= maxCentroids,
+      s"coarseK=$coarseK outside [1, $maxCentroids]")
+    require(fineK >= 1, s"fineK=$fineK must be >= 1")
+    require(iterations >= 0, s"negative iterations: $iterations")
+    if (emb.limit(1).isEmpty)
+      return emb.select(col(idCol), lit(0L).as("cent_id"),
+        col(idCol).as("group"), lit(true).as("keep"))
+
+    // coarse quantizer: hash-ranked seeds renumbered 0..coarseK-1 (the
+    // cell id must compose into one block long), standard Lloyd recipe
+    val hashOrd = Seq(xxhash64(col(idCol)), col(idCol))
+    val seedW = Window.orderBy(hashOrd: _*)
+    val coarseSeeds = emb.orderBy(hashOrd: _*).limit(coarseK)
+      .withColumn("cent_id", row_number().over(seedW).cast("long") - 1)
+      .select(col("cent_id"), col("embedding").as("cent_vec"))
+    val sample = graft.operators.Sampling.hashSample(
+      emb.select(col(idCol).as("c_id"), col("embedding").as("c_vec")),
+      col("c_id"), "8", "ivf")
+    val coarse = trainIvfCentroids(sample, coarseSeeds, iterations = 2)
+    val withCoarse = assignToCentroids(
+        emb.select(col(idCol).as("v_id"), col("embedding").as("v_vec")),
+        coarse)
+      .withColumnRenamed("cent_id", "coarse_id")
+
+    // fine seeds: fineK hash-ranked members per coarse cell; vectors
+    // cast to double ONCE so the cells column's type is stable across
+    // Lloyd iterations (means are double thereafter)
+    val cellW = Window.partitionBy(col("coarse_id"))
+      .orderBy(xxhash64(col("v_id")), col("v_id"))
+    var fine = withCoarse
+      .withColumn("_rn", row_number().over(cellW))
+      .filter(col("_rn") <= fineK)
+      .select(col("coarse_id"), (col("_rn") - 1).cast("long").as("fine_id"),
+        transform(col("v_vec"), x => x.cast("double")).as("cent_vec"))
+
+    // fine_id is unique per cell, so the struct sort is total without
+    // ever comparing vectors — collect_list order cannot leak through
+    def cells(f: DataFrame): DataFrame = f.groupBy(col("coarse_id"))
+      .agg(array_sort(collect_list(struct(col("fine_id"), col("cent_vec"))))
+        .as("_cells"))
+    def assignFine(f: DataFrame): DataFrame = withCoarse
+      .join(broadcast(cells(f)), Seq("coarse_id"))
+      .withColumn("fine_id", graft.functions.NearestInCellExpr
+        .nearest_in_cell(col("v_vec"), col("_cells")))
+      .drop("_cells")
+
+    (1 to iterations).foreach { _ =>
+      val means = assignFine(fine)
+        .select(col("coarse_id"), col("fine_id"),
+          posexplode(col("v_vec")).as(Seq("pos", "x")))
+        .groupBy(col("coarse_id"), col("fine_id"), col("pos"))
+        .agg(avg(col("x").cast("decimal(27,10)")).as("m"))
+        .groupBy(col("coarse_id"), col("fine_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("coarse_id"), col("fine_id"),
+          transform(col("pm"), p => p.getField("m").cast("double"))
+            .as("new_vec"))
+      // a fine cluster that captures no member keeps its position,
+      // like trainIvfCentroids
+      fine = fine.join(means, Seq("coarse_id", "fine_id"), "left")
+        .select(col("coarse_id"), col("fine_id"),
+          coalesce(col("new_vec"), col("cent_vec")).as("cent_vec"))
+        .localCheckpoint()
+    }
+
+    val assigned = assignFine(fine)
+      .withColumn("cent_id",
+        col("coarse_id") * lit(fineK.toLong) + col("fine_id"))
+      .drop("coarse_id", "fine_id")
+    val pairs = cosineNearDupPairs(
+      assigned.withColumnRenamed("v_id", "id"), "id", "v_vec",
+      threshold, block = Some("cent_id"))
+    val comps = graft.plans.ConnectedComponents.components(pairs)
+    assigned.join(comps, assigned("v_id") === comps("id"), "left")
+      .select(col("v_id").as(idCol), col("cent_id"),
+        coalesce(col("component"), col("v_id")).as("group"))
+      .withColumn("keep", col("group") === col(idCol))
+  }
+
   def semDedup(vectors: DataFrame, id: String, vec: String,
                centroids: DataFrame, threshold: Double): DataFrame = {
     val assigned = assignToCentroids(

@@ -26,12 +26,20 @@ object CounterProfMain {
     // measures the dump itself, as in a long-running ops context
     e2e.dims(spark, d)
 
-    val t0 = System.nanoTime()
-    val counters = graft.operators.Audit.pipelineCounters(
-      e2e.gaf(spark, d), e2e.dims(spark, d), e2e.cfg, existing).collect()
-    val sec = (System.nanoTime() - t0) / 1e9
-    counters.foreach(r => println(f"COUNTER ${r.getString(0)}%-55s ${r.getLong(1)}%d"))
-    println(f"COUNTERPROF wall=$sec%.2f s")
+    // two runs: the first is the cold shape, the second the warm one the
+    // bench's timed pass actually measures (memoized fixpoint/closure,
+    // warm scans) — optimize against run 2
+    val reps = sys.env.getOrElse("GRAFT_COUNTERPROF_REPS", "2").toInt
+    for (rep <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val counters = graft.operators.Audit.pipelineCounters(
+        e2e.gaf(spark, d), e2e.dims(spark, d), e2e.cfg, existing).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (rep == reps)
+        counters.foreach(r =>
+          println(f"COUNTER ${r.getString(0)}%-55s ${r.getLong(1)}%d"))
+      println(f"COUNTERPROF run$rep wall=$sec%.2f s")
+    }
     spark.stop()
   }
 }

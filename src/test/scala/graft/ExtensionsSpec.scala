@@ -121,6 +121,45 @@ class ExtensionsSpec extends SparkSpec {
       .contains("Exchange"))
   }
 
+  test("semDedupHier: one output row per input, keep iff own group, and " +
+      "a 1x1 quantizer degrades to the flat single-cluster semantics") {
+    val emb = Tables.embeddings(spark, sf)
+    val hier = Similarity.semDedupHier(emb, "vec_id", threshold = 0.99,
+      coarseK = 16, fineK = 4, iterations = 1)
+    val rows = hier.collect()
+    assert(rows.length === emb.count())
+    rows.foreach { r =>
+      assert(r.getBoolean(3) === (r.getLong(2) === r.getLong(0)),
+        s"keep must be group==id: $r")
+    }
+    // every group member shares the member-min id as its group
+    val byGroup = rows.groupBy(_.getLong(2))
+    byGroup.foreach { case (g, ms) =>
+      assert(ms.map(_.getLong(0)).min === g, s"group $g keeper not min")
+    }
+    // with one coarse cell and one fine centroid, every row lands in
+    // cell 0 and the pair join is the full within-corpus comparison —
+    // exactly the flat semDedup with a single centroid; group sets
+    // must agree (same pairs -> same components -> same min-id keepers)
+    val one = Similarity.semDedupHier(emb, "vec_id", threshold = 0.99,
+      coarseK = 1, fineK = 1, iterations = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val seed = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").cast("long").as("cent_id"),
+        col("embedding").as("cent_vec"))
+    val flat = Similarity.semDedup(emb, "vec_id", "embedding",
+        seed, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(one === flat)
+    // string ids fail at the boundary, same as semDedupTrained
+    import spark.implicits._
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.semDedupHier(
+        Seq(("a", Seq(1.0f))).toDF("vec_id", "embedding"), "vec_id", 0.9)
+    }
+    assert(bad.getMessage.contains("numeric id"), bad.getMessage)
+  }
+
   test("bloom fold grows the index across increments without mutating " +
       "the original, and the saturation guard fires loudly") {
     val docs = Tables.documents(spark, sf)

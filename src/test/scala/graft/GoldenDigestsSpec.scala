@@ -89,6 +89,18 @@ class GoldenDigestsSpec extends SparkSpec {
   // CurationSpec) holds as equality here; verified back-to-back
   // identical
   check("corpus_curate_increment_bloom", 12L, "792833489907115093")
+  // r9: the FULL multi-species orchestration (runAll: human -> mouse ->
+  // chinchilla-last, U5 time-zero-snapshot stale delete) over augmented
+  // harness dims; surrogate keys are the deterministic hash-bucket
+  // scheme, so the final table digests stably; verified back-to-back
+  // identical; non-vacuity of every orchestration contract in RunnerSpec
+  check("gaf_runner_multispecies", 93611L, "-458206621923499524373")
+  // r9: two-level SemDeDup — coarse Lloyd argmax (driver literal) +
+  // per-cell fine argmax via broadcast cells + NearestInCellExpr;
+  // distributed fine Lloyd uses the same exact-decimal means, so the
+  // digest is partitioning-independent; verified back-to-back
+  // identical; flat-degenerate equality + invariants in ExtensionsSpec
+  check("sim_semdedup_hier", 500L, "-70211603250037514473")
   // r9: Bloom index EVOLUTION — build on history, classify inc1, FOLD
   // inc1's kept docs into the same filters, classify inc2 (which
   // re-crawls inc1-kept pages under fresh ids — those must read

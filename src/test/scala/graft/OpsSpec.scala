@@ -162,6 +162,51 @@ class OpsSpec extends SparkSpec {
       "MATCH BY MGI" -> 5L))                         // 5 matched (line,gene) pairs
   }
 
+  test("linesRemoved agg form equals the r8 window form on crafted cases") {
+    // r9 replaced the whole-partition-window keeper computation with
+    // two hash aggregations; the sf0.01 pins all read 0 for this
+    // counter, so this crafted frame is the discriminating parity test:
+    // lines genuinely removed, keepers that lose elsewhere, empty-wi
+    // rescues, empty-only groups, and a null key value.
+    val df = Seq(
+      // g1: lines 1,2 both non-empty -> 2 loses; line 2 has no other row
+      //     => REMOVED
+      ("g1", "w", 1L, 10L), ("g1", "w", 2L, 20L),
+      // g2: line 3 loses to line 1... but line 3 also KEEPS via g3
+      ("g2", "w", 1L, 10L), ("g2", "w", 3L, 30L),
+      ("g3", "w", 3L, 30L),
+      // line 4 loses in g1-like group g4 but has an empty-wi row => kept
+      ("g4", "w", 1L, 10L), ("g4", "w", 4L, 40L),
+      ("g5", "", 4L, 40L),
+      // empty-only group: line 5 kept
+      ("g6", null, 5L, 50L),
+      // null key value: lines 6,7 group together -> 7 REMOVED
+      (null, "w", 6L, 60L), (null, "w", 7L, 70L)
+    ).toDF("k", "with_info", "_row_id", "_row_id2")
+    val nonEmptyWi = length(coalesce(col("with_info"), lit(""))) > 0
+    val rid = struct(col("_row_id"), col("_row_id2"))
+    // the r8 window form, verbatim
+    val keyW = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+    val oldN = df
+      .withColumn("_keeper_id", min(when(nonEmptyWi, rid)).over(keyW))
+      .withColumn("_keep", !nonEmptyWi || rid === col("_keeper_id"))
+      .groupBy(col("_row_id"), col("_row_id2"))
+      .agg(max(col("_keep")).as("_kept"))
+      .filter(!col("_kept")).count()
+    // the r9 agg form, verbatim
+    val keepers = df.filter(nonEmptyWi)
+      .groupBy(col("k")).agg(min(rid).as("_r"))
+      .select(col("_r"), lit(1).as("_k"))
+    val newN = df
+      .select(rid.as("_r"),
+        when(nonEmptyWi, lit(0)).otherwise(lit(1)).as("_k"))
+      .unionByName(keepers)
+      .groupBy(col("_r")).agg(max(col("_k")).as("_k"))
+      .filter(col("_k") === 0).count()
+    assert(oldN === 2L)   // lines 2 and 7
+    assert(newN === oldN)
+  }
+
   test("A7 counter dump golden digest at sf0.01 (driver-visible parity pin)") {
     // The dump is registered as `a7_counter_dump` (rows-only for the
     // driver); this committed digest pins every counter VALUE. The line

@@ -52,6 +52,35 @@ class RunnerSpec extends SparkSpec {
     assert(r.getAs[String]("gaf_date") === "20250101")
   }
 
+  test("harness multi-species runner query exercises every contract " +
+      "non-vacuously at sf0.001") {
+    // the digest-pinned gaf_runner_multispecies row must not be a
+    // trivially-green surface: each orchestration behavior it exists to
+    // pin has to actually fire on the harness data
+    val out = graft.queries.GafE2eQueries
+      .runnerMultiSpecies(spark, "/root/testdata/sf0.001").cache()
+    try {
+      assert(out.count() > 0)
+      // U5 fired: the seeded stale rat-ISO rows (with_info RGD:9999,
+      // old, pipeline-written) are gone
+      assert(out.filter(col("with_info") === "RGD:9999").count() === 0)
+      // human run inserted direct annotations
+      assert(out.filter(col("annotated_object_rgd_id") < 1000000 &&
+        col("evidence") =!= "ISO").count() > 0)
+      // mouse run matched MGI lines onto +3M genes
+      assert(out.filter(col("annotated_object_rgd_id") >= 3000000).count() > 0)
+      // mouse-derived rat ISO rows carry their +3M source provenance
+      assert(out.filter(col("evidence") === "ISO" &&
+        col("with_info").startsWith("RGD:3")).count() > 0)
+      // chinchilla-derived rat ISO rows carry +2M provenance, and the
+      // manual chinchilla annotations themselves survive untouched
+      assert(out.filter(col("evidence") === "ISO" &&
+        col("with_info").startsWith("RGD:2")).count() > 0)
+      assert(out.filter(col("annotated_object_rgd_id") >= 2000000 &&
+        col("annotated_object_rgd_id") < 3000000).count() > 0)
+    } finally out.unpersist()
+  }
+
   test("full run: chinchilla-last ISO derivation + U5 stale delete of old ISO") {
     val dims = Fixtures.dims(spark)
     val runTs = ts("2026-01-02 00:00:00")

@@ -82,7 +82,20 @@ object Curate {
       // when set, SemDeDup (round 8) runs on the LSH survivors' hashed
       // embeddings with this cosine threshold — semantic template
       // collapse beyond what lexical LSH catches
-      semDedupThreshold: Option[Double] = None)
+      semDedupThreshold: Option[Double] = None,
+      // when set, the C4-style line-level filter (round 9) rewrites
+      // each doc to only its >= minLineWords-word lines BEFORE any
+      // doc-level gate, so QC ratios / dedup signatures / token counts
+      // all see the cleaned text — the standard pipeline order
+      // (line-level first). Map-only; docs collapsing to "" fall to
+      // the minTokens gate like any short doc.
+      minLineWords: Option[Int] = None,
+      // when set, the output manifest carries each kept doc's top-k
+      // salient terms (rational tf/(df+1) ranking, keywords-on-card) as
+      // a `salient_terms` array — computed over the FINAL kept text,
+      // adding one (id, term) agg shuffle + a vocabulary-sized df dim
+      // join only when enabled
+      salientTermsK: Option[Int] = None)
 
   /** Run the full curation over `docs` against a benchmark (eval-set)
     * table. Returns one row per surviving document: the input columns
@@ -106,8 +119,13 @@ object Curate {
       graft.Tuning.estimatedBytes(docs))
     val text = col(textCol)
 
+    // optional line-level rewrite (round 9): C4-style, BEFORE any
+    // doc-level gate — map-only, classic config (None) untouched
+    val lined = cfg.minLineWords.fold(docs)(mw =>
+      docs.withColumn(textCol, TextAnalysis.filterLines(text, mw)))
+
     // map-only gates: length/punct/stopword quality + Gopher repetition
-    val ruleQc = docs.filter(qcPredicate(text, cfg))
+    val ruleQc = lined.filter(qcPredicate(text, cfg))
 
     // optional statistical gates (round 7), standard pipeline order
     // (RefinedWeb/Dolma): rule QC first, model-based quality second,
@@ -231,9 +249,24 @@ object Curate {
     val withSplit = clean
       .withColumn("split", Sampling.assignSplit(col(idCol), cfg.splits))
       .withColumn("n_tokens", TextAnalysis.tokenCount(text))
-    Packing.packChunks(withSplit, idCol, "n_tokens",
+    val packed = Packing.packChunks(withSplit, idCol, "n_tokens",
         cfg.packBudget, cfg.packBuckets, extraKeys = Seq("split"))
       .drop(textCol)
+    // optional keywords-on-card (round 9): per-doc top-k salient terms
+    // over the FINAL kept text, joined onto the manifest as one sorted
+    // array per doc (rank order encoded by the (rank, term) struct sort
+    // so the array is deterministic under any partitioning)
+    cfg.salientTermsK.fold(packed) { k =>
+      val terms = TextAnalysis.tfIdfTopK(
+          clean.select(col(idCol), col(textCol)), idCol, textCol, k)
+        .groupBy(col(idCol))
+        .agg(array_sort(collect_list(struct(col("rank"), col("term"))))
+          .as("_st"))
+        .select(col(idCol),
+          transform(col("_st"), s => s.getField("term"))
+            .as("salient_terms"))
+      packed.join(terms, Seq(idCol), "left")
+    }
   }
 
   /** The per-increment form of [[curate]] — the shape a production

@@ -218,6 +218,32 @@ object CorpusQueries extends QueryPack {
           $"pack_bucket", $"pack_seq")
     }),
 
+    // round 9: the classic composition with the two new bracketed
+    // stages on — C4-style line-level filter (min 4 words per kept
+    // line, applied before every doc-level gate) and keywords-on-card
+    // (top-3 salient terms per kept doc on the output manifest). The
+    // corpus ships no line structure, so lines are fabricated exactly
+    // like text_line_filter's (break before every 'table' occurrence)
+    // to keep the stage non-vacuous. The salient array flattens to one
+    // row per (doc, rank) so the compared surface stays scalar (driver
+    // comparator can't sort arrays). Rows-only; digest-pinned;
+    // classic-config digests unchanged.
+    "corpus_curate_lines_terms" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).withColumn("text",
+        regexp_replace(coalesce($"text", lit("")), " table ", "\ntable "))
+      graft.operators.Curate.curate(
+          docs.filter(pmod($"doc_id", lit(benchMod)) =!= 0),
+          docs.filter(pmod($"doc_id", lit(benchMod)) === 0),
+          "doc_id", "text",
+          graft.operators.Curate.CurateConfig(
+            contaminationN = 3, maxContaminationFrac = 0.06,
+            minLineWords = Some(4), salientTermsK = Some(3)))
+        .select($"doc_id", $"lang", $"split", $"n_tokens",
+          $"pack_bucket", $"pack_seq",
+          posexplode_outer($"salient_terms").as(Seq("term_rank", "term")))
+    }),
+
     // temperature-scaled language mixture weights (alpha = 0.3): the
     // sampling-rate table a multilingual pre-training run feeds its
     // data loader

@@ -315,6 +315,35 @@ class CurationSpec extends SparkSpec {
     assert(bloom.subsetOf(exact))
   }
 
+  test("lines+terms curate: line rewrite feeds every gate, salient " +
+      "terms ride the manifest non-vacuously") {
+    val sf = "/root/testdata/sf0.01"
+    val variant = SparkEntry.queries("corpus_curate_lines_terms")(spark, sf)
+      .collect()
+    assert(variant.nonEmpty)
+    // every kept doc carries exactly k=3 salient terms (the flattened
+    // (rank, term) rows), ranks 0..2, terms non-null
+    val byDoc = variant.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.length === 3, s"doc $id: ${rows.length} term rows")
+      assert(rows.map(_.getAs[Int]("term_rank")).sorted.toSeq === Seq(0, 1, 2))
+      rows.foreach(r => assert(r.getAs[String]("term") != null))
+    }
+    // the line filter only ever REMOVES tokens: shared survivors pack
+    // at most their classic token count, and the rewrite is genuinely
+    // non-vacuous (some shared doc shrank)
+    val classic = SparkEntry.queries("corpus_curate_e2e")(spark, sf)
+      .select($"doc_id", $"n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("n_tokens")).toMap
+    val vTok = variant.map(r =>
+      r.getLong(0) -> r.getAs[Int]("n_tokens")).toMap
+    val shared = vTok.keySet.intersect(classic.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach { id => assert(vTok(id) <= classic(id)) }
+    assert(shared.exists(id => vTok(id) < classic(id)),
+      "line filter removed no tokens anywhere — vacuous fixture")
+  }
+
   test("semantic curate keeps a strict subset of the classic doc set") {
     val sf = "/root/testdata/sf0.01"
     val sem = SparkEntry.queries("corpus_curate_semantic")(spark, sf)

@@ -89,6 +89,12 @@ class GoldenDigestsSpec extends SparkSpec {
   // CurationSpec) holds as equality here; verified back-to-back
   // identical
   check("corpus_curate_increment_bloom", 12L, "792833489907115093")
+  // r9: classic curate + line-level filter (fabricated lines, same
+  // scheme as text_line_filter) + per-doc salient terms flattened to
+  // scalar (doc, rank, term) rows; digest verified back-to-back
+  // identical; shrink/terms non-vacuity + classic-subset invariants in
+  // CurationSpec
+  check("corpus_curate_lines_terms", 141L, "92528141479739361253")
   // r9: the FULL multi-species orchestration (runAll: human -> mouse ->
   // chinchilla-last, U5 time-zero-snapshot stale delete) over augmented
   // harness dims; surrogate keys are the deterministic hash-bucket

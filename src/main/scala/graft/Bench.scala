@@ -270,7 +270,6 @@ object Bench {
       }
     }
     val passResults = pass
-    val throttled = suspect(calPre) || suspect(calPost)
 
     // a7/flagship ratio rows (round 9): the ops-dump perf gate is a
     // RATIO of two rows measured minutes apart in the pass, and its
@@ -296,9 +295,20 @@ object Bench {
         if (ok) ratioExtra(n) = ratioExtra(n) :+ dt
       }
     }
+    // the re-rolls run AFTER the calPost bracket — re-probe so host
+    // contention that covers only the roll window still flags the run
+    val calRoll = if (ratioExtra.nonEmpty) calibrate() else calPost
+    val throttled =
+      suspect(calPre) || suspect(calPost) || suspect(calRoll)
+    // medianize only when BOTH rows collected both extra samples — a
+    // failed roll would otherwise leave one row median-of-3 and the
+    // other single-sample, mixing weather back into the ratio; the raw
+    // asymmetric samples still land in ratio_trace for the reader
+    val symmetric = ratioExtra.nonEmpty &&
+      ratioRows.forall(n => ratioExtra(n).size == 2)
     val results = passResults.map { r =>
       val samples = r.sec +: ratioExtra(r.name)
-      if (r.sec > 0 && samples.size == 3)
+      if (symmetric && r.sec > 0 && samples.size == 3)
         r.copy(sec = samples.sorted.apply(1))
       else r
     }

@@ -1,0 +1,34 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+/** The scoring/ordering kernel shared by [[NearestCentroidExpr]] (literal
+  * quantizer) and [[NearestInCellExpr]] (row-carried quantizer). The
+  * two-level SemDeDup hierarchy's correctness rests on the two argmaxes
+  * agreeing BIT-FOR-BIT (NativeExprSpec pins it), so the pieces that
+  * define the ordering live here exactly once — a fix applied to one
+  * expression cannot silently miss the other (this round's NaN guard
+  * had to land twice before this object existed).
+  */
+private[functions] object CosineArgmax {
+
+  /** `round(x, 6)` replicating Spark's `Round`: HALF_UP via
+    * `BigDecimal.valueOf`, with non-finite doubles passed through
+    * unchanged (`BigDecimal.valueOf` would throw on them — a single
+    * Inf/NaN element must not crash the job).
+    */
+  def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else JBigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
+
+  /** Whether `(score, id)` beats the current best under the descending
+    * struct-sort order both expressions mirror: `Double.compare` is
+    * Spark's double sort order (NaN greatest), ties on the rounded
+    * score resolve to the SMALLEST id (the `-cent_id` second sort key).
+    */
+  def wins(score: Double, id: Long,
+           any: Boolean, bestScore: Double, bestId: Long): Boolean = {
+    val cmp = java.lang.Double.compare(score, bestScore)
+    !any || cmp > 0 || (cmp == 0 && id < bestId)
+  }
+}

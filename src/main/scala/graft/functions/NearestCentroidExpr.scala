@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -63,12 +61,6 @@ case class NearestCentroidExpr(child: Expression,
     math.sqrt(acc)
   }
 
-  // Spark's Round returns non-finite doubles unchanged (BigDecimal.valueOf
-  // would throw on them); replicate so an Inf element can't crash the job.
-  private def round6(d: Double): Double =
-    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
-    else JBigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
-
   def compute(input: ArrayData): Long = {
     val isFloat =
       child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -97,11 +89,8 @@ case class NearestCentroidExpr(child: Expression,
       var k = 0
       while (k < n) { d += v(k) * c(k); k += 1 }
       val nn = vNorm * centNorms(j)
-      val score = round6(if (nn > 0) d / nn else 0.0)
-      // Double.compare = Spark's double sort order (NaN greatest), so a
-      // NaN score wins exactly like the descending struct sort it mirrors.
-      val cmp = java.lang.Double.compare(score, bestScore)
-      if (!any || cmp > 0 || (cmp == 0 && ids(j) < bestId)) {
+      val score = CosineArgmax.round6(if (nn > 0) d / nn else 0.0)
+      if (CosineArgmax.wins(score, ids(j), any, bestScore, bestId)) {
         any = true
         bestScore = score
         bestId = ids(j)

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
@@ -59,12 +57,6 @@ case class NearestInCellExpr(left: Expression, right: Expression)
       .asInstanceOf[StructType].fields(1).dataType
       .asInstanceOf[ArrayType].elementType == FloatType
 
-  // Spark's Round passes non-finite doubles through (BigDecimal.valueOf
-  // would throw) — same guard as NearestCentroidExpr
-  private def round6(d: Double): Double =
-    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
-    else JBigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
-
   def compute(input: ArrayData, cellsArr: ArrayData): java.lang.Long = {
     val n = input.numElements()
     val v = new Array[Double](n)
@@ -83,10 +75,12 @@ case class NearestInCellExpr(left: Expression, right: Expression)
     var j = 0
     val m = cellsArr.numElements()
     while (j < m) {
-      if (!cellsArr.isNullAt(j)) {
-        val row = cellsArr.getStruct(j, 2)
+      // a null struct OR a struct with a null cent_vec (e.g. cells built
+      // through a left join) is "no centroid here" — skip, don't NPE
+      val row = if (cellsArr.isNullAt(j)) null else cellsArr.getStruct(j, 2)
+      val c = if (row == null || row.isNullAt(1)) null else row.getArray(1)
+      if (c != null) {
         val cid = row.getLong(0)
-        val c = row.getArray(1)
         val cn = c.numElements()
         if (cn != n) throw new IllegalArgumentException(
           s"nearest_in_cell: input vector has $n elements but centroid " +
@@ -101,9 +95,8 @@ case class NearestInCellExpr(left: Expression, right: Expression)
           k += 1
         }
         val nn = vNorm * math.sqrt(cAcc)
-        val score = round6(if (nn > 0) d / nn else 0.0)
-        val cmp = java.lang.Double.compare(score, bestScore)
-        if (!any || cmp > 0 || (cmp == 0 && cid < bestId)) {
+        val score = CosineArgmax.round6(if (nn > 0) d / nn else 0.0)
+        if (CosineArgmax.wins(score, cid, any, bestScore, bestId)) {
           any = true
           bestScore = score
           bestId = cid

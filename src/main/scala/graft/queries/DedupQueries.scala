@@ -79,8 +79,12 @@ object DedupQueries extends QueryPack {
         .unionByName(hist
           .filter(pmod($"doc_id", lit(10)) === 1)
           .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+      // max(fixed, count): 20000 covers sf<=0.1 (filter geometry — and
+      // so the pinned digest — unchanged there) while a larger SF sizes
+      // to its real history instead of tripping build's saturation guard
       val idx = graft.dedup.BloomIndex.build(hist, "text",
-        expectedItems = 20000, fpp = 0.001, k = 16, bands = 2)
+        expectedItems = math.max(20000L, hist.count()),
+        fpp = 0.001, k = 16, bands = 2)
       graft.dedup.BloomIndex.classify(batch, idx, "text")
         .select($"doc_id", $"status")
     }),

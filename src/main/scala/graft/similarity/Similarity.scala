@@ -523,10 +523,16 @@ object Similarity {
       emb.select(col(idCol).as("c_id"), col("embedding").as("c_vec")),
       col("c_id"), "8", "ivf")
     val coarse = trainIvfCentroids(sample, coarseSeeds, iterations = 2)
+    // consumed by the fine-seed window, by assignFine once per Lloyd
+    // iteration, and by the final assignment — localCheckpoint so the
+    // coarseK-dot literal argmax over the whole corpus runs ONCE (the
+    // r8 lesson: a lazy spine under repeated consumers re-executes per
+    // consumer; an expression-bearing plan can't manifest-memo either)
     val withCoarse = assignToCentroids(
         emb.select(col(idCol).as("v_id"), col("embedding").as("v_vec")),
         coarse)
       .withColumnRenamed("cent_id", "coarse_id")
+      .localCheckpoint()
 
     // fine seeds: fineK hash-ranked members per coarse cell; vectors
     // cast to double ONCE so the cells column's type is stable across
@@ -569,10 +575,13 @@ object Similarity {
         .localCheckpoint()
     }
 
+    // both pair-join sides, the eager components build, and the output
+    // join all read this — one materialization instead of four
     val assigned = assignFine(fine)
       .withColumn("cent_id",
         col("coarse_id") * lit(fineK.toLong) + col("fine_id"))
       .drop("coarse_id", "fine_id")
+      .localCheckpoint()
     val pairs = cosineNearDupPairs(
       assigned.withColumnRenamed("v_id", "id"), "id", "v_vec",
       threshold, block = Some("cent_id"))

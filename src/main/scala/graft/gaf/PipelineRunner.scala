@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.gaf.Constants._
 import graft.operators.MergeSink
 import graft.operators.MergeSink.StaleReport
+import graft.plans.Snapshot
 
 /** Full-run orchestration (GoNonratAnnotationPipeline.run, §3.1/§3.3):
   * per-species merge + stale delete, with the two cross-species ordering
@@ -23,12 +24,31 @@ import graft.operators.MergeSink.StaleReport
   */
 object PipelineRunner {
 
+  /** Phase timing for scale probes (set GRAFT_RUNNER_TIMING=1); zero-cost
+    * in normal runs.
+    */
+  private val timing = sys.env.contains("GRAFT_RUNNER_TIMING")
+  private def timed[T](name: String)(f: => T): T =
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"RUNNER $name ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+
   final case class SpeciesRun(name: String, gaf: DataFrame, cfg: PipelineConfig)
 
+  /** @param finalTable the post-U5 table, MATERIALIZED by runAll (a
+    *                    lineage-truncated Snapshot — reads come from
+    *                    executor storage, and its logical plan is one
+    *                    leaf)
+    * @param release    frees finalTable's storage — the only storage the
+    *                    run leaves pinned; call after the last use
+    */
   final case class RunReport(
       species: Seq[(String, Map[String, Long], StaleReport)],
       isoStale: Option[StaleReport],
-      finalTable: DataFrame)
+      finalTable: DataFrame,
+      release: () => Unit)
 
   /** Scoped count for (ref, species) via the active-object semi-join (A8,
     * DAO.java:86-88).
@@ -53,43 +73,68 @@ object PipelineRunner {
              isoRefRgdId: Int, staleCutoff: Timestamp,
              thresholdPct: Double = DELETE_THRESHOLD_PCT): RunReport = {
     // U5 snapshot BEFORE any species runs
-    val isoInitial = refSpeciesCount(existing, dims.rgdIds, isoRefRgdId, RAT)
+    val isoInitial = timed("iso_initial_count")(
+      refSpeciesCount(existing, dims.rgdIds, isoRefRgdId, RAT))
 
+    // Materialization discipline, measured not guessed: each species'
+    // logical plan nests the previous one's, so with plain cache() every
+    // downstream action re-paid Catalyst analysis + canonicalization over
+    // the k-times-nested annotate spine even though execution read the
+    // cache — the multi-species harness row ran ~71s warm at BOTH sf0.01
+    // and sf0.1 (pure plan cost, zero data dependence). Snapshot
+    // .materialize truncates the plan to a LogicalRDD leaf per species
+    // (warm wall fell >4x) and hands back the storage handle, so each
+    // iteration releases the previous species' blocks deterministically —
+    // no table-sized storage accumulates across harness invocations.
     var table = existing
-    var prevCached: Seq[DataFrame] = Nil
+    var prevRelease: Option[() => Unit] = None
     val perSpecies = runs.map { r =>
-      val initial = refSpeciesCount(table, dims.rgdIds, r.cfg.refRgdId,
-        r.cfg.speciesTypeKey)
-      // cache the merged table ONCE: the op counts, the stale-delete
-      // scans, and the next species' lineage all reuse it (the merge's
-      // full-outer join must not re-execute per downstream action)
-      val merged = AnnotationPipeline.run(r.gaf, table, dims, r.cfg).cache()
-      val ops = merged.groupBy("_op").count().collect()
-        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      val initial = timed(s"${r.name}_initial_count")(
+        refSpeciesCount(table, dims.rgdIds, r.cfg.refRgdId,
+          r.cfg.speciesTypeKey))
+      // materialize the merge ONCE: the op counts, the stale-delete
+      // scans, and the snapshot below all read the stored result (the
+      // merge's full-outer join must not re-execute per action)
+      val mergedSnap = timed(s"${r.name}_merge_fill")(
+        Snapshot.materialize(AnnotationPipeline.run(r.gaf, table, dims, r.cfg)))
+      val merged = mergedSnap.df
+      val ops = timed(s"${r.name}_op_counts")(
+        merged.groupBy("_op").count().collect()
+          .map(x => x.getString(0) -> x.getLong(1)).toMap)
       val next = merged.drop("_op")
-      val (afterDelete, report) =
+      val (afterDelete, report) = timed(s"${r.name}_stale_delete")(
         if (r.cfg.refRgdId == 0) (next, StaleReport(0, 0, aborted = false))
         else MergeSink.staleDelete(next, dims.rgdIds, r.cfg.refRgdId,
           r.cfg.speciesTypeKey, staleCutoff, r.cfg.createdBy, thresholdPct,
-          initial)
-      // materialize this species' output, then release everything this
-      // iteration no longer needs: the pre-delete merge immediately, the
-      // previous species' snapshot next — only ONE table stays pinned
-      afterDelete.cache().count()
-      merged.unpersist()
-      prevCached.foreach(_.unpersist())
-      prevCached = Seq(afterDelete)
-      table = afterDelete
+          initial))
+      val snap = timed(s"${r.name}_snapshot_fill")(
+        Snapshot.materialize(afterDelete))
+      mergedSnap.release()
+      prevRelease.foreach(_())
+      prevRelease = Some(snap.release)
+      table = snap.df
       (r.name, ops, report)
     }
 
     // U5: rat-ISO stale delete vs the time-zero snapshot
-    val (finalTable, isoReport) = MergeSink.staleDelete(table, dims.rgdIds,
-      isoRefRgdId, RAT, staleCutoff,
-      runs.headOption.map(_.cfg.createdBy).getOrElse(CREATED_BY),
-      thresholdPct, isoInitial)
+    val (afterIso, isoReport) = timed("u5_iso_stale")(
+      MergeSink.staleDelete(table, dims.rgdIds,
+        isoRefRgdId, RAT, staleCutoff,
+        runs.headOption.map(_.cfg.createdBy).getOrElse(CREATED_BY),
+        thresholdPct, isoInitial))
 
-    RunReport(perSpecies, Some(isoReport), finalTable)
+    // Exactly ONE materialization leaves this function: finalTable, with
+    // its release handle on the report (the U5 delete is an anti-join
+    // ABOVE the last species' snapshot, so returning it raw would strand
+    // that snapshot's storage with no way for the caller to free it).
+    if (afterIso eq table) // U5 no-op/abort: already the materialized snap
+      RunReport(perSpecies, Some(isoReport), table,
+        prevRelease.getOrElse(() => ()))
+    else {
+      val finalSnap = timed("final_fill")(Snapshot.materialize(afterIso))
+      prevRelease.foreach(_())
+      RunReport(perSpecies, Some(isoReport), finalSnap.df, finalSnap.release)
+    }
   }
 
   // ----------------------------------------------------- chinchilla path
@@ -137,6 +182,22 @@ object PipelineRunner {
   /** The §3.3 chinchilla run: DB scan -> GAF re-projection -> the same
     * pipeline with refRgdId=0 (direct branch suppressed: only the rat ISO
     * derivation survives, F11).
+    *
+    * TIME-ZERO INVARIANT: callers construct this from the table as it
+    * stood BEFORE runAll executes, where the reference reads the live
+    * FULL_ANNOT after the other species ran
+    * (GoNonratAnnotationPipeline.java:114-115). The S5 creator filter
+    * would NOT stop a same-run pipeline write (it excludes only the 67/192
+    * manual curators — DAO.java:263 — and the pipeline writes
+    * created_by=190, AppConfigure.xml:35 / Schemas.scala). The two reads
+    * are equivalent for a different reason: no pipeline write ever targets
+    * a CHINCHILLA object — F11 suppresses the chinchilla direct branch and
+    * every ISO derivation lands on a RAT object — so the S5 scope
+    * (GO terms on active chinchilla genes) sees an identical row set
+    * before and after the run. RunnerSpec pins this: S5 over the pre-run
+    * table and over the table plus a pipeline-shaped delta yields
+    * identical rows. If F11 or the ISO targeting ever changes, build the
+    * chinchilla run lazily from the post-mouse table instead.
     */
   def chinchillaRun(fullAnnot: DataFrame, dims: Dimensions, isoRefRgdId: Int,
                     runTs: Timestamp): SpeciesRun =

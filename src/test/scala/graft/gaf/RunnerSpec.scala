@@ -52,6 +52,29 @@ class RunnerSpec extends SparkSpec {
     assert(r.getAs[String]("gaf_date") === "20250101")
   }
 
+  test("time-zero invariant: S5 is blind to pipeline-shaped same-run writes") {
+    // chinchillaRun reads the PRE-run table; the reference reads the live
+    // table after the other species ran. Equivalent iff no pipeline write
+    // lands in the S5 scope — pin that: adding a pipeline-shaped delta
+    // (rat ISO derivations + a mouse direct row, all created_by=190)
+    // leaves the S5 selection byte-identical.
+    val dims = Fixtures.dims(spark)
+    val preRun = table(
+      annotRow(1, "GO:0001", "term one", 1007, "IDA", 555, 100,
+        ts("2025-06-01 00:00:00"), symbol = "Chin1"))
+    val pipelineDelta = table(
+      annotRow(10, "GO:0002", "term two", 1006, "ISO", REF_ISO, CREATED_BY,
+        ts("2026-01-02 00:00:00"), withInfo = "RGD:1007"),      // rat ISO
+      annotRow(11, "GO:0003", "term three", 1001, "IDA", 77000002, CREATED_BY,
+        ts("2026-01-02 00:00:00")))                             // mouse direct
+    val before = PipelineRunner
+      .chinchillaAnnotations(preRun, dims.rgdIds).collect().toSeq
+    val after = PipelineRunner
+      .chinchillaAnnotations(preRun.unionByName(pipelineDelta), dims.rgdIds)
+      .collect().toSeq
+    assert(before.nonEmpty && before.toSet === after.toSet)
+  }
+
   test("harness multi-species runner query exercises every contract " +
       "non-vacuously at sf0.001") {
     // the digest-pinned gaf_runner_multispecies row must not be a
@@ -85,6 +108,7 @@ class RunnerSpec extends SparkSpec {
     val dims = Fixtures.dims(spark)
     val runTs = ts("2026-01-02 00:00:00")
     val cutoff = ts("2026-01-01 23:50:00")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     // existing: one chinchilla manual annot + one STALE rat ISO row that
     // this run will not re-derive
     val existing = table(
@@ -99,7 +123,11 @@ class RunnerSpec extends SparkSpec {
 
     val report = PipelineRunner.runAll(existing, dims,
       Seq(mouse, chin), REF_ISO, cutoff)
-    val finalTable = report.finalTable.cache()
+    // runAll's storage contract: finalTable is the ONE materialization it
+    // leaves pinned, and report.release() restores the pre-run
+    // persistent-RDD set (r10 — pre-fix, the last species' cached
+    // snapshot leaked every invocation)
+    val finalTable = report.finalTable
 
     // chinchilla manual -> ISO for rat ortholog 1008 with provenance
     val chinIso = finalTable.filter(col("annotated_object_rgd_id") === 1008)
@@ -118,5 +146,9 @@ class RunnerSpec extends SparkSpec {
     // the chinchilla gene beyond the manual one
     assert(finalTable.filter(col("annotated_object_rgd_id") === 1007)
       .count() === 1)
+
+    report.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"runAll leaked persistent RDDs: $leaked")
   }
 }

@@ -17,4 +17,16 @@ object GraftSqlShim {
     val cs = spark.asInstanceOf[classic.SparkSession]
     classic.Dataset.ofRows(cs, execution.LogicalRDD(output, rdd)(cs))
   }
+
+  /** Run `body` under a registered SQL execution id for `df`'s query
+    * execution — the same wrapper Dataset actions use. Without it, a
+    * hand-driven RDD action (Snapshot.materialize) never posts
+    * SQLExecutionEnd, so `Observation`s riding CollectMetrics nodes in
+    * the plan would wait forever for their metrics.
+    */
+  def withExecutionId[T](df: DataFrame, name: String)(body: => T): T = {
+    val qe = df.queryExecution
+      .asInstanceOf[execution.QueryExecution]
+    execution.SQLExecution.withNewExecutionId(qe, Some(name))(body)
+  }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import graft.gaf.{AnnotationPipeline, Constants, Dimensions, PipelineConfig}
-import graft.plans.DagClosure
+import graft.plans.{DagClosure, Snapshot}
 
 /** Observability — the reference's CounterPool (~20 named counters,
   * GoNonratAnnotationPipeline.java:180-234) and its 12 audit log files
@@ -186,25 +186,12 @@ object Audit {
         t.setDaemon(true); t })
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
-    // the dump's caches are single-run scratch: written once, read two
-    // or three times within the same dump, unpersisted at the end.
-    // Columnar compression CPU sits squarely on the critical path and
-    // buys nothing here (measured ~1.6s of the sf0.1 wall); scope it
-    // OFF for the persists this function creates (the conf is read at
-    // persist() time, so other queries' caches are unaffected),
-    // restored before returning. CONTRACT: the flip is session-wide
-    // while this dump runs, so a query persisting CONCURRENTLY in the
-    // same SparkSession would cache uncompressed — callers that share a
-    // session across threads should wrap the dump in spark.newSession()
-    // (the bench/Verify drivers run queries sequentially, so they don't).
-    val compressKey = "spark.sql.inMemoryColumnarStorage.compressed"
-    val oldCompress = spark.conf.get(compressKey, "true")
-    spark.conf.set(compressKey, "false")
-    // every persist this dump creates registers here so the finally
-    // below can release it on ANY exit — a thrown job must not leave
-    // the SESSION-wide compression conf flipped, the pool alive, or
-    // the scratch caches pinned for the rest of the session
-    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // r10: the dump holds NO columnar caches (the former qc cache and
+    // its session-wide compression-conf flip are gone); its transient
+    // storage is the enriched snapshot (released in the finally below)
+    // and the side future's dimension-sized triples snapshot (released
+    // inside the future itself).
+    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     try {
 
     // F4/F5 as observed markers — identical row set to qcTermFilters()
@@ -240,14 +227,19 @@ object Audit {
         count(when(f5Hit, 1)).as("f5"))
       .filter(!f4Hit && !f5Hit)
       .drop("_n4c", "_ipi")
-      .persist()
-    scratch += qc
-    // the qc plan needs only the closure, not the fixpoint — fill the
-    // fact cache (the dump's ONE scan of the input) while the fixpoint
-    // walk is still running (round 8: this moves the scan off the
-    // critical path's sequential prefix). obsQc fires exactly once here.
+    // qc is deliberately NOT cached (r10): each of the three concurrent
+    // actions recomputes this cheap scan+broadcast-marker plan; a
+    // columnar cache here forced a fill barrier onto the critical path
+    // (fill + write + read back cost more than the recomputes, and the
+    // compression-conf flip it needed was a session-wide contract).
+    // obsQc's CollectMetrics executes once per ACTION — each execution
+    // computes the identical deterministic counts and Observation keeps
+    // the first delivery, so multiple firings are safe (r8 measured
+    // note). Within any single action the node must appear under ONE
+    // reused exchange or a linear spine — never under a self-union of
+    // the chain — or that action's accumulator would double-count; the
+    // staging exchanges below enforce this.
     dbg("qcBuilt")(())
-    val qcFillF = Future(dbg("qcFill")(qc.count()))
 
     val fix = Await.result(fixF, Duration.Inf)
     val mainResolve = fix
@@ -310,19 +302,99 @@ object Audit {
       count(when(s2 && col("_known").isNull, 1)).as("unknownTerm"))
       .drop("_known")
 
-    val enriched = qcAndEnrich(built, dims, cfg).persist()
-    scratch += enriched
+    val enrichedPlan = qcAndEnrich(built, dims, cfg)
+
+    // Fill discipline — round-10 shape: ONE spine compute into a
+    // lineage-truncated snapshot (Snapshot.materialize — qc fill folded
+    // in, no separate qc cache), then concurrent snapshot-readers
+    // (linesRemoved + the main merge-spine action) plus the side future
+    // recomputing only qc's cheap scan. Measured history at sf0.1
+    // (BASELINE.md): cache-everything with sequential side jobs (r7,
+    // 21.2s cold); qc cache + enriched cache + concurrent readers
+    // (r8/r9, ~10.3s warm — its sequential prefix was qcFill 1.7s +
+    // enrichedFill 3.6s of BARRIERS before the 4.4s main pass); full
+    // recompute with zero materialization (tried r10: 13.5s — the dump
+    // is CPU-bound at local[32], three concurrent full-chain recomputes
+    // starve each other, re-confirming the r8 "23.1s" finding). This
+    // form keeps work-minimal's one chain compute but removes the qc
+    // barrier: the materialize pays scan+chain+write in one pass, and
+    // obsQc/obsMatch/obsBuilt fire exactly once inside it (Snapshot
+    // runs under a SQL execution id so Observations deliver). The side
+    // future re-fires obsQc from its own qc recompute — identical
+    // deterministic values, first delivery wins (r8 measured note).
+
+    // ---- inactive/unmatched side counters. Match-ness per
+    // line depends only on (db, db_object_id, gene_product_form_id),
+    // so BOTH counters reduce to cascades over one shared
+    // dimension-sized per-triple count frame:
+    //  - inactive (identity-resolve match hitting a non-ACTIVE gene):
+    //    sum of _n over matched triples semi-joined to the inactive
+    //    dim — exactly inactive(qc, ..).count(), since matchGenes'
+    //    per-triple fan-out is what each of the triple's lines fans to;
+    //  - unmatched (MAHQC.java:81-84 — lines with no ACTIVE gene of
+    //    ANY species after redirect; a line counts as matched when ANY
+    //    gpfi variant of its (db, id) matched): anti-join over the
+    //    (db, id) groups — no anti-join against fact rows, no spine
+    //    marker join (a spine marker was measured costing ~2s of
+    //    broadcast build inside the fill).
+    // r10: the triples materialize first (one shared fill, no unfilled-
+    // snapshot race), then the two cascades run CONCURRENTLY — they were
+    // sequential inside one future and their sum (8.5s warm at sf0.1)
+    // was the dump's critical path; each is dimension-sized so the cost
+    // is mostly the tier-cascade's fixed plan+broadcast work, which two
+    // driver threads pay independently.
+    val sideF = {
+      val triplesF = Future(dbg("side:triples")(Snapshot.materialize(qc
+        .groupBy(col("db"), col("db_object_id"), col("gene_product_form_id"))
+        .agg(count(lit(1)).as("_n")))))
+      val inactiveF = triplesF.map { t =>
+        val notActive = dims.rgdIds
+          .filter(col("object_key") === Constants.GENES_OBJECT_KEY &&
+            col("object_status") =!= "ACTIVE")
+          .select(col("rgd_id"))
+        dbg("side:inactive")(matchGenes(t.df, dims,
+            cfg.speciesTypeKey, Some(identityResolve(dims)))
+          .join(broadcast(notActive), Seq("rgd_id"), "left_semi")
+          .agg(coalesce(sum(col("_n")), lit(0L)).cast("long"))
+          .head().getLong(0))
+      }
+      val unmatchedF = triplesF.map { t =>
+        val matchedKeys = matchGenes(t.df, dims, cfg.speciesTypeKey,
+            Some(anyResolve))
+          .select(col("db"), col("db_object_id"))
+          .dropDuplicates("db", "db_object_id")
+        dbg("side:unmatched")(t.df
+          .groupBy(col("db"), col("db_object_id"))
+          .agg(sum(col("_n")).as("_n"))
+          .join(matchedKeys, Seq("db", "db_object_id"), "left_anti")
+          .agg(coalesce(sum(col("_n")), lit(0L)).cast("long"))
+          .head().getLong(0))
+      }
+      val both = for { i <- inactiveF; u <- unmatchedF } yield (i, u)
+      // release the triples storage once BOTH cascades finish (success
+      // or failure — andThen fires on any completion)
+      both.andThen { case _ => triplesF.foreach(_.release()) }
+      both
+    }
+
+    // ONE spine compute (qc -> match -> build -> enrich), lineage-
+    // truncated — see the fill-discipline note. Launched AFTER the side
+    // future so the dimension-sized cascades overlap this fill.
+    val enrichedSnap = dbg("enrichedFill")(Snapshot.materialize(enrichedPlan))
+    releases += enrichedSnap.release
+    val enriched = enrichedSnap.df
+    val enrichedN = enrichedSnap.rows
+
     val obsCons = new Observation("consolidated")
-    // stage = false: the input is the FILLED enriched cache, so the
-    // consolidate branches re-read a materialized cache instead of a
-    // staging exchange that would shuffle every row full-width before
-    // any reduction (the flagship keeps the staged form — its upstream
-    // is the whole uncached join cascade). NOTE: with the staging
-    // exchange gone there is no longer a single reused subtree below
-    // the two consolidate branches, so NO CollectMetrics may sit on the
-    // consolidate input (it would evaluate once per branch and
-    // double-count) — enrichedN now comes from the fill action's own
-    // count() instead of the former obsEnriched.
+    // stage = false: the input is the MATERIALIZED enriched snapshot, so
+    // the consolidate branches re-read stored rows instead of a staging
+    // exchange that would shuffle every row full-width before any
+    // reduction (the flagship keeps the staged form — its upstream is
+    // the whole uncached join cascade). NOTE: with the staging exchange
+    // gone there is no single reused subtree below the two consolidate
+    // branches, so NO CollectMetrics may sit on the consolidate input
+    // (it would evaluate once per branch and double-count) — enrichedN
+    // comes from the snapshot fill's own count instead.
     val consolidated = graft.operators.Consolidator.consolidate(
         enriched.drop("_row_id", "_row_id2", "_prio"),
         consolidationKey, "with_info", Constants.WITH_INFO_CAP,
@@ -353,81 +425,17 @@ object Audit {
     // the merged persist are gone: the fused overflow/updOrig
     // aggregation below is merged's ONLY consumer (round 7)
     val obsOps = new Observation("ops")
+    // assignKeys=false: the dump never reads insert rows' surrogate
+    // keys (updOrig joins on the EXISTING side's key, null for inserts
+    // either way), so the per-bucket row_number window sort over the
+    // whole merge output and the maxKey driver action are pure waste
+    // here — persisted merges keep the default
     val merged = MergeSink.merge(existing, incoming, cfg.runTs,
-      cfg.createdBy)
+      cfg.createdBy, assignKeys = false)
       .observe(obsOps,
         count(when(col("_op") === "insert", 1)).as("insert"),
         count(when(col("_op") === "update", 1)).as("update"),
         count(when(col("_op") === "touch", 1)).as("touch"))
-
-    // Fill discipline (round-8 measured shape). Three arrangements were
-    // timed at sf0.1 (GRAFT_COUNTER_DEBUG stage table, BASELINE.md):
-    // cache-everything with all side jobs separate (r7, 21.2s cold),
-    // fusing linesRemoved INTO the fill action (22.7s — it moved the
-    // window onto the critical path), and dropping the enriched cache
-    // for fully-concurrent recomputing consumers (23.1s — the dump is
-    // CPU-bound at local[32], so duplicated map-side spines cost wall
-    // even when perfectly overlapped). Work-minimal wins: ONE spine
-    // compute into the enriched cache, then concurrent cache-readers.
-    // The fill is still load-bearing for correctness, not just speed:
-    // obsQc/obsMatch/obsBuilt CollectMetrics sit BELOW the persists,
-    // and concurrent consumers racing an UNFILLED persist each execute
-    // the metrics node and double-count (cache partitions are not
-    // cross-task locked); the dedicated fills fire each exactly once.
-    // This fill reads the qc cache the qcFillF future already
-    // materialized (awaited first), so it pays only the map-side
-    // matched->built->enriched chain plus the cache write.
-    Await.result(qcFillF, Duration.Inf)
-
-    // ---- inactive/unmatched side counters — ONE future reading the
-    // just-filled qc cache, launched BEFORE the enriched fill so it
-    // overlaps the fill AND the main pass (round 8). Match-ness per
-    // line depends only on (db, db_object_id, gene_product_form_id),
-    // so BOTH counters reduce to cascades over one shared
-    // dimension-sized per-triple count frame:
-    //  - inactive (identity-resolve match hitting a non-ACTIVE gene):
-    //    sum of _n over matched triples semi-joined to the inactive
-    //    dim — exactly inactive(qc, ..).count(), since matchGenes'
-    //    per-triple fan-out is what each of the triple's lines fans to;
-    //  - unmatched (MAHQC.java:81-84 — lines with no ACTIVE gene of
-    //    ANY species after redirect; a line counts as matched when ANY
-    //    gpfi variant of its (db, id) matched): anti-join over the
-    //    (db, id) groups — no anti-join against fact rows, no spine
-    //    marker join (a spine marker was measured costing ~2s of
-    //    broadcast build inside the fill).
-    // Sequential INSIDE the future: the first action fills the triples
-    // persist, the second reads it warm — no unfilled-cache race, and
-    // the former separate inactive job (matchGenes over every FACT
-    // row) is now a dimension-sized cascade.
-    val sideF = Future(dbg("side")({
-      val triples = qc
-        .groupBy(col("db"), col("db_object_id"), col("gene_product_form_id"))
-        .agg(count(lit(1)).as("_n")).persist()
-      try {
-        val notActive = dims.rgdIds
-          .filter(col("object_key") === Constants.GENES_OBJECT_KEY &&
-            col("object_status") =!= "ACTIVE")
-          .select(col("rgd_id"))
-        val inactiveN = dbg("side:inactive")(matchGenes(triples, dims,
-            cfg.speciesTypeKey, Some(identityResolve(dims)))
-          .join(broadcast(notActive), Seq("rgd_id"), "left_semi")
-          .agg(coalesce(sum(col("_n")), lit(0L)).cast("long"))
-          .head().getLong(0))
-        val matchedKeys = matchGenes(triples, dims, cfg.speciesTypeKey,
-            Some(anyResolve))
-          .select(col("db"), col("db_object_id"))
-          .dropDuplicates("db", "db_object_id")
-        val unmatchedN = dbg("side:unmatched")(triples
-          .groupBy(col("db"), col("db_object_id"))
-          .agg(sum(col("_n")).as("_n"))
-          .join(matchedKeys, Seq("db", "db_object_id"), "left_anti")
-          .agg(coalesce(sum(col("_n")), lit(0L)).cast("long"))
-          .head().getLong(0))
-        (inactiveN, unmatchedN)
-      } finally triples.unpersist()
-    }))
-
-    val enrichedN = dbg("enrichedFill")(enriched.count())
 
     // AQE's empty-relation propagation can prune a CollectMetrics node
     // wholesale when its input collapses to an empty LocalRelation (empty
@@ -457,7 +465,9 @@ object Audit {
     // max(_k) aggregation, both with map-side partials (measured: 3.8s
     // -> ~1.5s at sf0.1, and the freed CPU shortens the concurrent main
     // pass — the dump is CPU-bound at local[32]).
-    // Reads the warm enriched cache, concurrent with the main pass.
+    // Reads the materialized enriched snapshot (both branches scan the
+    // leaf — no metrics sit below it, so the double-read is benign and
+    // cheaper than a staging exchange), concurrent with the main pass.
     val nonEmptyWi = length(coalesce(col("with_info"), lit(""))) > 0
     // line identity is the 128-bit (_row_id, _row_id2) pair (see
     // matchGenes); keeper choice orders by the struct, lexicographic
@@ -493,15 +503,15 @@ object Audit {
     // they never spuriously match; left≡inner for update rows, whose key
     // IS an existing key by construction). count() over zero rows is 0,
     // and a global agg always emits its one row — no empty-input NPE.
-    val updOrigN = dbg("main")(
-      merged.filter(col("_op") =!= "keep")
+    val mainFrame = merged.filter(col("_op") =!= "keep")
         .join(existing.select(col("full_annot_key"),
           col("original_created_date").as("_old_ocd")),
           Seq("full_annot_key"), "left")
         .agg(count(when(col("_op") === "update" &&
             !(col("original_created_date") <=> col("_old_ocd")), 1))
           .cast("long"))
-        .head().getLong(0))
+    dbg("main:plan")(mainFrame.queryExecution.executedPlan)
+    val updOrigN = dbg("main")(mainFrame.head().getLong(0))
     val truncatedN = cnt(obsA2.get)("overflow")
 
     dbg("tailStart")(())
@@ -543,10 +553,9 @@ object Audit {
     import spark.implicits._
     // the reference dumps counters alphabetically (dumpStats) — match it
     rows.toDF("counter", "value").orderBy(col("counter"))
-    } finally { // merged is never persisted; scratch = qc, enriched
-      scratch.foreach(df =>
-        try df.unpersist() catch { case _: Throwable => () })
-      spark.conf.set(compressKey, oldCompress)
+    } finally { // release the enriched snapshot on any exit; the pool
+      // must not outlive a crashed dump
+      releases.foreach(r => try r() catch { case _: Throwable => () })
       pool.shutdown()
     }
   }

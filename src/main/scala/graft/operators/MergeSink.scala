@@ -55,8 +55,14 @@ object MergeSink {
     * `full_annot_key`, `created_date`, `last_modified_date`,
     * `created_by`, `last_modified_by`.
     */
+  /** @param assignKeys pass false ONLY for audit passes that never use
+    *                    insert rows' surrogate keys (insert keys stay
+    *                    NULL): skips the per-bucket row_number window
+    *                    sort AND the maxKey driver action. All persisted
+    *                    outputs must keep the default.
+    */
   def merge(existing: DataFrame, incoming: DataFrame, runTs: Timestamp,
-            createdBy: Int): DataFrame = {
+            createdBy: Int, assignKeys: Boolean = true): DataFrame = {
     val outCols = existing.columns.toSeq
     val e = existing.withColumn("_e", lit(1)).as("e")
     val i = incoming.withColumn("_i", lit(1)).as("i")
@@ -65,8 +71,10 @@ object MergeSink {
     val changed: Column =
       updatableCols.map(c => !(col(s"e.$c") <=> col(s"i.$c"))).reduce(_ || _)
 
-    val maxKey: Long = existing.agg(coalesce(max(col("full_annot_key")), lit(0L)))
-      .head().getLong(0)
+    val maxKey: Long =
+      if (!assignKeys) 0L
+      else existing.agg(coalesce(max(col("full_annot_key")), lit(0L)))
+        .head().getLong(0)
 
     val joined = e.join(i, cond, "full_outer")
       .withColumn("_op",
@@ -97,8 +105,10 @@ object MergeSink {
     val nB = 1024
     val w = Window.partitionBy(col("_bucket"))
       .orderBy((col("_op") =!= "insert") +: uniqueKey.map(col): _*)
-    joined
+    val picked = joined
       .select(outCols.map(c => pick(c).as(c)) :+ col("_op"): _*)
+    if (!assignKeys) picked
+    else picked
       .withColumn("_bucket", pmod(xxhash64(uniqueKey.map(col): _*), lit(nB)))
       .withColumn("full_annot_key",
         when(col("_op") === "insert",

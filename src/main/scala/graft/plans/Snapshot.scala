@@ -32,22 +32,32 @@ object Snapshot {
     * RDD's own lineage is kept (only the LOGICAL plan is truncated), so
     * an access after `release()` recomputes instead of crashing — the
     * contract is still release-after-last-use, same as a cache.
+    *
+    * @param rows the materialized row count (the fill pass counts for
+    *             free — callers needing N must not pay a second action)
     */
-  final case class Snapped(df: DataFrame, release: () => Unit)
+  final case class Snapped(df: DataFrame, rows: Long, release: () => Unit)
 
   /** Materialize `df` into executor storage (one pass over the input),
     * returning a frame whose logical plan is a single leaf.
+    *
+    * The fill runs under a registered SQL execution id, so
+    * `Observation`s attached BELOW the materialization point fire
+    * normally and deliver their metrics from this one pass.
     */
   def materialize(df: DataFrame,
                   level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : Snapped = {
     val spark = df.sparkSession
     val qe = df.queryExecution
-    val rdd = qe.toRdd.map(_.copy())
-    rdd.persist(level)
-    rdd.count()
+    val (rdd, n) = org.apache.spark.sql.GraftSqlShim
+      .withExecutionId(df, "graft.Snapshot.materialize") {
+        val r = qe.toRdd.map(_.copy())
+        r.persist(level)
+        (r, r.count())
+      }
     val out = org.apache.spark.sql.GraftSqlShim
       .rddFrame(spark, qe.analyzed.output, rdd)
-    Snapped(out, () => { rdd.unpersist(blocking = false); () })
+    Snapped(out, n, () => { rdd.unpersist(blocking = false); () })
   }
 }

@@ -342,13 +342,19 @@ object AggQueries extends QueryPack {
     "ev_dedup_incremental" -> ((s, d) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      def sdbg[A](n: String)(f: => A): A =
+        if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
+          val t0 = System.nanoTime(); val r = f
+          System.err.println(
+            f"SDBG $n%-10s ${(System.nanoTime() - t0) / 1e9}%5.2f s"); r
+        } else f
       val docs = Tables.documents(s, d)
       val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
         .select($"doc_id", $"text")
-      val idx = histBloomIdx(s, d)
+      val idx = sdbg("idx")(histBloomIdx(s, d))
       val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
-      val rows = batch.orderBy($"doc_id").collect()
-        .map(r => (r.getLong(0), r.getString(1), t0)).toSeq
+      val rows = sdbg("collect")(batch.orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), t0)).toSeq)
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String, java.sql.Timestamp)]
       val sink = "ev_dedup_incremental_" +
@@ -356,28 +362,55 @@ object AggQueries extends QueryPack {
       // the sink buffers only doc ids (projected BEFORE the write — a
       // memory sink holding full text would retain a corpus copy per
       // invocation), and the uniquely-named sink view is dropped after
-      // the bounded result is copied out
-      val q = graft.streaming.IncrementalStream.incrementalDedupStream(
-          input.toDF().toDF("doc_id", "text", "ts"), idx,
-          "doc_id", "text", "ts", watermarkDelay = "1 hour",
-          bounded = false)
-        .select($"doc_id")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .start()
+      // the bounded result is copied out.
+      // State sizing: a streaming query pins its state-partition count
+      // from shuffle.partitions at START (no AQE on streams), and every
+      // micro-batch commits one delta file PER state partition — at 32
+      // partitions this harness-sized stream (5k docs, 2 batches) spent
+      // most of its wall on state-store file commits and task overhead.
+      // 8 partitions is plenty for the fixture; a production stream
+      // sizes this to its real key cardinality. Scoped set/restore —
+      // the conf is only read at start(), but restore happens after
+      // stop() so a concurrent start in the same session (none in the
+      // sequential bench/Verify drivers) can't race a half-applied value.
+      val shufKey = "spark.sql.shuffle.partitions"
+      val oldShuf = s.conf.get(shufKey)
+      s.conf.set(shufKey, "8")
+      val q = try sdbg("start")({
+        graft.streaming.IncrementalStream.incrementalDedupStream(
+            input.toDF().toDF("doc_id", "text", "ts"), idx,
+            "doc_id", "text", "ts", watermarkDelay = "1 hour",
+            bounded = false)
+          .select($"doc_id")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+      }) finally s.conf.set(shufKey, oldShuf)
       try {
-        input.addData(rows)
-        q.processAllAvailable()
+        // one addData block = ONE input partition for the micro-batch,
+        // and classify's minhash chain is map-only — a single block
+        // serializes the whole per-row pass onto one core (measured
+        // 3.5s -> sub-second at sf0.1). Chunked blocks = the partition
+        // layout a real partitioned source (Kafka) would provide; the
+        // kept-id SET is per-key state, unchanged by input partitioning
+        // on dup-free fixture batches (digest-pinned).
+        sdbg("batch1")({
+          val chunk = math.max(1, rows.size / 32)
+          rows.grouped(chunk).foreach(c => input.addData(c))
+          q.processAllAvailable()
+        })
         // increment 2: the first batch doc's text under a fresh id — a
         // content dup either way (against history via the Bloom probe,
         // or across batches via the stream state); must not emit
         val dupText = rows.head._2
-        input.addData(Seq((9999999L, dupText,
-          java.sql.Timestamp.valueOf("2026-01-01 00:00:01"))))
-        q.processAllAvailable()
-      } finally q.stop()
+        sdbg("batch2")({
+          input.addData(Seq((9999999L, dupText,
+            java.sql.Timestamp.valueOf("2026-01-01 00:00:01"))))
+          q.processAllAvailable()
+        })
+      } finally sdbg("stop")(q.stop())
       val out = s.table(sink).select($"doc_id")
-      val kept = out.collect() // bounded: one id per kept increment doc
+      val kept = sdbg("sinkread")(out.collect())
       s.catalog.dropTempView(sink)
       s.createDataFrame(java.util.Arrays.asList(kept: _*), out.schema)
     }),

@@ -116,9 +116,14 @@ class ExtensionsSpec extends SparkSpec {
       .select($"doc_id", $"status")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again === bloom)
-    // map-only: classification adds no exchange
-    assert(!bloomDf.queryExecution.executedPlan.toString
-      .contains("Exchange"))
+    // map-only: classification adds no DATA-DEPENDENT shuffle (no hash/
+    // range exchange — no join, no agg). A round-robin repartition may
+    // appear on toy single-file scans: that's Tables.spread widening the
+    // input so the per-row minhash chain parallelizes (r10); at real
+    // scale file splits exceed cores and it's a no-op.
+    val planStr = bloomDf.queryExecution.executedPlan.toString
+    assert(!planStr.contains("hashpartitioning") &&
+      !planStr.contains("rangepartitioning"))
   }
 
   test("semDedupHier: one output row per input, keep iff own group, and " +

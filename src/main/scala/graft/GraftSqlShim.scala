@@ -12,10 +12,21 @@ import org.apache.spark.sql.catalyst.expressions.Attribute
   * deterministically instead of waiting on the ContextCleaner).
   */
 object GraftSqlShim {
-  def rddFrame(spark: SparkSession, output: Seq[Attribute],
-               rdd: RDD[InternalRow]): DataFrame = {
-    val cs = spark.asInstanceOf[classic.SparkSession]
-    classic.Dataset.ofRows(cs, execution.LogicalRDD(output, rdd)(cs))
+  /** Wrap `rdd` as a leaf frame carrying `origin`'s statistics and
+    * constraints (LogicalRDD.fromDataset — the same path
+    * `Dataset.localCheckpoint` takes). Stats preservation is
+    * load-bearing: a bare `LogicalRDD(output, rdd)` estimates
+    * `spark.sql.defaultSizeInBytes` = Long.MaxValue, which (a) blocks
+    * every downstream broadcast-join decision on the snapshot and
+    * (b) saturated graft.Tuning.autoShuffle's leaf-sum byte estimate,
+    * stickily pinning initialPartitionNum at its 65536 cap for the
+    * whole session (measured: a later cache-disabled-AQE stage ran
+    * 65536 real tasks, ~100s of empty-task overhead at sf0.01).
+    */
+  def rddFrame(origin: DataFrame, rdd: RDD[InternalRow]): DataFrame = {
+    val ds = origin.asInstanceOf[classic.Dataset[_]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false))
   }
 
   /** Run `body` under a registered SQL execution id for `df`'s query

@@ -70,9 +70,19 @@ object Tuning {
     * the parallelism floor covers those (documented blind spot, probed
     * in the curate scale runs).
     */
-  def estimatedBytes(df: DataFrame): BigInt =
+  def estimatedBytes(df: DataFrame): BigInt = {
+    // a leaf with NO real estimate reports spark.sql.defaultSizeInBytes
+    // (Long.MaxValue by default) — summing that in would saturate the
+    // partition cap off one unknown-stat leaf and stickily pin 65536
+    // initial partitions on the session (seen live when snapshot
+    // frames briefly lost their origin stats). Unknown contributes 0:
+    // the parallelism floor is the designed fallback for inputs whose
+    // size the plan can't see.
+    val unknown = BigInt(df.sparkSession.conf
+      .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString))
     df.queryExecution.optimizedPlan.collectLeaves()
-      .map(_.stats.sizeInBytes).sum
+      .map(_.stats.sizeInBytes).filter(_ < unknown).sum
+  }
 
   /** Install the input-adaptive initial partition count on the session
     * unless the user already set one. No-op when AQE is off (a fixed

@@ -48,7 +48,6 @@ object Snapshot {
   def materialize(df: DataFrame,
                   level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : Snapped = {
-    val spark = df.sparkSession
     val qe = df.queryExecution
     val (rdd, n) = org.apache.spark.sql.GraftSqlShim
       .withExecutionId(df, "graft.Snapshot.materialize") {
@@ -56,8 +55,7 @@ object Snapshot {
         r.persist(level)
         (r, r.count())
       }
-    val out = org.apache.spark.sql.GraftSqlShim
-      .rddFrame(spark, qe.analyzed.output, rdd)
+    val out = org.apache.spark.sql.GraftSqlShim.rddFrame(df, rdd)
     Snapped(out, n, () => { rdd.unpersist(blocking = false); () })
   }
 }

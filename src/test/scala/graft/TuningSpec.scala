@@ -83,4 +83,38 @@ class TuningSpec extends SparkSpec {
       reset()
     }
   }
+
+  test("snapshot frames keep origin stats; unknown-stat leaves do not " +
+      "saturate the partition cap") {
+    import spark.implicits._
+    reset()
+    try {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      val snap = graft.plans.Snapshot.materialize(docs.select($"doc_id", $"text"))
+      try {
+        // the LogicalRDD leaf must carry the origin's estimate, not
+        // spark.sql.defaultSizeInBytes: a Long.MaxValue leaf (a) pinned
+        // initialPartitionNum at 65536 for the whole session via the
+        // sticky self-installed marker and (b) blocks broadcast planning
+        // over the snapshot (seen live: a later cached stage, where AQE
+        // cannot re-coalesce, ran 65536 real empty tasks)
+        val est = Tuning.estimatedBytes(snap.df)
+        assert(est > 0 && est < BigInt(Long.MaxValue) / 2,
+          s"snapshot leaf estimate not carried from origin: $est")
+        assert(Tuning.autoShuffle(spark, est) === 32,
+          "snapshot-derived estimate must land at the parallelism floor")
+        // belt: a genuinely unknown-stat leaf (createDataFrame over a
+        // bare RDD reports defaultSizeInBytes) contributes 0 to the
+        // estimate instead of saturating it
+        val bareRdd = spark.sparkContext.parallelize(
+          Seq(org.apache.spark.sql.Row(1L)))
+        val bare = spark.createDataFrame(bareRdd,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("x",
+              org.apache.spark.sql.types.LongType))))
+        assert(Tuning.estimatedBytes(bare.join(docs, $"x" === $"doc_id"))
+          < BigInt(Long.MaxValue) / 2)
+      } finally snap.release()
+    } finally reset()
+  }
 }

@@ -92,9 +92,14 @@ object Curate {
       minLineWords: Option[Int] = None,
       // when set, the output manifest carries each kept doc's top-k
       // salient terms (rational tf/(df+1) ranking, keywords-on-card) as
-      // a `salient_terms` array — computed over the FINAL kept text,
-      // adding one (id, term) agg shuffle + a vocabulary-sized df dim
-      // join only when enabled
+      // a `salient_terms` array — computed over the FINAL kept text.
+      // Cost when enabled: the clean frame is materialized as a stage
+      // manifest (it gains a second consumer — the term ranking next to
+      // the packing spine — and re-executing the whole clean subtree
+      // per consumer is exactly the superadditive re-execution the
+      // span-dedup manifest exists to prevent; bounded the same way,
+      // by the surviving corpus slice), plus the ranking's (id, term)
+      // agg shuffle and a vocabulary-sized df dim join
       salientTermsK: Option[Int] = None)
 
   /** Run the full curation over `docs` against a benchmark (eval-set)
@@ -237,13 +242,23 @@ object Curate {
     }
 
     // contamination gate against the benchmark's distinct n-gram dim
-    val clean = kept.join(
+    val cleanRaw = kept.join(
       CorpusQc.contaminationScores(
           kept.select(col(idCol), col(textCol)), benchmark, idCol, textCol,
           cfg.contaminationN)
         .filter(col("contamination_frac") <= cfg.maxContaminationFrac)
         .select(col(idCol)),
       Seq(idCol), "left_semi")
+    // with salient terms on, clean gains a SECOND consumer (the term
+    // ranking below, next to the packing spine) — materialize it as a
+    // stage manifest so the rule-QC scan, dedup semi-joins, and
+    // contamination scoring run once, not per consumer (r10 advice;
+    // same bounding argument as the span-dedup text manifest). The
+    // classic path keeps the unmaterialized frame: packing is its only
+    // consumer and a cache would be pure overhead.
+    val clean =
+      if (cfg.salientTermsK.isDefined) persistedManifest(cleanRaw)
+      else cleanRaw
 
     // deterministic split, then pack token streams WITHIN each split
     val withSplit = clean
@@ -380,9 +395,19 @@ object Curate {
     * dedup manifest's blocks, the same warm-cache steady state the bench
     * measures everywhere else. Measured: corpus_curate_e2e timed 3.63s
     * (round 5, fresh persist per call) vs 3.67s (round 6, memo).
+    *
+    * r10: manifests materialize via [[graft.plans.Snapshot]] (eager,
+    * lineage-truncated) instead of a lazy persist(). A cached manifest
+    * kept its FULL upstream logical plan, and every downstream action in
+    * the composition re-paid Catalyst analysis + canonicalization over
+    * it (the curate rows ran 4-6s WARM over a 1 MB corpus — fixed plan
+    * cost, the PipelineRunner/Audit disease); a leaf-planned manifest is
+    * also literally the deployment shape (stage write, read back).
+    * Release goes through the Snapped handle in [[clearManifests]].
     */
   private val manifestCache =
-    new ConcurrentHashMap[(SparkSession, LogicalPlan), DataFrame]
+    new ConcurrentHashMap[(SparkSession, LogicalPlan),
+      graft.plans.Snapshot.Snapped]
   private val ManifestCap = 32
 
   private def persistedManifest(ids: DataFrame): DataFrame = {
@@ -393,17 +418,18 @@ object Curate {
     if (manifestCache.size > ManifestCap) clearManifests()
     manifestCache.computeIfAbsent(
       (ids.sparkSession, ids.queryExecution.analyzed.canonicalized),
-      _ => ids.persist())
+      _ => graft.plans.Snapshot.materialize(ids)).df
   }
 
-  /** Unpersist every memoized manifest and drop the memo entries. */
+  /** Release every memoized manifest's storage and drop the memo
+    * entries.
+    */
   def clearManifests(): Unit = {
     val it = manifestCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       try {
-        if (!e.getKey._1.sparkContext.isStopped)
-          e.getValue.unpersist(blocking = false)
+        if (!e.getKey._1.sparkContext.isStopped) e.getValue.release()
       } catch { case _: Throwable => }
       it.remove()
     }

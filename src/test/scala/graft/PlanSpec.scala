@@ -160,11 +160,20 @@ class PlanSpec extends SparkSpec {
     val df = SparkEntry.queries("corpus_curate_e2e")(spark, sf)
     df.collect() // AQE: the final plan (incl. exchange reuse) exists after execution
     val p = df.queryExecution.executedPlan.toString
-    // the keeper-id manifest must be MATERIALIZED (persisted) so the
-    // dedup subtree executes once, not once per consumer — both
-    // consumers read the cache
-    assert("InMemoryTableScan|TableCacheQueryStage".r.findAllIn(p).size >= 2,
-      "expected both consumers on the cached keeper manifest: " + p)
+    // the keeper-id manifest must be MATERIALIZED so the dedup subtree
+    // executes once, not once per consumer. r10: manifests are eager
+    // lineage-truncated snapshots (graft.plans.Snapshot), so each
+    // consumer reads a `Scan ExistingRDD` leaf — and when both consumers
+    // broadcast the same snapshot, physical planning dedups the second
+    // into a ReusedExchange. Either way ≥2 snapshot consumers, and the
+    // dedup subtree (LSH band windows) is absent from THIS plan entirely
+    // (it ran once, at materialize time).
+    val snapshotReads = "Scan ExistingRDD".r.findAllIn(p).size +
+      "ReusedExchange".r.findAllIn(p).size
+    assert(snapshotReads >= 2,
+      "expected both consumers on the snapshotted keeper manifest: " + p)
+    assert(!p.contains("minhash"),
+      "dedup signature work leaked into the composition plan: " + p)
     // composition-wide shuffle budget: fixed by construction (stage sum),
     // independent of corpus size — a regression adding a shuffle fails
     // here. Budget: dedup fingerprint window + LSH bucket window +

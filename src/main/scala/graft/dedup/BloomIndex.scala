@@ -101,6 +101,27 @@ object BloomIndex {
     index.copy(fp = fp, band = band, inserted = total)
   }
 
+  /** Recovery path for a crawl loop that outlives its `expectedItems`
+    * plan: rebuild the filters FROM SCRATCH over the full history at a
+    * larger budget, keeping the banding geometry (k, bands) so every
+    * classification stays key-compatible with the old index. Bloom
+    * filters cannot grow in place and differently-sized filters cannot
+    * `mergeInPlace` (the bit arrays differ), so when [[fold]]'s
+    * saturation guard fires the loop re-derives from its durable
+    * history — the exact [[Dedup.dedupIndex]] keys or the raw document
+    * store — instead of crashing and starting the crawl over. One pass
+    * over history, same as [[build]]; classifications of already-seen
+    * content are unchanged (same keys, fresh bits), modulo fpp-rare
+    * false positives that a LARGER budget only reduces.
+    */
+  def rebuild(index: Index, history: DataFrame, textCol: String,
+              expectedItems: Long, fpp: Double = 0.001): Index = {
+    require(expectedItems > index.expectedItems,
+      s"rebuild with expectedItems=$expectedItems <= current budget " +
+        s"${index.expectedItems} — a rebuild exists to GROW the budget")
+    build(history, textCol, expectedItems, fpp, index.k, index.bands)
+  }
+
   /** One treeAggregate folding `df`'s keys into the given filters,
     * counting inserted docs (= fp-kind keys) as it goes. The zero value
     * is serialized per partition, so the caller's filters are never

@@ -487,18 +487,28 @@ object Similarity {
     *    quadratic only in the largest cell; with cells ~ n/(k1*k2) the
     *    knob again bounds cluster size, now without a k ceiling.
     *
-    * At broadcast-hostile totals (coarseK*fineK*dim past executor
-    * memory) drop the broadcast hint and the assignment degrades to a
-    * co-partitioned shuffle join on coarse_id — the plan shape is
-    * otherwise unchanged.
+    * At broadcast-hostile totals the assignment automatically degrades
+    * to a co-partitioned shuffle-hash join on coarse_id (both sides
+    * hash-partition; each task sees only its cells) — the plan shape is
+    * otherwise unchanged and the output is bit-identical (the argmax
+    * reads the same (coarse_id -> cells) rows either way; pinned in
+    * ExtensionsSpec). The switch compares the estimated cells frame
+    * footprint coarseK*fineK*dim*8 bytes against
+    * `cellsBroadcastBytes` — e.g. 125k centroids at dim=768 ≈ 0.8 GB,
+    * well past broadcast comfort, picks the shuffle form.
     *
     * Same output contract as [[semDedup]]; cent_id = coarse*fineK+fine.
     * Scoring parity of the two argmax levels is pinned in
     * NativeExprSpec; scale behavior measured in SemdedupProbeMain.
+    *
+    * @param cellsBroadcastBytes broadcast budget for the fine-centroid
+    *        cells frame; estimated footprint past it switches the
+    *        per-iteration assignment to the shuffle-hash form
     */
   def semDedupHier(emb: DataFrame, idCol: String, threshold: Double,
                    coarseK: Int = 256, fineK: Int = 16,
-                   iterations: Int = 1): DataFrame = {
+                   iterations: Int = 1,
+                   cellsBroadcastBytes: Long = 64L << 20): DataFrame = {
     require(emb.schema(idCol).dataType.isInstanceOf[
       org.apache.spark.sql.types.NumericType],
       s"semDedupHier requires a numeric id column; '$idCol' is " +
@@ -550,11 +560,25 @@ object Similarity {
     def cells(f: DataFrame): DataFrame = f.groupBy(col("coarse_id"))
       .agg(array_sort(collect_list(struct(col("fine_id"), col("cent_vec"))))
         .as("_cells"))
-    def assignFine(f: DataFrame): DataFrame = withCoarse
-      .join(broadcast(cells(f)), Seq("coarse_id"))
-      .withColumn("fine_id", graft.functions.NearestInCellExpr
-        .nearest_in_cell(col("v_vec"), col("_cells")))
-      .drop("_cells")
+    // broadcast-vs-shuffle switch: the cells frame holds one double per
+    // (centroid, dimension) — estimate from the corpus's vector width
+    // (the emb non-emptiness check above guarantees a first row)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val cellsBytes = coarseK.toLong * fineK * dim * 8
+    val broadcastCells = cellsBytes <= cellsBroadcastBytes
+    def assignFine(f: DataFrame): DataFrame = {
+      val c = cells(f)
+      // shuffle form: hash both sides on coarse_id; shuffle_hash (not
+      // sort-merge) — the corpus side must not SORT by coarse_id just
+      // to stream past a dimension-sized build side
+      val joined =
+        if (broadcastCells) withCoarse.join(broadcast(c), Seq("coarse_id"))
+        else withCoarse.join(c.hint("shuffle_hash"), Seq("coarse_id"))
+      joined
+        .withColumn("fine_id", graft.functions.NearestInCellExpr
+          .nearest_in_cell(col("v_vec"), col("_cells")))
+        .drop("_cells")
+    }
 
     (1 to iterations).foreach { _ =>
       val means = assignFine(fine)

@@ -165,6 +165,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(bad.getMessage.contains("numeric id"), bad.getMessage)
   }
 
+  test("semDedupHier broadcast-hostile fallback: a zero cells budget " +
+      "forces the shuffle-hash assignment and the output is identical") {
+    val emb = Tables.embeddings(spark, sf)
+    def run(budget: Long) = Similarity.semDedupHier(emb, "vec_id",
+        threshold = 0.99, coarseK = 16, fineK = 4, iterations = 1,
+        cellsBroadcastBytes = budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    // budget 0 ⇒ estimated cells footprint always exceeds it ⇒ the
+    // per-iteration assignment joins co-partitioned on coarse_id
+    // instead of broadcasting; the argmax reads the same cells rows,
+    // so (cent_id, group, keep) must match bit-for-bit
+    assert(run(0L).toSeq === run(64L << 20).toSeq)
+  }
+
   test("bloom fold grows the index across increments without mutating " +
       "the original, and the saturation guard fires loudly") {
     val docs = Tables.documents(spark, sf)
@@ -208,6 +224,38 @@ class ExtensionsSpec extends SparkSpec {
         expectedItems = 3, fpp = 0.001, k = 16, bands = 2)
     }
     assert(satB.getMessage.contains("saturated"), satB.getMessage)
+
+    // recovery: fold to near-saturation, rebuild from the durable
+    // history at 2x budget — classifications unchanged, and the loop
+    // regains fold headroom instead of crashing (r10, verdict item 6)
+    val nearFull = graft.dedup.BloomIndex.build(hist, "text",
+      expectedItems = idx0.inserted + keptN, fpp = 0.001, k = 16, bands = 2)
+    val full = graft.dedup.BloomIndex.fold(nearFull, kept1, "text")
+    assert(full.inserted === full.expectedItems) // zero headroom left
+    val grown = graft.dedup.BloomIndex.rebuild(full,
+      hist.select($"doc_id", $"text").unionByName(kept1), "text",
+      expectedItems = full.expectedItems * 2)
+    assert(grown.expectedItems === full.expectedItems * 2 &&
+      grown.inserted === full.inserted &&
+      grown.k === full.k && grown.bands === full.bands)
+    val fullCls = graft.dedup.BloomIndex.classify(recrawl, full, "text")
+      .orderBy($"doc_id").select($"status").as[String].collect().toSeq
+    val grownCls = graft.dedup.BloomIndex.classify(recrawl, grown, "text")
+      .orderBy($"doc_id").select($"status").as[String].collect().toSeq
+    assert(grownCls === fullCls)
+    // the grown index accepts further folds the saturated one refused
+    val more = recrawl.limit(3)
+    intercept[IllegalArgumentException] {
+      graft.dedup.BloomIndex.fold(full, more, "text")
+    }
+    assert(graft.dedup.BloomIndex.fold(grown, more, "text")
+      .inserted === grown.inserted + 3)
+    // shrinking is not a rebuild
+    val shrink = intercept[IllegalArgumentException] {
+      graft.dedup.BloomIndex.rebuild(full, hist, "text",
+        expectedItems = full.expectedItems)
+    }
+    assert(shrink.getMessage.contains("GROW"), shrink.getMessage)
   }
 
   test("incremental dedup: geometry mismatch between index and classify " +

@@ -19,15 +19,19 @@ import graft.similarity.Similarity
   * correctness lives in the digest-pinned sim_semdedup_hier query and
   * ExtensionsSpec.
   *
-  * Usage: [n1,n2,...] (default "50000,500000,2000000")
+  * Usage: [n1,n2,...] (default "50000,500000,2000000") [budgetBytes]
   * Prints one HIERSCALE line per n with coarseK, fineK, total
   * centroids, non-empty cells, max/mean cell size, sum of squared cell
-  * sizes (the pair-join cost proxy), and wall seconds.
+  * sizes (the pair-join cost proxy), and wall seconds. A second arg
+  * sets cellsBroadcastBytes — pass 0 to force the broadcast-hostile
+  * shuffle-hash assignment (r10 fallback) and compare its wall against
+  * the broadcast form at the same n.
   */
 object SemdedupHierScaleMain {
   def main(args: Array[String]): Unit = {
     val ns = args.headOption.getOrElse("50000,500000,2000000")
       .split(",").map(_.trim.toLong)
+    val budget = args.drop(1).headOption.map(_.toLong).getOrElse(64L << 20)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -52,7 +56,8 @@ object SemdedupHierScaleMain {
       val fineK = math.max(1L, n / 16 / coarseK).toInt
       val t0 = System.nanoTime()
       val out = Similarity.semDedupHier(vecs, "vec_id", threshold = 0.9999,
-        coarseK = coarseK, fineK = fineK, iterations = 1)
+        coarseK = coarseK, fineK = fineK, iterations = 1,
+        cellsBroadcastBytes = budget)
       val cellHist = out.groupBy(col("cent_id")).count()
         .agg(count(lit(1)).as("cells"), max(col("count")).as("maxCell"),
           avg(col("count")).as("meanCell"),

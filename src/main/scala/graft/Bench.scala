@@ -319,6 +319,14 @@ object Bench {
         val all = (pass1 +: ratioExtra(n)).map(fmt).mkString("[", ",", "]")
         s""""$n":$all"""
       }.mkString("{", ",", "}")
+    // sample-semantics flag for JSON consumers (r10 advice): when true,
+    // the two ratio rows inside `queries`/`total` carry MEDIAN-of-3
+    // values (pass sample + two back-to-back rolls under different
+    // interleaving) while every other row is single-sample, and `total`
+    // excludes the ~2 extra roll walls (visible only in ratio_trace).
+    // Compare ratio-row history across rounds via ratio_trace medians,
+    // not raw `queries`, when this flag differs between artifacts.
+    val mixedMedians = symmetric
 
     // same-session DuckDB wall + the Spark total over the same (oracle-
     // backed) query subset — the 2x gate's like-for-like pair
@@ -350,7 +358,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""action":"digest","failed":$fs,"suspect":$ss,""" +
         s""""reruns":${results.count(_.reran)},"calib_trace":$tr,""" +
-        s""""ratio_trace":$ratioTrace,""" +
+        s""""ratio_trace":$ratioTrace,"ratio_rows_medianized":$mixedMedians,""" +
         s""""spark_oracle_subset":${fmt(sparkOracleSubset)},$duck,""" +
         s""""queries":$qs,$wm"sf":"$sfDir",""" +
         s""""calib_1t_pre":${fmt(calPre._1)},"calib_32t_pre":${fmt(calPre._2)},""" +

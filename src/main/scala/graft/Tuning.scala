@@ -77,11 +77,15 @@ object Tuning {
     // initial partitions on the session (seen live when snapshot
     // frames briefly lost their origin stats). Unknown contributes 0:
     // the parallelism floor is the designed fallback for inputs whose
-    // size the plan can't see.
+    // size the plan can't see. Equality, not `<`: when a session tunes
+    // defaultSizeInBytes to a FINITE value, a big scan with a real
+    // estimate past it must still count (dropping it would land a huge
+    // input at the parallelism floor — the exact OOM the cap exists to
+    // prevent); only the sentinel value itself marks a stats-less leaf.
     val unknown = BigInt(df.sparkSession.conf
       .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString))
     df.queryExecution.optimizedPlan.collectLeaves()
-      .map(_.stats.sizeInBytes).filter(_ < unknown).sum
+      .map(_.stats.sizeInBytes).filter(_ != unknown).sum
   }
 
   /** Install the input-adaptive initial partition count on the session

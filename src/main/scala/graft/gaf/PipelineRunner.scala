@@ -29,11 +29,7 @@ object PipelineRunner {
     */
   private val timing = sys.env.contains("GRAFT_RUNNER_TIMING")
   private def timed[T](name: String)(f: => T): T =
-    if (!timing) f
-    else {
-      val t0 = System.nanoTime(); val r = f
-      println(f"RUNNER $name ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
-    }
+    graft.util.Debug.timed(timing, "RUNNER", name)(f)
 
   final case class SpeciesRun(name: String, gaf: DataFrame, cfg: PipelineConfig)
 
@@ -88,52 +84,67 @@ object PipelineRunner {
     // no table-sized storage accumulates across harness invocations.
     var table = existing
     var prevRelease: Option[() => Unit] = None
-    val perSpecies = runs.map { r =>
-      val initial = timed(s"${r.name}_initial_count")(
-        refSpeciesCount(table, dims.rgdIds, r.cfg.refRgdId,
-          r.cfg.speciesTypeKey))
-      // materialize the merge ONCE: the op counts, the stale-delete
-      // scans, and the snapshot below all read the stored result (the
-      // merge's full-outer join must not re-execute per action)
-      val mergedSnap = timed(s"${r.name}_merge_fill")(
-        Snapshot.materialize(AnnotationPipeline.run(r.gaf, table, dims, r.cfg)))
-      val merged = mergedSnap.df
-      val ops = timed(s"${r.name}_op_counts")(
-        merged.groupBy("_op").count().collect()
-          .map(x => x.getString(0) -> x.getLong(1)).toMap)
-      val next = merged.drop("_op")
-      val (afterDelete, report) = timed(s"${r.name}_stale_delete")(
-        if (r.cfg.refRgdId == 0) (next, StaleReport(0, 0, aborted = false))
-        else MergeSink.staleDelete(next, dims.rgdIds, r.cfg.refRgdId,
-          r.cfg.speciesTypeKey, staleCutoff, r.cfg.createdBy, thresholdPct,
-          initial))
-      val snap = timed(s"${r.name}_snapshot_fill")(
-        Snapshot.materialize(afterDelete))
-      mergedSnap.release()
-      prevRelease.foreach(_())
-      prevRelease = Some(snap.release)
-      table = snap.df
-      (r.name, ops, report)
-    }
+    // a failure anywhere mid-run must release the in-flight snapshots:
+    // harness callers catch Throwable and keep the session alive, so a
+    // stranded mergedSnap/species snapshot would pin table-sized blocks
+    // for the rest of the session (the deterministic-release contract
+    // the Snapped handles exist for)
+    try {
+      val perSpecies = runs.map { r =>
+        val initial = timed(s"${r.name}_initial_count")(
+          refSpeciesCount(table, dims.rgdIds, r.cfg.refRgdId,
+            r.cfg.speciesTypeKey))
+        // materialize the merge ONCE: the op counts, the stale-delete
+        // scans, and the snapshot below all read the stored result (the
+        // merge's full-outer join must not re-execute per action)
+        val mergedSnap = timed(s"${r.name}_merge_fill")(
+          Snapshot.materialize(
+            AnnotationPipeline.run(r.gaf, table, dims, r.cfg)))
+        try {
+          val merged = mergedSnap.df
+          val ops = timed(s"${r.name}_op_counts")(
+            merged.groupBy("_op").count().collect()
+              .map(x => x.getString(0) -> x.getLong(1)).toMap)
+          val next = merged.drop("_op")
+          val (afterDelete, report) = timed(s"${r.name}_stale_delete")(
+            if (r.cfg.refRgdId == 0)
+              (next, StaleReport(0, 0, aborted = false))
+            else MergeSink.staleDelete(next, dims.rgdIds, r.cfg.refRgdId,
+              r.cfg.speciesTypeKey, staleCutoff, r.cfg.createdBy,
+              thresholdPct, initial))
+          val snap = timed(s"${r.name}_snapshot_fill")(
+            Snapshot.materialize(afterDelete))
+          prevRelease.foreach(_())
+          prevRelease = Some(snap.release)
+          table = snap.df
+          (r.name, ops, report)
+        } finally mergedSnap.release()
+      }
 
-    // U5: rat-ISO stale delete vs the time-zero snapshot
-    val (afterIso, isoReport) = timed("u5_iso_stale")(
-      MergeSink.staleDelete(table, dims.rgdIds,
-        isoRefRgdId, RAT, staleCutoff,
-        runs.headOption.map(_.cfg.createdBy).getOrElse(CREATED_BY),
-        thresholdPct, isoInitial))
+      // U5: rat-ISO stale delete vs the time-zero snapshot
+      val (afterIso, isoReport) = timed("u5_iso_stale")(
+        MergeSink.staleDelete(table, dims.rgdIds,
+          isoRefRgdId, RAT, staleCutoff,
+          runs.headOption.map(_.cfg.createdBy).getOrElse(CREATED_BY),
+          thresholdPct, isoInitial))
 
-    // Exactly ONE materialization leaves this function: finalTable, with
-    // its release handle on the report (the U5 delete is an anti-join
-    // ABOVE the last species' snapshot, so returning it raw would strand
-    // that snapshot's storage with no way for the caller to free it).
-    if (afterIso eq table) // U5 no-op/abort: already the materialized snap
-      RunReport(perSpecies, Some(isoReport), table,
-        prevRelease.getOrElse(() => ()))
-    else {
-      val finalSnap = timed("final_fill")(Snapshot.materialize(afterIso))
+      // Exactly ONE materialization leaves this function: finalTable,
+      // with its release handle on the report (the U5 delete is an
+      // anti-join ABOVE the last species' snapshot, so returning it raw
+      // would strand that snapshot's storage with no way for the caller
+      // to free it).
+      if (afterIso eq table) // U5 no-op/abort: already the materialized snap
+        RunReport(perSpecies, Some(isoReport), table,
+          prevRelease.getOrElse(() => ()))
+      else {
+        val finalSnap = timed("final_fill")(Snapshot.materialize(afterIso))
+        prevRelease.foreach(_())
+        RunReport(perSpecies, Some(isoReport), finalSnap.df,
+          finalSnap.release)
+      }
+    } catch { case e: Throwable =>
       prevRelease.foreach(_())
-      RunReport(perSpecies, Some(isoReport), finalSnap.df, finalSnap.release)
+      throw e
     }
   }
 

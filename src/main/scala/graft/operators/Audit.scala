@@ -151,12 +151,8 @@ object Audit {
     import AnnotationPipeline._
     val spark = gaf.sparkSession
     val tStart = System.nanoTime()
-    def dbg[A](n: String)(f: => A): A =
-      if (sys.env.contains("GRAFT_COUNTER_DEBUG")) {
-        val t0 = System.nanoTime(); val r = f
-        System.err.println(f"CDBG $n%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
-          f"  @${(System.nanoTime() - tStart) / 1e9}%6.2f"); r
-      } else f
+    def dbg[A](n: String)(f: => A): A = graft.util.Debug.timed(
+      sys.env.contains("GRAFT_COUNTER_DEBUG"), "CDBG", n, tStart)(f)
 
     // ---- main pass: one end-to-end plan with observe() hooks at every
     // stage boundary — these counters cost ZERO extra scans (they

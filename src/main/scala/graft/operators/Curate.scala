@@ -416,9 +416,21 @@ object Curate {
       if (it.next()._1.sparkContext.isStopped) it.remove()
     }
     if (manifestCache.size > ManifestCap) clearManifests()
-    manifestCache.computeIfAbsent(
-      (ids.sparkSession, ids.queryExecution.analyzed.canonicalized),
-      _ => graft.plans.Snapshot.materialize(ids)).df
+    val key = (ids.sparkSession, ids.queryExecution.analyzed.canonicalized)
+    val hit = manifestCache.get(key)
+    if (hit != null) hit.df
+    else {
+      // materialize OUTSIDE the map: computeIfAbsent holds the bin lock
+      // for the mapping function's whole duration, and this one runs a
+      // full Spark job — a second thread materializing a different
+      // manifest in the same bin would block behind it, and a
+      // re-entrant computation would throw. Lose the race → release the
+      // duplicate storage and use the winner.
+      val snapped = graft.plans.Snapshot.materialize(ids)
+      val prev = manifestCache.putIfAbsent(key, snapped)
+      if (prev == null) snapped.df
+      else { snapped.release(); prev.df }
+    }
   }
 
   /** Release every memoized manifest's storage and drop the memo

@@ -53,7 +53,13 @@ object Snapshot {
       .withExecutionId(df, "graft.Snapshot.materialize") {
         val r = qe.toRdd.map(_.copy())
         r.persist(level)
-        (r, r.count())
+        // a failed fill must not strand the partitions it DID cache:
+        // the Snapped handle (and its release closure) never comes to
+        // exist, so nothing else can free them deterministically
+        val c = try r.count() catch { case e: Throwable =>
+          r.unpersist(blocking = false); throw e
+        }
+        (r, c)
       }
     val out = org.apache.spark.sql.GraftSqlShim.rddFrame(df, rdd)
     Snapped(out, n, () => { rdd.unpersist(blocking = false); () })

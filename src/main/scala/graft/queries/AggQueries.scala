@@ -342,12 +342,8 @@ object AggQueries extends QueryPack {
     "ev_dedup_incremental" -> ((s, d) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      def sdbg[A](n: String)(f: => A): A =
-        if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
-          val t0 = System.nanoTime(); val r = f
-          System.err.println(
-            f"SDBG $n%-10s ${(System.nanoTime() - t0) / 1e9}%5.2f s"); r
-        } else f
+      def sdbg[A](n: String)(f: => A): A = graft.util.Debug.timed(
+        sys.env.contains("GRAFT_STREAM_DEBUG"), "SDBG", n)(f)
       val docs = Tables.documents(s, d)
       val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
         .select($"doc_id", $"text")

@@ -238,11 +238,14 @@ object GafE2eQueries extends QueryPack {
     // quarter-scale fact slice (r10): the row replays the SAME plan shape
     // at every scale — the orchestration contracts RunnerSpec asserts stay
     // non-vacuous — so the harness row doesn't need flagship-sized facts
-    // on top of the flagship row itself (it was 36% of the bench wall)
-    val human = PipelineRunner.SpeciesRun("human", gaf(s, d, sliceMod = 4),
-      cfg.copy(runTs = runTs))
+    // on top of the flagship row itself (it was 36% of the bench wall).
+    // ONE constant drives both species' slices: retuning it in one place
+    // keeps the relative fact volumes (and the pinned digest) coherent.
+    val harnessSliceMod = 4
+    val human = PipelineRunner.SpeciesRun("human",
+      gaf(s, d, sliceMod = harnessSliceMod), cfg.copy(runTs = runTs))
     val mouseGaf = Tables.spread(Tables.lineitem(s, d)
-        .filter($"l_orderkey" % 4 === 0))
+        .filter($"l_orderkey" % harnessSliceMod === 0))
       .filter($"l_partkey" % 5 === 0 && $"l_linenumber" % 2 === 0)
       .select(
         lit("MGI").as("db"),

@@ -518,9 +518,18 @@ object Similarity {
       s"coarseK=$coarseK outside [1, $maxCentroids]")
     require(fineK >= 1, s"fineK=$fineK must be >= 1")
     require(iterations >= 0, s"negative iterations: $iterations")
-    if (emb.limit(1).isEmpty)
+    // ONE probe action serves both the emptiness check and the
+    // broadcast-budget width estimate (a separate head() would execute
+    // a derived emb's plan twice before any work). A null first
+    // embedding yields width 0 → the switch keeps the broadcast form
+    // (degenerate input; downstream handles it as before).
+    val firstDim = emb.select(size(col("embedding")).as("_d"))
+      .limit(1).collect()
+    if (firstDim.isEmpty)
       return emb.select(col(idCol), lit(0L).as("cent_id"),
         col(idCol).as("group"), lit(true).as("keep"))
+    val dim = if (firstDim(0).isNullAt(0)) 0
+      else math.max(firstDim(0).getInt(0), 0)
 
     // coarse quantizer: hash-ranked seeds renumbered 0..coarseK-1 (the
     // cell id must compose into one block long), standard Lloyd recipe
@@ -561,9 +570,7 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("fine_id"), col("cent_vec"))))
         .as("_cells"))
     // broadcast-vs-shuffle switch: the cells frame holds one double per
-    // (centroid, dimension) — estimate from the corpus's vector width
-    // (the emb non-emptiness check above guarantees a first row)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // (centroid, dimension) — width estimated by the single probe above
     val cellsBytes = coarseK.toLong * fineK * dim * 8
     val broadcastCells = cellsBytes <= cellsBroadcastBytes
     def assignFine(f: DataFrame): DataFrame = {

@@ -29,6 +29,17 @@ import java.time.Duration
   */
 object Transport {
 
+  /** One client for the process: HttpClient is thread-safe, and each
+    * instance owns a selector thread + connection pool that lives until
+    * GC — a per-download client would pin one of each per archive
+    * fetched. The 10s value bounds only CONNECT; per-request transfer
+    * time is the `timeout` each [[http]] call carries.
+    */
+  private lazy val httpClient = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .connectTimeout(Duration.ofSeconds(10))
+    .build()
+
   /** HTTP(S) GET to `dest`. Follows redirects; any non-2xx status
     * throws (a silent 404 body archived as a GAF would poison every
     * downstream run until the next date stamp).
@@ -36,13 +47,10 @@ object Transport {
   def http(url: String,
            timeout: Duration = Duration.ofMinutes(5)): Path => Unit = {
     dest =>
-      val client = HttpClient.newBuilder()
-        .followRedirects(HttpClient.Redirect.NORMAL)
-        .connectTimeout(timeout)
-        .build()
       val req = HttpRequest.newBuilder(URI.create(url))
         .timeout(timeout).GET().build()
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
+      val resp =
+        httpClient.send(req, HttpResponse.BodyHandlers.ofInputStream())
       if (resp.statusCode() / 100 != 2) {
         resp.body().close()
         throw new java.io.IOException(
@@ -84,11 +92,13 @@ object Transport {
       send(out, s"USER $user")
       val u = reply(in)
       if (u / 100 == 3) { send(out, s"PASS $pass"); expect(in, 230) }
-      else require(u == 230, s"USER rejected: $u")
+      else if (u != 230)
+        throw new java.io.IOException(s"USER rejected: $u")
       send(out, "TYPE I"); expect(in, 200)
       send(out, "PASV")
       val pasv = replyLine(in)
-      require(pasv._1 == 227, s"PASV rejected: $pasv")
+      if (pasv._1 != 227)
+        throw new java.io.IOException(s"PASV rejected: $pasv")
       // RFC 1123 §4.1.2.6: trust the PASV port but not the address —
       // NAT'd servers advertise internal IPs; reuse the control host
       val dPort = parsePasv(pasv._2)._2
@@ -151,16 +161,25 @@ object Transport {
 
   private def reply(in: InputStream): Int = replyLine(in)._1
 
+  /** Wire-level failures are IOException — the same contract the HTTP
+    * adapter's non-2xx path establishes — so a transport-agnostic
+    * caller can retry/report every fetch error uniformly. `require`
+    * stays reserved for caller bugs (e.g. a non-ftp URL).
+    */
   private def expect(in: InputStream, codes: Int*): Unit = {
     val (c, line) = replyLine(in)
-    require(codes.contains(c), s"expected ${codes.mkString("/")}, got: $line")
+    if (!codes.contains(c)) throw new java.io.IOException(
+      s"expected ${codes.mkString("/")}, got: $line")
   }
 
-  /** `227 Entering Passive Mode (h1,h2,h3,h4,p1,p2)` → (host, port). */
+  /** `227 Entering Passive Mode (h1,h2,h3,h4,p1,p2)` → (host, port).
+    * RFC 959 does not mandate the parentheses (wu-ftpd-style servers
+    * omit them), so take the LAST six numbers — never the reply code.
+    */
   private def parsePasv(line: String): (String, Int) = {
-    val nums = "\\d+".r.findAllIn(
-      line.substring(line.indexOf('(') + 1)).map(_.toInt).toSeq
-    require(nums.length >= 6, s"unparseable PASV reply: $line")
+    val nums = "\\d+".r.findAllIn(line).map(_.toInt).toSeq.takeRight(6)
+    if (nums.length < 6)
+      throw new java.io.IOException(s"unparseable PASV reply: $line")
     (nums.take(4).mkString("."), nums(4) * 256 + nums(5))
   }
 }

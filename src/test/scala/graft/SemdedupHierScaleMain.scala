@@ -20,24 +20,29 @@ import graft.similarity.Similarity
   * ExtensionsSpec.
   *
   * Usage: [n1,n2,...] (default "50000,500000,2000000") [budgetBytes]
+  *        [dim]
   * Prints one HIERSCALE line per n with coarseK, fineK, total
   * centroids, non-empty cells, max/mean cell size, sum of squared cell
   * sizes (the pair-join cost proxy), and wall seconds. A second arg
   * sets cellsBroadcastBytes — pass 0 to force the broadcast-hostile
   * shuffle-hash assignment (r10 fallback) and compare its wall against
-  * the broadcast form at the same n.
+  * the broadcast form at the same n. A third arg sets the synthetic
+  * vector width (default 8) — at realistic embedding widths the cells
+  * frame genuinely outgrows the default budget and the fallback fires
+  * NATURALLY, measuring the crossover the budget knob is about.
   */
 object SemdedupHierScaleMain {
   def main(args: Array[String]): Unit = {
     val ns = args.headOption.getOrElse("50000,500000,2000000")
       .split(",").map(_.trim.toLong)
     val budget = args.drop(1).headOption.map(_.toLong).getOrElse(64L << 20)
+    val dimArg = args.drop(2).headOption.map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dim = 8
+    val dim = dimArg
     ns.foreach { n =>
       // deterministic synthetic corpus: element j of vector id =
       // xxhash64(id, j) scaled to [0, 1)
@@ -64,10 +69,13 @@ object SemdedupHierScaleMain {
           sum(col("count") * col("count")).as("sumSq"))
         .head()
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"HIERSCALE n=$n%d coarseK=$coarseK%d fineK=$fineK%d " +
+      val cellsBytes = coarseK.toLong * fineK * dim * 8
+      val form = if (cellsBytes <= budget) "broadcast" else "shuffle-hash"
+      println(f"HIERSCALE n=$n%d dim=$dim%d coarseK=$coarseK%d fineK=$fineK%d " +
         f"totalCents=${coarseK.toLong * fineK}%d cells=${cellHist.getLong(0)}%d " +
         f"maxCell=${cellHist.getLong(1)}%d meanCell=${cellHist.getDouble(2)}%.1f " +
-        f"pairCostSumSq=${cellHist.getLong(3)}%d wall=$wall%.1f s")
+        f"pairCostSumSq=${cellHist.getLong(3)}%d " +
+        f"cellsMB=${cellsBytes / (1 << 20)}%d form=$form wall=$wall%.1f s")
       vecs.unpersist()
     }
     spark.stop()

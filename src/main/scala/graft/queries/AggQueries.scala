@@ -22,16 +22,6 @@ object AggQueries extends QueryPack {
     */
   private val sessionGapUs = 6L * 3600 * 1000000L
 
-  /** History Bloom index per (session, dir) — the operational shape: a
-    * deployment persists the serialized filters BETWEEN increments
-    * (BloomIndex scaladoc), it does not rebuild them per batch; the
-    * treeAggregate rebuild was most of ev_dedup_incremental's bench
-    * cost. Bits are order-independent, so the memo changes no digest.
-    * r10: hoisted to [[Fixtures]] so the curate increment rows share
-    * the same stored-index semantics (and the same filters).
-    */
-  private def histBloomIdx(s: SparkSession, d: String)
-      : graft.dedup.BloomIndex.Index = Fixtures.histBloomIdx(s, d)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -337,7 +327,9 @@ object AggQueries extends QueryPack {
       val docs = Tables.documents(s, d)
       val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
         .select($"doc_id", $"text")
-      val idx = sdbg("idx")(histBloomIdx(s, d))
+      // the (session, dir)-memoized stored-filter fixture shared with
+      // the curate increment rows (see Fixtures scaladoc)
+      val idx = sdbg("idx")(Fixtures.histBloomIdx(s, d))
       val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
       val rows = sdbg("collect")(batch.orderBy($"doc_id").collect()
         .map(r => (r.getLong(0), r.getString(1), t0)).toSeq)

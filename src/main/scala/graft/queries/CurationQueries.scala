@@ -27,16 +27,20 @@ object CurationQueries extends QueryPack {
     * Persisting the tiny (id, 64-float) frame is also what a
     * deployment does between the embed and cluster stages.
     */
+  // value = (persisted base, filtered view): a racing loser must
+  // unpersist the BASE (unpersist on the derived filter frame is a
+  // cache-manager no-op — it only matches exact cached plans)
   private val embCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    (SparkSession, String), (DataFrame, DataFrame)]()
 
-  private def hashedEmb(s: SparkSession, d: String): DataFrame = {
-    // sweep dead-session entries (the persistedManifest lesson: stale
-    // keys pin plans + persisted frames for the JVM lifetime)
-    val it = embCache.keySet().iterator()
-    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-    embCache.computeIfAbsent((s, d), { case (s2, d2) =>
-      import s2.implicits._
+  private def hashedEmb(s: SparkSession, d: String): DataFrame =
+    // shared memo helper (Fixtures.memo): compute outside the map —
+    // this runs a multi-second Spark fill that must not hold a
+    // ConcurrentHashMap bin lock
+    Fixtures.memo(embCache, s, d,
+        onLose = (v: (DataFrame, DataFrame)) =>
+          v._1.unpersist(blocking = false)) {
+      import s.implicits._
       // persist FIRST, filter on the cached arrays: a filter below the
       // persist gets pushed through the staged embedding projections
       // with the whole embedding expression substituted into the
@@ -44,16 +48,15 @@ object CurationQueries extends QueryPack {
       // again for the projection (measured ~2x the fill, ~18s at
       // sf0.1). Above the cache the exists() reads materialized arrays.
       val e0 = TextAnalysis.hashedEmbeddings(
-          Tables.documents(s2, d2), "doc_id", "text", dim = 64)
+          Tables.documents(s, d), "doc_id", "text", dim = 64)
         .persist()
       e0.count()
       // zero vectors (empty docs) out per hashedEmbeddings' contract:
       // cosine-0-to-everything rows would pile into one cluster, drag
       // its centroid toward zero through Lloyd iterations, and never
       // group with their own duplicates (cosine(0,0) = 0)
-      e0.filter(exists($"embedding", v => v =!= 0.0f))
-    })
-  }
+      (e0, e0.filter(exists($"embedding", v => v =!= 0.0f)))
+    }._2
 
   /** The shared SemDeDup recipe — now literally
     * [[Similarity.semDedupTrained]] (sqrt-stride seeds, 50%

@@ -35,7 +35,8 @@ object Fixtures {
     * (same reasoning as Curate.persistedManifest). `onLose` releases a
     * loser's resources when two threads race the same key.
     */
-  private def memo[V](m: ConcurrentHashMap[(SparkSession, String), V],
+  private[queries] def memo[V](
+      m: ConcurrentHashMap[(SparkSession, String), V],
                       s: SparkSession, d: String,
                       onLose: V => Unit = (_: V) => ())(compute: => V): V = {
     val it = m.keySet().iterator()
@@ -50,8 +51,16 @@ object Fixtures {
     }
   }
 
-  /** History Bloom index (k=16, bands=2 — CurateConfig defaults). Bits
-    * are order-independent, so the memo changes no digest.
+  /** Index geometry taken FROM CurateConfig's defaults — the consuming
+    * rows construct `CurateConfig(...)` relying on those same defaults,
+    * and curateIncrementBloom/incrementalStatus both guard on geometry
+    * match: a literal here could silently drift and fail every
+    * curate-increment row at bench runtime.
+    */
+  private val geomCfg = graft.operators.Curate.CurateConfig()
+
+  /** History Bloom index (geometry = CurateConfig defaults). Bits are
+    * order-independent, so the memo changes no digest.
     */
   private val bloomIdx =
     new ConcurrentHashMap[(SparkSession, String),
@@ -62,7 +71,8 @@ object Fixtures {
     memo(bloomIdx, s, d) {
       val hist = histDocs(s, d)
       graft.dedup.BloomIndex.build(hist, "text",
-        expectedItems = hist.count(), fpp = 0.001, k = 16, bands = 2)
+        expectedItems = hist.count(), fpp = 0.001,
+        k = geomCfg.minhashK, bands = geomCfg.bands)
     }
 
   /** History EXACT index (fp + band keys, same geometry), materialized
@@ -80,7 +90,7 @@ object Fixtures {
         onLose = (v: graft.plans.Snapshot.Snapped) => v.release()) {
       graft.plans.Snapshot.materialize(
         graft.dedup.Dedup.dedupIndex(histDocs(s, d), "doc_id", "text",
-          k = 16, bands = 2))
+          k = geomCfg.minhashK, bands = geomCfg.bands))
     }.df
 
   /** Bench-slice quality classifier (corpus_curate_full's model) —

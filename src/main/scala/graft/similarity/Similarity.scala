@@ -505,6 +505,15 @@ object Similarity {
     *        cells frame; estimated footprint past it switches the
     *        per-iteration assignment to the shuffle-hash form
     */
+  /** THE broadcast-vs-shuffle decision [[semDedupHier]] makes for its
+    * fine-cells frame, exposed so harnesses report the form the engine
+    * actually used instead of re-deriving (and drifting from) the
+    * estimate: one double per (centroid, dimension).
+    */
+  def hierBroadcastsCells(coarseK: Int, fineK: Int, dim: Int,
+                          cellsBroadcastBytes: Long): Boolean =
+    coarseK.toLong * fineK * dim * 8 <= cellsBroadcastBytes
+
   def semDedupHier(emb: DataFrame, idCol: String, threshold: Double,
                    coarseK: Int = 256, fineK: Int = 16,
                    iterations: Int = 1,
@@ -571,8 +580,8 @@ object Similarity {
         .as("_cells"))
     // broadcast-vs-shuffle switch: the cells frame holds one double per
     // (centroid, dimension) — width estimated by the single probe above
-    val cellsBytes = coarseK.toLong * fineK * dim * 8
-    val broadcastCells = cellsBytes <= cellsBroadcastBytes
+    val broadcastCells =
+      hierBroadcastsCells(coarseK, fineK, dim, cellsBroadcastBytes)
     def assignFine(f: DataFrame): DataFrame = {
       val c = cells(f)
       // shuffle form: hash both sides on coarse_id; shuffle_hash (not

@@ -69,8 +69,11 @@ object SemdedupHierScaleMain {
           sum(col("count") * col("count")).as("sumSq"))
         .head()
       val wall = (System.nanoTime() - t0) / 1e9
+      // the engine's OWN decision function — the label cannot drift
+      // from the join strategy semDedupHier actually picked
       val cellsBytes = coarseK.toLong * fineK * dim * 8
-      val form = if (cellsBytes <= budget) "broadcast" else "shuffle-hash"
+      val form = if (Similarity.hierBroadcastsCells(coarseK, fineK, dim,
+          budget)) "broadcast" else "shuffle-hash"
       println(f"HIERSCALE n=$n%d dim=$dim%d coarseK=$coarseK%d fineK=$fineK%d " +
         f"totalCents=${coarseK.toLong * fineK}%d cells=${cellHist.getLong(0)}%d " +
         f"maxCell=${cellHist.getLong(1)}%d meanCell=${cellHist.getDouble(2)}%.1f " +

@@ -94,7 +94,9 @@ class TransportSpec extends AnyFunSuite {
               data = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
               say(pasvLine(data.getLocalPort))
             case "RETR" => retrReply match {
-              case Some(fail) => say(fail)
+              case Some(fail) =>
+                if (data != null) { data.close(); data = null }
+                say(fail)
               case None =>
                 say("150 opening data connection")
                 val d = data.accept()

@@ -168,17 +168,54 @@ class ExtensionsSpec extends SparkSpec {
   test("semDedupHier broadcast-hostile fallback: a zero cells budget " +
       "forces the shuffle-hash assignment and the output is identical") {
     val emb = Tables.embeddings(spark, sf)
-    def run(budget: Long) = Similarity.semDedupHier(emb, "vec_id",
-        threshold = 0.99, coarseK = 16, fineK = 4, iterations = 1,
-        cellsBroadcastBytes = budget)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-      .sortBy(_._1)
-    // budget 0 ⇒ estimated cells footprint always exceeds it ⇒ the
-    // per-iteration assignment joins co-partitioned on coarse_id
-    // instead of broadcasting; the argmax reads the same cells rows,
-    // so (cent_id, group, keep) must match bit-for-bit
-    assert(run(0L).toSeq === run(64L << 20).toSeq)
+    // the fine-assignment joins execute behind a localCheckpoint, so
+    // the OUTPUT plan can't show them — capture every executed plan of
+    // the run and count the join forms there
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      def run(budget: Long) = {
+        plans.clear()
+        val r = Similarity.semDedupHier(emb, "vec_id",
+            threshold = 0.99, coarseK = 16, fineK = 4, iterations = 1,
+            cellsBroadcastBytes = budget)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getBoolean(3)))
+          .sortBy(_._1)
+        // listener delivery is async; block until the bus drains
+        org.scalatest.concurrent.Eventually.eventually(
+          org.scalatest.concurrent.Eventually.timeout(
+            org.scalatest.time.Span(10, org.scalatest.time.Seconds))) {
+          assert(plans.size() >= 5) // coarse train + fine stages at least
+        }
+        val all = plans.toArray.map(_.toString)
+        (r.toSeq, all.count(_.contains("ShuffledHashJoin")),
+          all.count(_.contains("SortMergeJoin")))
+      }
+      // budget 0 ⇒ estimated cells footprint always exceeds it ⇒ the
+      // per-iteration assignment joins co-partitioned on coarse_id
+      // instead of broadcasting; the argmax reads the same cells rows,
+      // so (cent_id, group, keep) must match bit-for-bit
+      val (fb, fbHash, fbSmj) = run(0L)
+      val (bc, bcHash, _) = run(64L << 20)
+      assert(fb === bc)
+      // and the scaladoc's physical claim holds: the fallback is a
+      // SHUFFLE-HASH join (one per assignFine pass: Lloyd + final),
+      // never a sort-merge — the corpus side must not sort by coarse_id
+      // just to stream past a dimension-sized build side
+      assert(fbHash >= 2 && fbSmj === 0,
+        s"fallback join form: shuffledHash=$fbHash sortMerge=$fbSmj")
+      assert(bcHash === 0, s"broadcast path ran $bcHash shuffle-hash joins")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("bloom fold grows the index across increments without mutating " +

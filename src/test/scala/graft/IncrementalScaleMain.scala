@@ -21,7 +21,15 @@ import org.apache.spark.sql.functions._
   * (build = one treeAggregate pass, classify = map-only projection) so
   * the two regimes are directly comparable at each factor.
   *
-  * Usage: Test/runMain graft.IncrementalScaleMain [sfDir] [factor] [exact|bloom]
+  * `cycle` mode measures the full Bloom crawl-LOOP lifecycle instead
+  * (r10): build sized to history+increment, fold the increment's kept
+  * docs to exact saturation, REBUILD from the durable history at 2x
+  * budget (the recovery path — its cost claim is "one pass, same as
+  * build"), then prove the grown index still folds. One INC_CYCLE line
+  * with per-phase walls.
+  *
+  * Usage: Test/runMain graft.IncrementalScaleMain [sfDir] [factor]
+  *        [exact|bloom|cycle]
   */
 object IncrementalScaleMain {
   def main(args: Array[String]): Unit = {
@@ -69,7 +77,51 @@ object IncrementalScaleMain {
       .repartition(par).persist()
     val nBatch = batch.count()
 
-    val bloom = args.drop(2).headOption.contains("bloom")
+    val mode = args.drop(2).headOption.getOrElse("exact")
+    if (mode == "cycle") {
+      // phase 1: classify against a history-sized index to find the
+      // increment's kept slice (deployment does this every batch)
+      val t0 = System.nanoTime()
+      val probe = graft.dedup.BloomIndex.build(hist, "text",
+        expectedItems = nHist, fpp = 0.001, k = 16, bands = 2)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val kept = graft.dedup.BloomIndex.classify(batch, probe, "text")
+        .filter($"status" === "kept").select($"doc_id", $"text")
+        .repartition(par).persist()
+      val nKept = kept.count()
+      // phase 2: a loop-sized index folds the kept docs to EXACT
+      // saturation — the state where the guard refuses further folds
+      val full0 = graft.dedup.BloomIndex.build(hist, "text",
+        expectedItems = nHist + nKept, fpp = 0.001, k = 16, bands = 2)
+      val t1 = System.nanoTime()
+      val full = graft.dedup.BloomIndex.fold(full0, kept, "text")
+      val tFold = (System.nanoTime() - t1) / 1e9
+      require(full.inserted == full.expectedItems, "not saturated")
+      // phase 3: the recovery path — rebuild from the durable history
+      // at 2x budget; claim: one pass over (hist + kept), same cost
+      // class as the original build
+      val t2 = System.nanoTime()
+      val grown = graft.dedup.BloomIndex.rebuild(full,
+        hist.unionByName(kept), "text",
+        expectedItems = (nHist + nKept) * 2)
+      val tRebuild = (System.nanoTime() - t2) / 1e9
+      // phase 4: the loop continues — the grown index folds again
+      // (texts carry unique salted ids, so every key is fresh)
+      val more = batch.limit(1000)
+        .select(($"doc_id" + 90000000L).as("doc_id"),
+          concat(lit("x"), $"doc_id", $"text").as("text"))
+      val t3 = System.nanoTime()
+      val after = graft.dedup.BloomIndex.fold(grown, more, "text")
+      val tFold2 = (System.nanoTime() - t3) / 1e9
+      require(after.inserted > grown.inserted, "fold after rebuild failed")
+      println(f"INC_CYCLE factor=$factor hist=$nHist kept=$nKept " +
+        f"build=$tBuild%.1fs fold=$tFold%.1fs rebuild=$tRebuild%.1fs " +
+        f"fold_after=$tFold2%.1fs " +
+        f"bits=${grown.fp.bitSize() / 8 + grown.band.bitSize() / 8}B")
+      spark.stop()
+      return
+    }
+    val bloom = mode == "bloom"
     val (tIdx, idxSize, classified) = if (bloom) {
       val t0 = System.nanoTime()
       val idx = graft.dedup.BloomIndex.build(hist, "text",

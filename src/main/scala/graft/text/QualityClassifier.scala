@@ -109,11 +109,28 @@ object QualityClassifier {
   }
 
   /** Map-only scoring column: sigmoid(b + w·x) rounded to 6 decimals,
-    * null-token docs score sigmoid(b). The weight array is a literal —
-    * Catalyst broadcasts it inside the serialized plan; the fold is one
-    * pass over the token array with no materialized vector.
+    * null-token docs score sigmoid(b). r10: the hash+fold is the native
+    * codegen'd [[graft.functions.LogitScoreExpr]] (one pass over the
+    * token array; the HOF pair it replaces evaluated interpreted per
+    * token — bit-parity pinned in NativeExprSpec against
+    * [[scoreColumnHof]]). The weights ride inside the expression, so
+    * the plan still serializes one literal copy.
     */
   def scoreColumn(text: Column, model: Model): Column = {
+    val mean = graft.functions.LogitScoreExpr.logit_mean(
+      TextAnalysis.rawTokens(lower(text)), model.weights.toSeq)
+    // null text -> null tokens -> null mean; coalesce preserves the
+    // sigmoid(bias) contract the HOF's otherwise-branch provided
+    val z = lit(model.bias) + coalesce(mean, lit(0.0))
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** The pre-r10 higher-order-function scoring form — retained as the
+    * PARITY REFERENCE the native expression is pinned against (same
+    * convention as TextAnalysis.hashedEmbeddingsHof). Not for
+    * production: both lambdas evaluate interpreted per token.
+    */
+  private[graft] def scoreColumnHof(text: Column, model: Model): Column = {
     val wLit = typedLit(model.weights.toSeq)
     val idx = featureIdx(text, model.dim)
     val z = lit(model.bias) +

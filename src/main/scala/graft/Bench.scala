@@ -39,7 +39,12 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   *     calibration trace is emitted in the JSON, and the query is
   *     flagged "suspect" if it STAYS >3x warm while a surrounding spin
   *     was elevated. A contended host now shows up as per-query suspect
-  *     flags + a trace instead of silently inflated numbers.
+  *     flags + a trace instead of silently inflated numbers. Round 11
+  *     tightens the guard to 1.5x for rows with warm >= 2 s (the stable
+  *     end of the surface, where 1.5x over warm is already weather) and
+  *     brackets each with a pre-row spin recorded as "calib0" in the
+  *     trace — the r10 driver artifact carried an 8.6x-inflated big row
+  *     under nominal whole-pass brackets with the 3x guard silent.
   *   - SAME-SESSION DuckDB wall (round 7): immediately after the timed
   *     pass, the oracle SQL set runs in DuckDB on this host (shell-out
   *     to python3+duckdb, skipped gracefully when absent) so the JSON
@@ -95,6 +100,19 @@ object Bench {
   // anything (sub-0.3 s queries jitter past 3x on scheduler noise alone)
   private val WarmRatioMax = 3.0
   private val MinGuardSec = 0.3
+  // BIG rows (warm >= 2 s) get a tighter 1.5x guard (round-11, from the
+  // r10 driver artifact): mid-pass contention inflated un-guarded big
+  // rows 2x-8.6x (curate_e2e 4.8 s -> 41.8 s) while (a) the whole-pass
+  // brackets read quiet and (b) the 3x warm-ratio guard stayed silent.
+  // Big rows are the stable end of the surface (quiet jitter < ~20%),
+  // so 1.5x over warm is already weather. Each big row also takes a
+  // pre-row spin — evidence for the suspect flag when its warm baseline
+  // was itself contended (the one case no warm-relative trigger can
+  // catch). A spurious re-roll costs one extra roll of that row and
+  // keep-faster is harmless; quiet overhead is one ~0.1 s spin per big
+  // row (~13 rows on the sf0.1 surface).
+  private val BigRowSec = 2.0
+  private val BigRatioMax = 1.5
 
   /** Forces the COMPLETE plan: digest-aggregates every output column (so
     * pruning can't drop payload work). `useForeach` is precomputed in the
@@ -226,24 +244,31 @@ object Bench {
             catch { case _: Throwable => false }
           ((System.nanoTime() - t0) / 1e9, ok)
         }
+        val w = warm.getOrElse(name, 0.0)
+        val isBig = w >= BigRowSec
+        // big rows get a pre-row spin so the retry trigger doesn't
+        // depend on a warm baseline that may itself be contended
+        val cPre = if (isBig) spin() else 0.0
         var (dt, ok) = once()
         var reran = false
         var susp = false
-        val w = warm.getOrElse(name, 0.0)
-        if (ok && w > 0 && dt > WarmRatioMax * w && dt > MinGuardSec) {
+        val ratioMax = if (isBig) BigRatioMax else WarmRatioMax
+        if (ok && w > 0 && dt > ratioMax * w && dt > MinGuardSec) {
           // outlier vs the query's OWN warm time: spin-check the host,
           // retry once, spin-check again; keep the faster attempt
           val c1 = spin()
           val (dt2, ok2) = once()
           val c2 = spin()
           reran = true
-          trace += s"""{"q":"$name","warm":${fmt(w)},"t1":${fmt(dt)},""" +
+          val pre = if (isBig) s""""calib0":${fmt(cPre)},""" else ""
+          trace += s"""{"q":"$name","warm":${fmt(w)},$pre"t1":${fmt(dt)},""" +
             s""""calib1":${fmt(c1)},"t2":${fmt(if (ok2) dt2 else -dt2)},""" +
             s""""calib2":${fmt(c2)}}"""
           if (ok2 && dt2 < dt) dt = dt2
           // still an outlier AND the host was provably not granting CPU
           // around it -> the number is weather, not engine
-          susp = dt > WarmRatioMax * w && (c1 > Calib1tMax || c2 > Calib1tMax)
+          susp = dt > ratioMax * w &&
+            (cPre > Calib1tMax || c1 > Calib1tMax || c2 > Calib1tMax)
         }
         QRes(name, if (ok) dt else -dt, reran, susp)
       }

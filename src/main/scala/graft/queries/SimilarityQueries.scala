@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.similarity.Similarity
+import graft.similarity.{Pq, Similarity}
 
 /** ANN similarity-search extension queries over `embeddings`.
   * sim_ivf_topk is Spark-only (rows-only check): its recall against the
@@ -38,6 +38,38 @@ object SimilarityQueries extends QueryPack {
     val centroids = Similarity.trainIvfCentroids(sample, seeds, iterations = 2)
     (Similarity.buildIvfIndex(corpus, centroids), centroids)
   }
+
+  /** PQ model + encoded index per (session, dir) — same amortization
+    * boundary as [[ivfIndex]]: training is a once-per-release step and
+    * the encoded index is the stored artifact a deployment searches
+    * (`sim_pq_build` keeps the one-time cost on the bench ledger).
+    * Geometry: dim=64 -> m=16 subspaces of 4 dims, ksub=16 codes each —
+    * 16 4-bit codes = 8 B/vector, 32x under float32 (PqProbeMain grid:
+    * this point re-ranks to 1.00/0.86 recall@5 at sf0.01/sf0.1 while
+    * m=8 geometries plateau lower at the same re-rank budget).
+    */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Pq.PqModel, DataFrame)]()
+
+  private def pqBuildFresh(s: SparkSession, d: String): (Pq.PqModel, DataFrame) = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    // train on the same deterministic 50% hash-sample recipe as IVF
+    val sample = graft.operators.Sampling.hashSample(corpus, $"c_id", "8", "pq")
+    val model = Pq.train(sample, "c_id", "c_vec", m = 16, ksub = 16,
+      iterations = 2)
+    (model, Pq.encode(corpus, model))
+  }
+
+  def pqIndex(s: SparkSession, d: String): (Pq.PqModel, DataFrame) =
+    Fixtures.memo(pqCache, s, d,
+      onLose = (v: (Pq.PqModel, DataFrame)) => v._2.unpersist()) {
+      val (model, encoded) = pqBuildFresh(s, d)
+      val index = encoded.persist()
+      index.count() // materialize the build
+      (model, index)
+    }
 
   def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ivfCache.computeIfAbsent((s, d), { case (s, d) =>
@@ -117,6 +149,38 @@ object SimilarityQueries extends QueryPack {
       import s.implicits._
       val (index, _) = buildFresh(s, d)
       index.groupBy($"cent_id").agg(count(lit(1)).as("n_members"))
+    }),
+
+    // Product-quantization retrieve + exact re-rank (the 32x-memory
+    // index path below int8's 4x): the scan runs entirely on 8-byte
+    // codes + one float per corpus row against a per-query lookup
+    // table; the float table is consulted only for the k*20 ADC
+    // candidates. Digest-pinned (the codebook training and ADC
+    // estimator have no portable SQL form); recall floor vs exact,
+    // expression parity, and the brute-force degeneracy are in PqSpec.
+    "sim_pq_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      val (model, encoded) = pqIndex(s, d)
+      Pq.topKRefined(queries, encoded, corpus, model, k = 5, rFactor = 20)
+    }),
+
+    // Build half of the PQ amortization claim (train + full-corpus
+    // encode, uncached), reduced to per-code membership counts of the
+    // first subspace plus the exact-decimal sum of reconstruction
+    // norms — small, deterministic, and sensitive to any training or
+    // encoding drift.
+    "sim_pq_build" -> ((s, d) => {
+      import s.implicits._
+      val (model, encoded) = pqBuildFresh(s, d)
+      encoded
+        .groupBy(element_at($"c_code", 1).as("code0"))
+        .agg(count(lit(1)).as("n_members"),
+          round(sum($"c_sqn".cast("decimal(27,10)")).cast("double"), 6)
+            .as("sqn_sum"))
     }),
 
     // LSH random-hyperplane variant (rows-only: recall asserted in spec)

@@ -1,0 +1,184 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PqExprs.{pq_adc, pq_encode, pq_lut}
+
+/** Product-quantization ANN — the memory scale path BELOW int8: where
+  * [[Similarity.quantizeInt8]] stores 1 byte per DIMENSION (4x), PQ
+  * stores one small code per SUBSPACE (m codes for the whole vector —
+  * 32x at dim=64/m=8, 384x at dim=768/m=8), so a 100 TB corpus whose
+  * raw float32 embedding table is itself terabytes keeps its ENTIRE
+  * search index in executor memory. Search is an exhaustive ADC scan:
+  * per query one m*ksub lookup table, per candidate m table lookups —
+  * no shuffle beyond the final per-query top-k, memory-bandwidth-bound
+  * instead of FLOP-bound (the PQ paper's design point). For sublinear
+  * scan at extreme corpus sizes, compose with the IVF coarse quantizer:
+  * encode each [[Similarity.buildIvfIndex]] bucket's residuals and ADC
+  * only probed buckets — the classic IVFADC layout; the pieces here are
+  * that composition's building blocks.
+  *
+  * Training mirrors [[Similarity.trainIvfCentroids]]'s determinism
+  * discipline: seeds are a hash-ordered pick, Lloyd means are exact
+  * DECIMAL averages cast back to double (order-independent under any
+  * partitioning), and all m subspaces train in ONE distributed job per
+  * iteration (the per-dim cell means of every subspace share a single
+  * groupBy) — so a trained model, its codes, and every downstream
+  * search are digest-pinnable.
+  */
+object Pq {
+
+  /** A trained PQ model: `codebooks(s*ksub + c)` = sub-centroid c of
+    * subspace s (driver-bounded: ksub*dim doubles — 256*768 ≈ 1.5 MB at
+    * real embedding widths).
+    */
+  final case class PqModel(m: Int, ksub: Int, subDim: Int,
+                           codebooks: Array[Array[Double]]) {
+    require(codebooks.length == m * ksub,
+      s"codebook count ${codebooks.length} != m*ksub = ${m * ksub}")
+    def dim: Int = m * subDim
+
+    /** `‖sub-centroid‖²` in lut layout: feeding it to pq_adc against a
+      * code array yields the reconstruction's squared norm — the
+      * corpus-side half of the cosine denominator, computed per row at
+      * ENCODE time so the search never touches float vectors.
+      */
+    lazy val sqNormLut: Seq[Double] = codebooks.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }.toSeq
+  }
+
+  /** Train per-subspace codebooks by distributed Lloyd over a sample.
+    *
+    * Seeds: the ksub hash-first sample vectors, sliced — subspace s of
+    * seed c initializes codebook entry (s, c). Each iteration encodes
+    * the sample with the CURRENT model (one map-only pass over all m
+    * subspaces at once), then moves every (dim, code) cell to its exact
+    * decimal member mean in one aggregation; empty cells keep their
+    * position (trainIvfCentroids semantics). The collect is bounded by
+    * dim*ksub cells per iteration — the model is driver-scale by
+    * definition, like every literal quantizer here.
+    */
+  def train(sample: DataFrame, id: String, vec: String,
+            m: Int, ksub: Int, iterations: Int = 2): PqModel = {
+    require(m > 0 && ksub > 0 && iterations >= 0,
+      s"bad PQ geometry: m=$m ksub=$ksub iterations=$iterations")
+    val vectors = sample.select(col(id).as("v_id"), col(vec).as("v_vec"))
+    val seedRows = vectors
+      .orderBy(xxhash64(col("v_id")), col("v_id"))
+      .limit(ksub)
+      .select(col("v_vec")).collect()
+    require(seedRows.length == ksub,
+      s"sample has only ${seedRows.length} rows for ksub=$ksub seeds")
+    val seedVecs = seedRows.map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    val dim = seedVecs.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    require(seedVecs.forall(_.length == dim), "ragged sample vectors")
+    val subDim = dim / m
+    require(m * ksub <= Similarity.maxCentroids,
+      s"m*ksub = ${m * ksub} exceeds the literal-quantizer cap")
+
+    var codebooks = Array.tabulate(m * ksub) { i =>
+      val s = i / ksub; val c = i % ksub
+      java.util.Arrays.copyOfRange(seedVecs(c), s * subDim, (s + 1) * subDim)
+    }
+    (1 to iterations).foreach { _ =>
+      val subIdx = (col("p") / subDim).cast("int")
+      val cells = vectors
+        .select(pq_encode(col("v_vec"), codebooks, ksub).as("codes"),
+          col("v_vec"))
+        .select(col("codes"), posexplode(col("v_vec")).as(Seq("p", "x")))
+        .select(col("p"), element_at(col("codes"), subIdx + 1).as("code"),
+          col("x"))
+        .groupBy(col("p"), col("code"))
+        .agg(avg(col("x").cast("decimal(27,10)")).cast("double").as("mean_x"))
+        .collect()
+      val next = codebooks.map(_.clone())
+      cells.foreach { r =>
+        val p = r.getInt(0); val c = r.getInt(1); val mean = r.getDouble(2)
+        next((p / subDim) * ksub + c)(p % subDim) = mean
+      }
+      codebooks = next
+    }
+    PqModel(m, ksub, subDim, codebooks)
+  }
+
+  /** Encode a corpus to its PQ index: `(id, c_code array<int>, c_sqn)` —
+    * the m codes plus the reconstruction's squared norm (pq_adc against
+    * the model's sq-norm table; exact fixed-order sum, deterministic).
+    * Map-only; at 100 TB this is the one full pass over the float
+    * table, written once as the (32x smaller) stored index.
+    */
+  def encode(corpus: DataFrame, model: PqModel,
+             id: String = "c_id", vec: String = "c_vec"): DataFrame =
+    corpus
+      .select(col(id).as("c_id"),
+        pq_encode(col(vec), model.codebooks, model.ksub).as("c_code"))
+      .withColumn("c_sqn",
+        pq_adc(col("c_code"), typedLit(model.sqNormLut)))
+
+  /** Exhaustive ADC top-k over an encoded corpus. Query side (exact
+    * vectors) stages its lut + norm once per row and broadcasts; each
+    * candidate pair is m lookups + one divide. Approximate cosine =
+    * `adc / (‖q‖ * √‖x̂‖²)` — the corpus norm is the RECONSTRUCTION's,
+    * the standard ADC estimator. Rounded to 6 before ranking, ties by
+    * c_id: reproducible across engines and partitionings like every
+    * ranker here.
+    */
+  def topK(queries: DataFrame, encoded: DataFrame, model: PqModel,
+           k: Int): DataFrame = {
+    val q = broadcast(queries
+      .select(col("q_id"),
+        pq_lut(col("q_vec"), model.codebooks, model.ksub).as("_lut"),
+        Similarity.norm(col("q_vec")).as("_qn")))
+    val scored = encoded
+      .crossJoin(q)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("_den", col("_qn") * sqrt(col("c_sqn")))
+      .withColumn("sim", round(
+        when(col("_den") > 0,
+          pq_adc(col("c_code"), col("_lut")) / col("_den"))
+          .otherwise(lit(0.0)), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+  }
+
+  /** The production PQ pipeline: ADC retrieves the top `k*rFactor`
+    * candidates from the compressed index, then the float table is
+    * consulted ONLY for those rows (an id join — at 100 TB that is
+    * |queries|*k*rFactor point reads against a scan of m-byte codes,
+    * the whole reason the PQ paper pairs ADC with exact re-ranking) and
+    * the final top-k ranks on exact cosine. Scores are bit-identical to
+    * [[Similarity.bruteForceTopK]]'s for every candidate ADC surfaces —
+    * same dot/norm folds, same guard, same rounding — so rFactor only
+    * moves RECALL, never a surfaced score (rFactor >= |corpus|/k
+    * degenerates to exact brute force; PqSpec pins both properties).
+    */
+  def topKRefined(queries: DataFrame, encoded: DataFrame, corpus: DataFrame,
+                  model: PqModel, k: Int, rFactor: Int = 10): DataFrame = {
+    require(rFactor >= 1, s"rFactor must be >= 1: $rFactor")
+    val cand = topK(queries, encoded, model, k * rFactor)
+      .select(col("q_id"), col("c_id"))
+    val q = broadcast(queries.select(col("q_id"), col("q_vec"),
+      Similarity.norm(col("q_vec")).as("_qn")))
+    // norm staged ABOVE the candidate join: only the |queries|*k*rFactor
+    // retrieved rows pay the fold, not the whole corpus scan
+    val scored = corpus
+      .join(cand, Seq("c_id"))
+      .join(q, Seq("q_id"))
+      .withColumn("_cn", Similarity.norm(col("c_vec")))
+      .withColumn("sim", round(Similarity.cosinePre(
+        Similarity.dot(col("q_vec"), col("c_vec")),
+        col("_qn"), col("_cn")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+  }
+}

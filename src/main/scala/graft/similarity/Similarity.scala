@@ -51,7 +51,7 @@ object Similarity {
     * unchanged — same product, same guard, same division — so every
     * score is bit-identical to the inline form.
     */
-  private def cosinePre(d: Column, na: Column, nb: Column): Column = {
+  private[similarity] def cosinePre(d: Column, na: Column, nb: Column): Column = {
     val n = na * nb
     when(n > 0, d / n).otherwise(lit(0.0))
   }

@@ -12,6 +12,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsRegSpec extends AnyFunSuite {
 
   test("spark.sql.extensions wires rolling_hash64 into SQL") {
+    // getOrCreate returns the suite-shared session when one is already
+    // default/active — with THIS builder's extensions silently ignored
+    // (they apply only at construction). Clear both slots so a genuinely
+    // new session is built (on the existing SparkContext), then restore:
+    // the test must pass in ANY suite order, not just when it runs first.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("ext-spec")
@@ -40,7 +49,11 @@ class ExtensionsRegSpec extends AnyFunSuite {
       assert(row.getLong(5) === 6L) // "a b" twice, 3 chars each
     } finally {
       // leave the context running for other suites; the extra session
-      // object is discarded
+      // object is discarded and the shared session slots are restored
+      prevDefault.fold(SparkSession.clearDefaultSession())(
+        SparkSession.setDefaultSession)
+      prevActive.fold(SparkSession.clearActiveSession())(
+        SparkSession.setActiveSession)
     }
   }
 }

@@ -44,6 +44,13 @@ class GoldenDigestsSpec extends SparkSpec {
   check("text_bpe_exact", 500L, "54469054714186344608")
   // r7: int8-quantized ANN (cosine on the codes; scale-invariant)
   check("sim_int8_topk", 50L, "47101543231917959576")
+  // r11: product-quantization ANN (8 B/vector ADC retrieve + exact
+  // re-rank at rFactor=20; decimal-mean Lloyd training) — no SQL form
+  // for the codebooks/ADC estimator; expression parity, recall floors,
+  // and the brute-force degeneracy are in PqSpec; digests verified
+  // back-to-back identical
+  check("sim_pq_topk", 50L, "37046765302684013930")
+  check("sim_pq_build", 16L, "-2934544668263166417")
   // r7: SemDeDup (trained-quantizer clusters -> within-cluster near-dup
   // components); k-means training has no SQL form, rows-only for the
   // driver — invariants in CurationSpec, digest verified back-to-back

@@ -253,7 +253,14 @@ object Bench {
         var reran = false
         var susp = false
         val ratioMax = if (isBig) BigRatioMax else WarmRatioMax
-        if (ok && w > 0 && dt > ratioMax * w && dt > MinGuardSec) {
+        // big rows ALSO retry whenever the pre-row spin read contended,
+        // independent of the warm ratio — when the warm pass itself ran
+        // under contention the inflated baseline makes the ratio gate
+        // blind (the r10 artifact's exact failure), and cPre is the only
+        // weather evidence that doesn't depend on it
+        val trig = (w > 0 && dt > ratioMax * w && dt > MinGuardSec) ||
+          (isBig && cPre > Calib1tMax)
+        if (ok && trig) {
           // outlier vs the query's OWN warm time: spin-check the host,
           // retry once, spin-check again; keep the faster attempt
           val c1 = spin()

@@ -43,6 +43,12 @@ private[functions] object PqOps {
     val v = new Array[Double](n)
     var i = 0
     while (i < n) {
+      // a null ELEMENT reads as 0.0 from the unsafe array — silently
+      // encoding a corrupted vector; throw instead (same loud contract
+      // as the dimension checks; embeddings are containsNull=false, so
+      // this never fires on well-formed inputs)
+      if (input.isNullAt(i)) throw new IllegalArgumentException(
+        s"pq: null element at index $i of a ${n}-element vector")
       v(i) = if (isFloat) input.getFloat(i).toDouble else input.getDouble(i)
       i += 1
     }

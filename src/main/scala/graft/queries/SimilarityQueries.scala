@@ -11,6 +11,23 @@ import graft.similarity.{Pq, Similarity}
   */
 object SimilarityQueries extends QueryPack {
 
+  /** The shared ANN benchmark frames: the vec_id<10 query set and the
+    * renamed corpus projection. ONE definition — every approximate row
+    * is recall-compared against the brute-force baseline over exactly
+    * these frames, so the set must not be able to drift per query.
+    */
+  private def annQueries(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d).filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+  }
+
+  private def annCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+  }
+
   /** The built IVF index per (session, dir): assignment is the expensive
     * half of IVF and is a one-time, reusable cost (at 100 TB: a write
     * partitioned by cent_id), so searches probe a persisted index — the
@@ -53,8 +70,7 @@ object SimilarityQueries extends QueryPack {
 
   private def pqBuildFresh(s: SparkSession, d: String): (Pq.PqModel, DataFrame) = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val corpus = annCorpus(s, d)
     // train on the same deterministic 50% hash-sample recipe as IVF
     val sample = graft.operators.Sampling.hashSample(corpus, $"c_id", "8", "pq")
     val model = Pq.train(sample, "c_id", "c_vec", m = 16, ksub = 16,
@@ -82,11 +98,8 @@ object SimilarityQueries extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "sim_bruteforce_topk" -> ((s, d) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
-      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      val queries = annQueries(s, d)
+      val corpus = annCorpus(s, d)
       Similarity.bruteForceTopK(queries, corpus, k = 5)
     }),
 
@@ -124,19 +137,13 @@ object SimilarityQueries extends QueryPack {
     // ExtensionsSpec. No SQL oracle: float rounding through the int8
     // codes has no portable SQL form.
     "sim_int8_topk" -> ((s, d) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
-      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      val queries = annQueries(s, d)
+      val corpus = annCorpus(s, d)
       Similarity.int8TopK(queries, corpus, k = 5)
     }),
 
     "sim_ivf_topk" -> ((s, d) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val queries = annQueries(s, d)
       val (index, centroids) = ivfIndex(s, d)
       Similarity.ivfProbe(queries, index, centroids, k = 5, nProbe = 3)
     }),
@@ -159,11 +166,8 @@ object SimilarityQueries extends QueryPack {
     // estimator have no portable SQL form); recall floor vs exact,
     // expression parity, and the brute-force degeneracy are in PqSpec.
     "sim_pq_topk" -> ((s, d) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
-      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      val queries = annQueries(s, d)
+      val corpus = annCorpus(s, d)
       val (model, encoded) = pqIndex(s, d)
       Pq.topKRefined(queries, encoded, corpus, model, k = 5, rFactor = 20)
     }),
@@ -185,11 +189,8 @@ object SimilarityQueries extends QueryPack {
 
     // LSH random-hyperplane variant (rows-only: recall asserted in spec)
     "sim_lsh_topk" -> ((s, d) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
-      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      val queries = annQueries(s, d)
+      val corpus = annCorpus(s, d)
       // multi-probe: 7 of 64 buckets ≈ 10.9% scanned; measured recall
       // 0.40-0.46 vs 0.18-0.28 for the old single-probe nBits=4 at 6.25%
       // (LshGridMain) — ~2x recall for +4.6pp scan, spec-pinned

@@ -113,6 +113,15 @@ class PqSpec extends SparkSpec {
     intercept[Exception] {
       oob.select(pq_adc(col("codes"), col("lut"))).collect()
     }
+    // a null vector ELEMENT would read as 0.0 from the unsafe array —
+    // encode must throw, not encode a corrupted vector
+    val nullElem = spark.sql(
+      s"SELECT array(${Seq.fill(63)("0.5D").mkString(",")}, " +
+        "CAST(NULL AS DOUBLE)) AS c_vec")
+    intercept[Exception] {
+      nullElem.select(pq_encode(col("c_vec"), model.codebooks, model.ksub))
+        .collect()
+    }
   }
 
   test("ADC scan and re-ranked pipeline clear their measured recall floors") {

@@ -87,6 +87,32 @@ object SimilarityQueries extends QueryPack {
       (model, index)
     }
 
+  /** IVFADC index per (session, dir): the memoized IVF centroids plus a
+    * residual-trained PQ model and the encoded (cent_id, codes, ‖x̂‖²)
+    * table — the FAISS-style IVFPQ layout. Probe containment bounds its
+    * recall: at rFactor=20 it matches sim_ivf_topk's recall exactly
+    * (PqSpec pins the equivalence), while scanning codes instead of
+    * floats inside probed buckets.
+    */
+  private val ivfpqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Pq.PqModel, DataFrame, DataFrame)]()
+
+  def ivfPqIndex(s: SparkSession, d: String)
+      : (Pq.PqModel, DataFrame, DataFrame) =
+    Fixtures.memo(ivfpqCache, s, d,
+      onLose = (v: (Pq.PqModel, DataFrame, DataFrame)) => v._2.unpersist()) {
+      val (_, centroids) = ivfIndex(s, d)
+      val corpus = annCorpus(s, d)
+      val sample = graft.operators.Sampling
+        .hashSample(corpus, org.apache.spark.sql.functions.col("c_id"),
+          "8", "pq")
+      val model = Pq.trainResidual(sample, centroids, "c_id", "c_vec",
+        m = 16, ksub = 16, iterations = 2)
+      val index = Pq.ivfPqEncode(corpus, centroids, model).persist()
+      index.count() // materialize the build
+      (model, index, centroids)
+    }
+
   def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ivfCache.computeIfAbsent((s, d), { case (s, d) =>
       val (built, centroids) = buildFresh(s, d)
@@ -185,6 +211,25 @@ object SimilarityQueries extends QueryPack {
         .agg(count(lit(1)).as("n_members"),
           round(sum($"c_sqn".cast("decimal(27,10)")).cast("double"), 6)
             .as("sqn_sum"))
+    }),
+
+    // IVFADC: coarse probe prunes to nProbe buckets (at 100 TB:
+    // partition pruning on a cent_id-partitioned code table), ADC
+    // scores the probed buckets' 8 B codes via <q,c> + <q,r̂>, exact
+    // re-rank touches floats only for survivors. Same probe geometry
+    // as sim_ivf_topk — recall identical (probe-containment-bounded,
+    // PqSpec pins the equivalence), scan memory 32x smaller.
+    "sim_ivfpq_topk" -> ((s, d) => {
+      val queries = annQueries(s, d)
+      val corpus = annCorpus(s, d)
+      val (model, index, centroids) = ivfPqIndex(s, d)
+      // rFactor=10: k*rFactor stays UNDER the probed buckets' population
+      // at sf0.01 (~65 candidates), so the ADC ordering stage is live in
+      // the registered row (at 20 every candidate is admitted and the
+      // output collapses to sim_ivf_topk's exactly — the PqSpec
+      // equivalence); recall is unchanged at 10 (PqProbeMain grid)
+      Pq.ivfPqTopK(queries, index, centroids, corpus, model,
+        k = 5, nProbe = 3, rFactor = 10)
     }),
 
     // LSH random-hyperplane variant (rows-only: recall asserted in spec)

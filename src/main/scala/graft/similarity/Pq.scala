@@ -165,6 +165,16 @@ object Pq {
     require(rFactor >= 1, s"rFactor must be >= 1: $rFactor")
     val cand = topK(queries, encoded, model, k * rFactor)
       .select(col("q_id"), col("c_id"))
+    rerankExact(cand, queries, corpus, k)
+  }
+
+  /** Exact cosine re-rank of retrieved (q_id, c_id) candidates — the
+    * shared second stage of [[topKRefined]] and [[ivfPqTopK]]. Scores
+    * are bit-identical to [[Similarity.bruteForceTopK]]'s: same
+    * dot/norm folds, same zero guard, same rounding, same tiebreak.
+    */
+  private def rerankExact(cand: DataFrame, queries: DataFrame,
+                          corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("q_id"), col("q_vec"),
       Similarity.norm(col("q_vec")).as("_qn")))
     // norm staged ABOVE the candidate join: only the |queries|*k*rFactor
@@ -180,5 +190,97 @@ object Pq {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+  }
+
+  // -------------------------------------------- IVFADC (IVF + residual PQ)
+  /** Train residual codebooks against a coarse quantizer: the PQ model
+    * learns the DIFFERENCE between a vector and its assigned centroid
+    * (residuals are near zero-mean with far less variance than raw
+    * vectors — the reason the IVFADC paper quantizes residuals, not
+    * vectors). Same determinism as [[train]]: the residual frame is a
+    * pure projection of (sample, centroid) pairs.
+    */
+  def trainResidual(sample: DataFrame, centroids: DataFrame,
+                    id: String, vec: String,
+                    m: Int, ksub: Int, iterations: Int = 2): PqModel =
+    train(residuals(
+        sample.select(col(id).as("c_id"), col(vec).as("c_vec")), centroids),
+      "c_id", "r_vec", m, ksub, iterations)
+
+  /** (c_id, cent_id, r_vec, cent_vec): each vector's coarse assignment,
+    * its residual from the assigned centroid (exact double
+    * subtraction), and the centroid itself (carried so the encode pass
+    * doesn't re-join).
+    */
+  private def residuals(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    Similarity.buildIvfIndex(corpus, centroids)
+      .join(broadcast(centroids), Seq("cent_id"))
+      .select(col("cent_id"), col("c_id"),
+        zip_with(col("c_vec"), col("cent_vec"),
+          (x, c) => x.cast("double") - c.cast("double")).as("r_vec"),
+        col("cent_vec"))
+
+  /** Build the IVFADC index: `(c_id, cent_id, c_code, c_xsqn)` — the
+    * coarse bucket, the residual's PQ codes, and the RECONSTRUCTION's
+    * squared norm ‖ĉ+r̂‖² = ‖c‖² + 2⟨c,r̂⟩ + ‖r̂‖², assembled from three
+    * ADC folds at build time (⟨c,r̂⟩ reads the centroid's own lut, ‖r̂‖²
+    * the model's sq-norm table) so the search never touches a float
+    * vector. One shuffle-free pass over the corpus plus a broadcast
+    * centroid join; at 100 TB, write it partitioned BY cent_id like the
+    * plain IVF index.
+    */
+  def ivfPqEncode(corpus: DataFrame, centroids: DataFrame,
+                  model: PqModel): DataFrame =
+    residuals(corpus, centroids)
+      .select(col("c_id"), col("cent_id"),
+        pq_encode(col("r_vec"), model.codebooks, model.ksub).as("c_code"),
+        col("cent_vec"))
+      .withColumn("c_xsqn",
+        pq_adc(col("c_code"), typedLit(model.sqNormLut)) +
+          lit(2.0) * pq_adc(col("c_code"),
+            pq_lut(col("cent_vec"), model.codebooks, model.ksub)) +
+          Similarity.dot(col("cent_vec"), col("cent_vec")))
+      .drop("cent_vec")
+
+  /** IVFADC search — the paper's full layout and the 100 TB recipe: the
+    * coarse quantizer prunes the scan to nProbe buckets (partition
+    * pruning on the cent_id-partitioned index), ADC scores only those
+    * buckets' codes via `⟨q,x̂⟩ = ⟨q,c⟩ + ⟨q,r̂⟩` (the ⟨q,c⟩ term is one
+    * scalar per probed bucket; ⟨q,r̂⟩ is m lookups in the query's lut,
+    * which is shared across buckets since residual codebooks are
+    * global), and the float table is consulted only for the k*rFactor
+    * survivors' exact re-rank.
+    */
+  def ivfPqTopK(queries: DataFrame, index: DataFrame, centroids: DataFrame,
+                corpus: DataFrame, model: PqModel, k: Int, nProbe: Int,
+                rFactor: Int = 10): DataFrame = {
+    require(rFactor >= 1, s"rFactor must be >= 1: $rFactor")
+    // probe selection: map-side against the literal quantizer, exactly
+    // like ivfProbe (explode_outer + not-null for the same
+    // InferFiltersFromGenerate reason)
+    val probes = queries
+      .withColumn("_probe",
+        explode_outer(slice(Similarity.centroidScores(col("q_vec"),
+          Similarity.centroidLit(centroids)), 1, nProbe)))
+      .filter(col("_probe").isNotNull)
+      .select(col("q_id"), col("q_vec"), (-col("_probe.neg_id")).as("cent_id"))
+      .join(broadcast(centroids), Seq("cent_id"))
+      .select(col("q_id"), col("cent_id"),
+        pq_lut(col("q_vec"), model.codebooks, model.ksub).as("_lut"),
+        Similarity.dot(col("q_vec"), col("cent_vec")).as("_qc"),
+        Similarity.norm(col("q_vec")).as("_qn"))
+    val scored = index
+      .join(broadcast(probes), Seq("cent_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("_den", col("_qn") * sqrt(col("c_xsqn")))
+      .withColumn("sim", round(
+        when(col("_den") > 0,
+          (col("_qc") + pq_adc(col("c_code"), col("_lut"))) / col("_den"))
+          .otherwise(lit(0.0)), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    val cand = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k * rFactor)
+      .select(col("q_id"), col("c_id"))
+    rerankExact(cand, queries, corpus, k)
   }
 }

@@ -91,7 +91,7 @@ object Similarity {
     * the expanded corpus on v_id — a |centroids|× shuffle amplification
     * (and it benched slower than brute force).
     */
-  private def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Double])] = {
+  private[similarity] def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Double])] = {
     val rows = centroids.select(col("cent_id").cast("long"), col("cent_vec"))
       .collect()
     require(rows.nonEmpty, "empty centroid set")
@@ -101,7 +101,7 @@ object Similarity {
       (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toSeq))
   }
 
-  private def centroidLit(centroids: DataFrame): Column =
+  private[similarity] def centroidLit(centroids: DataFrame): Column =
     array(collectCentroids(centroids).map { case (id, vec) =>
       struct(lit(id).as("cent_id"), typedLit(vec).as("cent_vec"))
     }.toIndexedSeq: _*)
@@ -110,7 +110,7 @@ object Similarity {
     * ascending cent_id, encoded as descending neg_id). Pure projection —
     * evaluates map-side inside whole-stage codegen.
     */
-  private def centroidScores(vec: Column, centArr: Column): Column =
+  private[similarity] def centroidScores(vec: Column, centArr: Column): Column =
     sort_array(transform(centArr, c =>
       struct(round(cosine(vec, c.getField("cent_vec")), 6).as("dist"),
         (-c.getField("cent_id")).as("neg_id"))), asc = false)
@@ -345,17 +345,38 @@ object Similarity {
     * query stands in for reading that index.
     */
   def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    def codes(c: Column) =
-      transform(c.getField("q"), x => x.cast("double"))
+    // Quantize with the scale BOUND ONCE PER ROW (r11): composing
+    // quantizeInt8 as one Column inlines the array_max(transform(v,abs))
+    // scale expression INSIDE the per-element lambda — O(dim²)
+    // interpreted work per row (two full-array rescans per element; the
+    // PqScaleMain fan-out measured the corpus-side quantize at 44 s for
+    // a 100k-row corpus vs 1.3 s for the whole exact ranker), and a
+    // staged `_scale` COLUMN doesn't survive: CollapseProject counts
+    // the alias's one syntactic reference (inside the lambda body) as
+    // cheap-to-inline and collapses it straight back (verified on the
+    // physical plan). Binding the scale as the element of a one-element
+    // outer transform is collapse-proof — a lambda VARIABLE evaluates
+    // once per row no matter how projections merge. Arithmetic is
+    // unchanged (same double scale, same round/cast chain), so
+    // codes/scores are bit-identical — pinned by the sim_int8_topk
+    // golden digest.
+    def stagedCodes(df: DataFrame, id: String, vec: String,
+                    qc: String, qn: String): DataFrame = {
+      val ma = array_max(transform(col(vec), x => abs(x.cast("double"))))
+      val scale = when(ma > 0, ma / 127.0).otherwise(lit(1.0))
+      df.select(col(id), col(vec))
+        .withColumn(qc, element_at(
+          transform(array(scale), s => transform(col(vec),
+            x => round(x.cast("double") / s).cast("tinyint").cast("double"))),
+          1))
+        .withColumn(qn, norm(col(qc)))
+        .drop(vec)
+    }
     // code arrays AND their norms staged once per side row (see
     // cosinePre): the inline form re-ran the dequant transform and both
     // norm folds per PAIR
-    val qq = broadcast(queries.select(col("q_id"),
-        codes(quantizeInt8(col("q_vec"))).as("_qc"))
-      .withColumn("_qn", norm(col("_qc"))))
-    val scored = corpus
-      .select(col("c_id"), codes(quantizeInt8(col("c_vec"))).as("_cc"))
-      .withColumn("_cn", norm(col("_cc")))
+    val qq = broadcast(stagedCodes(queries, "q_id", "q_vec", "_qc", "_qn"))
+    val scored = stagedCodes(corpus, "c_id", "c_vec", "_cc", "_cn")
       .crossJoin(qq)
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("sim", round(cosinePre(dot(col("_qc"), col("_cc")),

@@ -51,6 +51,14 @@ class GoldenDigestsSpec extends SparkSpec {
   // back-to-back identical
   check("sim_pq_topk", 50L, "37046765302684013930")
   check("sim_pq_build", 16L, "-2934544668263166417")
+  // r11: IVFADC (coarse probe + residual-PQ ADC + exact re-rank). The
+  // sf0.01 digest EQUALS sim_ivf_topk's by semantics, not by accident:
+  // ADC's top-k*10 contains the probed buckets' true top-5 here, and
+  // whenever containment holds the re-ranked output IS the exact IVF
+  // probe (the PqSpec equivalence). At sf0.1 the two rows diverge
+  // (verified: -2217057557915718457 vs -14665822293677786946) — the
+  // compressed path is a different execution, same probe geometry.
+  check("sim_ivfpq_topk", 50L, "-30697647038325938886")
   // r7: SemDeDup (trained-quantizer clusters -> within-cluster near-dup
   // components); k-means training has no SQL form, rows-only for the
   // driver — invariants in CurationSpec, digest verified back-to-back

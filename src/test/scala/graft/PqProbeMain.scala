@@ -55,10 +55,31 @@ object PqProbeMain {
       rf -> (exact & p).size.toDouble / exact.size
     }
 
+    // IVFADC: coarse IVF centroids (the sim_ivf recipe) + residual PQ
+    val ivfadc = {
+      val stride = math.max(1,
+        math.sqrt(corpus.count().toDouble).toLong)
+      val seeds = emb.filter($"vec_id" % stride === 0)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+      val cents = Similarity.trainIvfCentroids(sample, seeds, iterations = 2)
+      val rModel = Pq.trainResidual(sample, cents, "c_id", "c_vec", m, ksub,
+        iterations = 2)
+      val index = Pq.ivfPqEncode(corpus, cents, rModel).persist()
+      index.count()
+      Seq((3, 10), (3, 20), (6, 20)).map { case (np, rf) =>
+        val p = pairs(Pq.ivfPqTopK(queries, index, cents, corpus, rModel,
+          k = 5, nProbe = np, rFactor = rf))
+        (np, rf) -> (exact & p).size.toDouble / exact.size
+      }
+    }
+
     println(f"PQ_PROBE sf=$sfDir m=$m ksub=$ksub n=$nEnc " +
       f"train=${tTrain}%.2fs deterministic=$deterministic " +
       f"recall@5=${recall}%.3f untrained_recall=${untrained}%.3f " +
       refined.map { case (rf, r) => f"rerank_x$rf=${r}%.3f" }.mkString(" ") +
+      " " +
+      ivfadc.map { case ((np, rf), r) =>
+        f"ivfadc_p${np}_x$rf=${r}%.3f" }.mkString(" ") +
       f" bytes_per_vec=${m * 4}(codes-as-int)+8(sqn) vs ${64 * 4}(float32)")
     spark.stop()
   }

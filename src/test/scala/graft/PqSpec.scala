@@ -140,6 +140,30 @@ class PqSpec extends SparkSpec {
     assert(refRecall >= 0.9, s"re-ranked recall $refRecall under floor")
   }
 
+  test("IVFADC at full retrieve width equals the exact IVF probe") {
+    import graft.operators.Sampling
+    // same coarse quantizer recipe as the sim_ivf rows
+    val stride = math.max(1, math.sqrt(corpus.count().toDouble).toLong)
+    val seeds = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val sample = Sampling.hashSample(corpus, col("c_id"), "8", "pq")
+    val cents = Similarity.trainIvfCentroids(sample, seeds, iterations = 2)
+    val rModel = Pq.trainResidual(sample, cents, "c_id", "c_vec",
+      m = 16, ksub = 16, iterations = 2)
+    val index = Pq.ivfPqEncode(corpus, cents, rModel)
+    // rFactor*k >= |corpus|: ADC ordering inside the probed buckets
+    // stops mattering — every admitted candidate reaches the exact
+    // re-rank, so the result IS the exact-scoring IVF probe: residual
+    // quantization loses NOTHING the coarse probe admits
+    val adc = Pq.ivfPqTopK(queries, index, cents, corpus, rModel,
+      k = 5, nProbe = 3, rFactor = 100)
+      .collect().map(_.toSeq).toSet
+    val ivf = Similarity.ivfProbe(queries,
+      Similarity.buildIvfIndex(corpus, cents), cents, k = 5, nProbe = 3)
+      .collect().map(_.toSeq).toSet
+    assert(adc === ivf)
+  }
+
   test("re-rank degenerates to exact brute force at full retrieve width") {
     val encoded = Pq.encode(corpus, model)
     // rFactor*k >= |corpus|: every candidate is retrieved, so the

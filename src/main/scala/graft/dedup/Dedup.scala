@@ -544,4 +544,66 @@ object Dedup {
           .otherwise("kept"))
       .drop("_ex", "_nr")
   }
+
+  // --------------------------------------- semantic increment (PQ index)
+  /** The stored artifact of the SEMANTIC crawl loop: the trained PQ
+    * model, the history's 8 B/vector code table (`codes`: c_id, c_code,
+    * c_sqn — what each increment SCANS), and the float vectors
+    * (`vectors`: consulted only for the few re-rank candidates per new
+    * doc). At 100 TB the codes for the whole history fit in executor
+    * memory where the float table never could — the same economics as
+    * [[graft.dedup.BloomIndex]] for exact/banded identity, extended to
+    * embedding-space nearness.
+    */
+  final case class SemanticIndex(model: graft.similarity.Pq.PqModel,
+                                 codes: DataFrame, vectors: DataFrame)
+
+  /** Build the semantic history index: hashed set-of-words embeddings
+    * (map-only, engine-reproducible), PQ codebooks trained on the
+    * deterministic 50% hash-sample, history encoded once. Everything is
+    * deterministic, so the index is a persistable between-increments
+    * artifact (the Fixtures memo boundary) and downstream digests pin.
+    */
+  def semanticIndex(hist: DataFrame, idCol: String, textCol: String,
+                    dim: Int = 64, m: Int = 16, ksub: Int = 16,
+                    iterations: Int = 2): SemanticIndex = {
+    val emb = TextAnalysis.hashedEmbeddings(hist, idCol, textCol, dim)
+      .select(col(idCol).as("c_id"), col("embedding").as("c_vec"))
+    val sample = graft.operators.Sampling
+      .hashSample(emb, col("c_id"), "8", "semidx")
+    val model = graft.similarity.Pq.train(sample, "c_id", "c_vec",
+      m, ksub, iterations)
+    SemanticIndex(model, graft.similarity.Pq.encode(emb, model), emb)
+  }
+
+  /** Classify a crawl increment against the semantic history index:
+    * embed each new doc, ADC-retrieve its nearest history candidates
+    * from the code table, exact-rerank the top one, and mark the doc
+    * `sem_hist` when its best cosine clears `threshold` (re-crawled and
+    * near-rewritten pages), else `kept`. Output adds the best match id
+    * and its rounded score for audit.
+    *
+    * Id spaces must be disjoint between increment and history (crawl
+    * ids are): a colliding id would silently exclude its own history
+    * row from candidacy (the ranker's self-pair filter). Docs embedding
+    * to the zero vector score 0 everywhere and stay `kept` — gate empty
+    * docs with the qc filters, not similarity.
+    */
+  def semanticStatus(newDocs: DataFrame, index: SemanticIndex,
+                     idCol: String, textCol: String,
+                     threshold: Double = 0.995,
+                     rFactor: Int = 20): DataFrame = {
+    val q = TextAnalysis
+      .hashedEmbeddings(newDocs, idCol, textCol, index.model.dim)
+      .select(col(idCol).as("q_id"), col("embedding").as("q_vec"))
+    val best = graft.similarity.Pq
+      .topKRefined(q, index.codes, index.vectors, index.model,
+        k = 1, rFactor = rFactor)
+      .select(col("q_id").as(idCol), col("c_id").as("match_id"),
+        col("sim").as("best_sim"))
+    newDocs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .withColumn("status",
+        when(col("best_sim") >= threshold, "sem_hist").otherwise("kept"))
+  }
 }

@@ -66,6 +66,30 @@ object DedupQueries extends QueryPack {
         .select($"doc_id", $"status")
     }),
 
+    // the SEMANTIC form of the increment classification — the third leg
+    // of the crawl-loop trilogy (exact keys, Bloom bits, embedding
+    // nearness): each new doc ADC-retrieves its nearest history
+    // candidates from the memoized 8 B/vector PQ code table, the top
+    // one re-ranks exactly, and best cosine >= 0.995 (the measured
+    // SemDeDup operating point) marks it sem_hist. Re-crawled pages
+    // embed identically (sim 1.0) and must all be caught; token-order
+    // rewrites land here too, where the fp/band indexes need the exact
+    // banding collision. No SQL oracle (codebooks/ADC) — digest-pinned;
+    // catch-the-recrawl + kept-consistency contracts in ExtensionsSpec.
+    "dedup_incremental_semantic" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+      val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
+        .select($"doc_id", $"text")
+        .unionByName(hist
+          .filter(pmod($"doc_id", lit(10)) === 1)
+          .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+      graft.dedup.Dedup.semanticStatus(batch,
+          Fixtures.histSemanticIdx(s, d), "doc_id", "text")
+        .select($"doc_id", $"status", $"match_id", $"best_sim")
+    }),
+
     // the Bloom form of the same classification: index folded into two
     // broadcast filters, classify map-only (no join, no shuffle). No
     // SQL oracle (filter bits aren't SQL-expressible) — digest-pinned,

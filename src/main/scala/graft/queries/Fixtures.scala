@@ -93,6 +93,30 @@ object Fixtures {
           k = geomCfg.minhashK, bands = geomCfg.bands))
     }.df
 
+  /** Semantic history index (r11): trained PQ model + the history's
+    * persisted 8 B/vector code table — the stored artifact of the
+    * SEMANTIC crawl loop, exactly the persistence boundary the Bloom
+    * and exact indexes model for identity dedup. Training and encoding
+    * are deterministic, so the memo changes no digest; the float
+    * `vectors` frame stays lazy (deployment point-reads the stored
+    * embedding table for the few re-rank candidates).
+    */
+  private val semIdx =
+    new ConcurrentHashMap[(SparkSession, String),
+      graft.dedup.Dedup.SemanticIndex]()
+
+  def histSemanticIdx(s: SparkSession, d: String)
+      : graft.dedup.Dedup.SemanticIndex =
+    memo(semIdx, s, d,
+        onLose = (v: graft.dedup.Dedup.SemanticIndex) =>
+          v.codes.unpersist()) {
+      val idx = graft.dedup.Dedup.semanticIndex(histDocs(s, d),
+        "doc_id", "text")
+      val codes = idx.codes.persist()
+      codes.count() // materialize the stored-index shape
+      idx.copy(codes = codes)
+    }
+
   /** Bench-slice quality classifier (corpus_curate_full's model) —
     * training is deterministic (exact-decimal updates, fixed iteration
     * count), so the memoized model scores identically to a fresh one.

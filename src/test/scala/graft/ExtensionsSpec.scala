@@ -126,6 +126,38 @@ class ExtensionsSpec extends SparkSpec {
       !planStr.contains("rangepartitioning"))
   }
 
+  test("semantic incremental dedup: re-crawls caught at sim 1.0, status " +
+      "partitions on the threshold, empty text stays kept") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val idx = Dedup.semanticIndex(hist, "doc_id", "text")
+    // batch: fresh docs + re-crawls of unchanged history pages under
+    // crawl ids (+100000) + one empty doc (embeds to the zero vector)
+    val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
+      .select($"doc_id", $"text")
+      .unionByName(hist.filter(pmod($"doc_id", lit(10)) === 1)
+        .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+      .unionByName(Seq((900000L, "")).toDF("doc_id", "text"))
+    val out = Dedup.semanticStatus(batch, idx, "doc_id", "text")
+      .select($"doc_id", $"status", $"best_sim").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // every re-crawl embeds identically to its history page: the index
+    // MUST catch all of them at exactly 1.0 — the dup class this leg
+    // exists for
+    val recrawls = out.filter(_._1 >= 100000L).filter(_._1 < 900000L)
+    assert(recrawls.nonEmpty)
+    recrawls.foreach { case (id, (st, sim)) =>
+      assert(st === "sem_hist" && sim === 1.0, s"re-crawl $id: $st $sim")
+    }
+    // the status column IS the threshold partition of best_sim
+    out.foreach { case (id, (st, sim)) =>
+      assert(st === (if (sim >= 0.995) "sem_hist" else "kept"),
+        s"doc $id: $st vs sim $sim")
+    }
+    // zero-vector doc scores 0 everywhere and stays kept
+    assert(out(900000L) === ("kept", 0.0))
+  }
+
   test("semDedupHier: one output row per input, keep iff own group, and " +
       "a 1x1 quantizer degrades to the flat single-cluster semantics") {
     val emb = Tables.embeddings(spark, sf)

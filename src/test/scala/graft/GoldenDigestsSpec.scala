@@ -59,6 +59,12 @@ class GoldenDigestsSpec extends SparkSpec {
   // (verified: -2217057557915718457 vs -14665822293677786946) — the
   // compressed path is a different execution, same probe geometry.
   check("sim_ivfpq_topk", 50L, "-30697647038325938886")
+  // r11: semantic crawl-increment classification (the third index leg
+  // after exact keys and Bloom bits): hashed embeddings -> memoized PQ
+  // code table -> ADC retrieve + exact rerank -> threshold status. No
+  // SQL form (codebooks/ADC); re-crawl-catch + threshold-partition
+  // contracts in ExtensionsSpec; digest verified back-to-back
+  check("dedup_incremental_semantic", 201L, "-78484571703023454661")
   // r7: SemDeDup (trained-quantizer clusters -> within-cluster near-dup
   // components); k-means training has no SQL form, rows-only for the
   // driver — invariants in CurationSpec, digest verified back-to-back

@@ -594,6 +594,29 @@ object Dedup {
       graft.similarity.Pq.ivfPqEncode(emb, centroids, model), emb)
   }
 
+  /** Grow the index with an increment's KEPT docs — the between-
+    * increments evolution step ([[graft.dedup.BloomIndex.fold]]'s
+    * analog): the new docs are embedded and encoded against the
+    * EXISTING quantizers (coarse centroids and residual codebooks are
+    * trained once per index generation — the standard IVFPQ practice;
+    * re-training would re-encode the whole history) and their codes and
+    * vectors union in. The caller's index is untouched; encode is
+    * map-only, so the fold costs one pass over the increment. Re-sizing
+    * the quantizers for a drifted corpus = rebuild via
+    * [[semanticIndex]], the same recovery boundary as
+    * `BloomIndex.rebuild`.
+    */
+  def semanticAppend(index: SemanticIndex, newDocs: DataFrame,
+                     idCol: String, textCol: String): SemanticIndex = {
+    val emb = TextAnalysis
+      .hashedEmbeddings(newDocs, idCol, textCol, index.model.dim)
+      .select(col(idCol).as("c_id"), col("embedding").as("c_vec"))
+    index.copy(
+      codes = index.codes.unionByName(graft.similarity.Pq
+        .ivfPqEncode(emb, index.centroids, index.model)),
+      vectors = index.vectors.unionByName(emb))
+  }
+
   /** Classify a crawl increment against the semantic history index:
     * embed each new doc, probe its nProbe nearest coarse buckets,
     * ADC-retrieve the closest history candidates from those buckets'

@@ -147,6 +147,38 @@ object DedupQueries extends QueryPack {
           c2.select($"doc_id", lit(2).as("increment"), $"status"))
     }),
 
+    // the semantic EVOLUTION loop (bloom_fold's analog for the third
+    // leg): classify increment 1 against the memoized index, append
+    // inc1's kept docs (encoded with the EXISTING quantizers — map-only,
+    // the caller's index untouched), classify increment 2, which
+    // re-crawls some inc1-kept pages under fresh ids (+200000): those
+    // must read sem_hist at 1.0 off the GROWN index, not leak as kept.
+    // Digest-pinned; append/catch contracts in ExtensionsSpec.
+    "dedup_incremental_semantic_fold" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val inc1 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+          pmod($"doc_id", lit(2)) === 0)
+        .select($"doc_id", $"text")
+      val inc2 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+          pmod($"doc_id", lit(2)) === 1)
+        .select($"doc_id", $"text")
+        .unionByName(inc1.filter(pmod($"doc_id", lit(4)) === 0)
+          .select(($"doc_id" + 200000).as("doc_id"), $"text"))
+      val idx0 = Fixtures.histSemanticIdx(s, d)
+      val c1 = graft.dedup.Dedup.semanticStatus(inc1, idx0,
+        "doc_id", "text")
+      val kept1 = c1.filter($"status" === "kept").select($"doc_id")
+        .join(inc1, Seq("doc_id"))
+      val idx1 = graft.dedup.Dedup.semanticAppend(idx0, kept1,
+        "doc_id", "text")
+      val c2 = graft.dedup.Dedup.semanticStatus(inc2, idx1,
+        "doc_id", "text")
+      c1.select($"doc_id", lit(1).as("increment"), $"status")
+        .unionByName(
+          c2.select($"doc_id", lit(2).as("increment"), $"status"))
+    }),
+
     // the full text->vector->near-dup path over RAW documents: hashed
     // set-of-words embeddings (no shipped vectors needed) feed the same
     // blocked cosine pairing the embeddings table uses; oracle-checked

@@ -158,6 +158,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(900000L) === ("kept", 0.0))
   }
 
+  test("semantic index append: grown index catches cross-increment " +
+      "re-crawls, caller's index untouched") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val idx0 = Dedup.semanticIndex(hist, "doc_id", "text")
+    val inc1 = docs.filter(pmod($"doc_id", lit(3)) === 0)
+      .select($"doc_id", $"text")
+    val kept1 = Dedup.semanticStatus(inc1, idx0, "doc_id", "text")
+      .filter($"status" === "kept").select($"doc_id").join(inc1, Seq("doc_id"))
+    assert(kept1.count() > 0, "vacuous: no kept docs to append")
+    // inc2 re-crawls every inc1-KEPT page under fresh ids
+    val inc2 = kept1.select(($"doc_id" + 200000).as("doc_id"), $"text")
+    val idx1 = Dedup.semanticAppend(idx0, kept1, "doc_id", "text")
+    val grown = Dedup.semanticStatus(inc2, idx1, "doc_id", "text")
+      .select($"doc_id", $"status", $"best_sim").collect()
+    grown.foreach { r =>
+      assert(r.getString(1) === "sem_hist" && r.getDouble(2) === 1.0,
+        s"re-crawl ${r.getLong(0)} leaked off the grown index")
+    }
+    // append did NOT mutate the caller's index: the same re-crawls stay
+    // kept against idx0 (they were novel vs HISTORY by construction)
+    val old = Dedup.semanticStatus(inc2, idx0, "doc_id", "text")
+      .groupBy($"status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(old.getOrElse("kept", 0L) === grown.length.toLong)
+  }
+
   test("semDedupHier: one output row per input, keep iff own group, and " +
       "a 1x1 quantizer degrades to the flat single-cluster semantics") {
     val emb = Tables.embeddings(spark, sf)

@@ -69,6 +69,10 @@ class GoldenDigestsSpec extends SparkSpec {
   // best-match audit columns legitimately differ; 12s -> 2.8s per
   // increment and linear-per-doc at a fixed probe fraction)
   check("dedup_incremental_semantic", 201L, "-58008146332422194395")
+  // r11: the semantic loop's evolution step — inc1-kept docs appended
+  // (encoded with the existing quantizers), inc2's re-crawls of them
+  // must read sem_hist off the grown index; contracts in ExtensionsSpec
+  check("dedup_incremental_semantic_fold", 209L, "5764935742945909182")
   // r7: SemDeDup (trained-quantizer clusters -> within-cluster near-dup
   // components); k-means training has no SQL form, rows-only for the
   // driver — invariants in CurationSpec, digest verified back-to-back

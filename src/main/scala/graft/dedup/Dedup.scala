@@ -575,21 +575,43 @@ object Dedup {
   def semanticIndex(hist: DataFrame, idCol: String, textCol: String,
                     dim: Int = 64, m: Int = 16, ksub: Int = 16,
                     iterations: Int = 2): SemanticIndex = {
-    val emb = TextAnalysis.hashedEmbeddings(hist, idCol, textCol, dim)
+    // zero-vector (empty/null-text) docs are excluded from the INDEX
+    // entirely, not just from training: cosine can never match a zero
+    // vector, so indexing them buys nothing, a hash-picked zero seed is
+    // a dead centroid no assignment can win, and a zero sample row
+    // trains residual codebooks on a -cent_vec outlier (same rationale
+    // as the curate pipeline's pre-training filter)
+    val emb = TextAnalysis.hashedEmbeddings(
+        hist.filter(size(tokens(coalesce(col(textCol), lit("")))) > 0),
+        idCol, textCol, dim)
       .select(col(idCol).as("c_id"), col("embedding").as("c_vec"))
+    val n = emb.count()
+    // the crawl loop's FIRST generation has no history: classification
+    // against nothing keeps everything — callers skip the classify, so
+    // an empty build is a caller bug, not a bootstrap path
+    require(n > 0,
+      "semanticIndex: empty (or all-empty-text) history — with no " +
+        "history every increment doc is kept by definition; skip " +
+        "classification until the first increment folds in")
     // ~√N seeds by HASH order, not id arithmetic: history id sets are
     // residue classes (doc_id % 3 != 0 here), and a stride aligned with
     // the class modulus selects ZERO seeds (√1334 ≈ 36, every multiple
     // of 36 is a multiple of 3 — measured empty on first run)
-    val k = math.max(1, math.sqrt(emb.count().toDouble).toInt)
+    val k = math.max(1, math.sqrt(n.toDouble).toInt)
     val seeds = emb.orderBy(xxhash64(col("c_id")), col("c_id")).limit(k)
       .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"))
-    val sample = graft.operators.Sampling
+    // small histories: Pq.train requires ksubEff sample seeds — shrink
+    // ksub to what the history can seed (fewer codes = coarser residual
+    // quantization, still correct), and train on the full history when
+    // the 50% hash-sample can't fill even that
+    val ksubEff = math.min(ksub.toLong, n).toInt
+    val half = graft.operators.Sampling
       .hashSample(emb, col("c_id"), "8", "semidx")
+    val sample = if (half.count() >= ksubEff.toLong) half else emb
     val centroids = graft.similarity.Similarity
       .trainIvfCentroids(sample, seeds, iterations = iterations)
     val model = graft.similarity.Pq.trainResidual(sample, centroids,
-      "c_id", "c_vec", m, ksub, iterations)
+      "c_id", "c_vec", m, ksubEff, iterations)
     SemanticIndex(model, centroids,
       graft.similarity.Pq.ivfPqEncode(emb, centroids, model), emb)
   }
@@ -628,6 +650,15 @@ object Dedup {
     * can't escape the probe (spec-pinned); near-rewrites are caught at
     * the probe fraction's recall, the standard ANN-dedup trade.
     *
+    * Returns the caller's frame plus (match_id, best_sim, status) —
+    * the same keep-my-columns contract as [[incrementalStatus]] and
+    * `BloomIndex.classify`, so `filter(kept).select(id, text)` feeds
+    * [[semanticAppend]] directly. A doc whose probed buckets hold no
+    * history codes (possible: Lloyd keeps empty clusters at their seed
+    * positions) has nothing to match — `best_sim` reads 0.0 and
+    * `match_id` NULL, the same "no neighbor" surface a zero-vector doc
+    * gets.
+    *
     * Id spaces must be disjoint between increment and history (crawl
     * ids are): a colliding id would silently exclude its own history
     * row from candidacy (the ranker's self-pair filter). Docs embedding
@@ -646,8 +677,9 @@ object Dedup {
         index.model, k = 1, nProbe = nProbe, rFactor = rFactor)
       .select(col("q_id").as(idCol), col("c_id").as("match_id"),
         col("sim").as("best_sim"))
-    newDocs.select(col(idCol))
+    newDocs
       .join(best, Seq(idCol), "left")
+      .withColumn("best_sim", coalesce(col("best_sim"), lit(0.0)))
       .withColumn("status",
         when(col("best_sim") >= threshold, "sem_hist").otherwise("kept"))
   }

@@ -168,8 +168,7 @@ object DedupQueries extends QueryPack {
       val idx0 = Fixtures.histSemanticIdx(s, d)
       val c1 = graft.dedup.Dedup.semanticStatus(inc1, idx0,
         "doc_id", "text")
-      val kept1 = c1.filter($"status" === "kept").select($"doc_id")
-        .join(inc1, Seq("doc_id"))
+      val kept1 = c1.filter($"status" === "kept").select($"doc_id", $"text")
       val idx1 = graft.dedup.Dedup.semanticAppend(idx0, kept1,
         "doc_id", "text")
       val c2 = graft.dedup.Dedup.semanticStatus(inc2, idx1,

@@ -463,13 +463,21 @@ object Similarity {
     val stride = math.max(1, math.sqrt(n.toDouble).toLong)
     val strided = emb.filter(col(idCol) % stride === 0)
       .select(col(idCol).as("cent_id"), col("embedding").as("cent_vec"))
-    // a sparse id set can dodge every stride multiple (ids {1,3,5,7} at
-    // stride 2): fall back to the min-id row so the quantizer always
-    // has >= 1 seed — deterministic, and with one cluster the stage
-    // degrades to plain within-corpus near-dup, never a crash
+    // a sparse id set can dodge every stride multiple — not just
+    // pathologically (ids {1,3,5,7} at stride 2) but SYSTEMATICALLY:
+    // any residue-class id set aligned with the stride (r11's measured
+    // case: ids with id % 3 != 0 at stride 36, where 36 | id implies
+    // 3 | id — zero seeds). The old min-id-row fallback silently
+    // degraded to ONE cluster, i.e. flat single-cluster semDedup and
+    // its quadratic largest-cluster trap; fall back to the full
+    // k ~ sqrt(n) HASH-ORDERED pick instead — deterministic,
+    // id-arithmetic-independent, same cluster-size bound as the stride
+    // path. (Stride stays the primary pick so every existing digest is
+    // unchanged where it worked.)
     val seeds =
       if (strided.limit(1).isEmpty)
-        emb.orderBy(col(idCol)).limit(1)
+        emb.orderBy(xxhash64(col(idCol)), col(idCol))
+          .limit(stride.toInt)
           .select(col(idCol).as("cent_id"), col("embedding").as("cent_vec"))
       else strided
     val sample = graft.operators.Sampling.hashSample(

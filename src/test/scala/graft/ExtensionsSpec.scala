@@ -166,7 +166,7 @@ class ExtensionsSpec extends SparkSpec {
     val inc1 = docs.filter(pmod($"doc_id", lit(3)) === 0)
       .select($"doc_id", $"text")
     val kept1 = Dedup.semanticStatus(inc1, idx0, "doc_id", "text")
-      .filter($"status" === "kept").select($"doc_id").join(inc1, Seq("doc_id"))
+      .filter($"status" === "kept").select($"doc_id", $"text")
     assert(kept1.count() > 0, "vacuous: no kept docs to append")
     // inc2 re-crawls every inc1-KEPT page under fresh ids
     val inc2 = kept1.select(($"doc_id" + 200000).as("doc_id"), $"text")

@@ -393,6 +393,60 @@ object AggQueries extends QueryPack {
       s.createDataFrame(java.util.Arrays.asList(kept: _*), out.schema)
     }),
 
+    // streaming SEMANTIC crawl dedup (foreachBatch): two micro-batches
+    // against the memoized semantic index — inc1 classifies and its
+    // kept docs grow the index FROM THE WRITTEN PARQUET (the durable
+    // between-batches path a deployment has; a foreachBatch frame dies
+    // with its micro-batch), then inc2's re-crawls of inc1 pages must
+    // read sem_hist off the grown index. Rows-only for the driver
+    // (streaming sink); deterministic (fixed batch split, rounded
+    // sims, id tiebreaks) — digest-pinned; streaming-equals-batch
+    // parity vs semanticStatus+semanticAppend in StreamingSpec.
+    "ev_dedup_semantic" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = Tables.documents(s, d)
+      val inc1 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+          pmod($"doc_id", lit(2)) === 0)
+        .select($"doc_id", $"text").orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val inc2 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+          pmod($"doc_id", lit(2)) === 1)
+        .select($"doc_id", $"text").orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ++
+        inc1.filter(_._1 % 4 == 0).map { case (id, t) => (id + 200000L, t) }
+      val idx0 = Fixtures.histSemanticIdx(s, d)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_sem_stream").toString
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      // state/shuffle sizing as in ev_dedup_incremental: micro-batch
+      // plans read shuffle.partitions at start; 8 is plenty here
+      val shufKey = "spark.sql.shuffle.partitions"
+      val oldShuf = s.conf.get(shufKey)
+      s.conf.set(shufKey, "8")
+      val q = try {
+        graft.streaming.IncrementalStream.semanticDedupEachBatch(
+            input.toDF().toDF("doc_id", "text"), idx0,
+            "doc_id", "text", outDir)
+          .start()
+      } finally s.conf.set(shufKey, oldShuf)
+      try {
+        // ONE addData call per increment: each call is one atomic block,
+        // so each processAllAvailable consumes exactly one micro-batch —
+        // the batch boundary is the semantics here (statuses depend on
+        // WHICH batch grew the index first), unlike the row-level-state
+        // ev_dedup_incremental where chunked blocks were safe. The
+        // single-block serial embed is ~1k docs of native map work.
+        input.addData(inc1)
+        q.processAllAvailable()
+        input.addData(inc2)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$outDir/status")
+        .select($"doc_id", $"increment", $"status")
+    }),
+
     // U4 guard inputs: the two scalar counts the threshold brake compares
     "u4_threshold_counts" -> ((s, d) => {
       import s.implicits._

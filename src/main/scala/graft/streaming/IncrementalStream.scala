@@ -332,4 +332,43 @@ object IncrementalStream {
         applyBatch(batch, batchId, snapshotDir, runTs, createdBy)
       }
   }
+
+  /** Streaming SEMANTIC crawl dedup — the micro-batch form of
+    * [[graft.dedup.Dedup.semanticStatus]] + [[graft.dedup.Dedup.semanticAppend]].
+    * The ranker's per-query window cannot run on an unbounded stream,
+    * so each micro-batch classifies as a BATCH plan against the current
+    * index (foreachBatch — the same boundary [[mergeEachBatch]] uses
+    * for the MERGE sink), writes every doc's status to
+    * `<outDir>/status/inc=<batchId>` and the kept docs' (id, text) to
+    * `<outDir>/kept/inc=<batchId>`, then grows the index FROM THE
+    * WRITTEN PARQUET: a foreachBatch frame is only valid inside its own
+    * micro-batch, so the next batch's index must read durable storage —
+    * which is exactly how a deployment evolves its stored index between
+    * increments (the [[graft.dedup.BloomIndex.fold]] lifecycle, third
+    * leg). The caller's `index0` is never mutated; within-batch
+    * near-dups are the batch ops' job, as with every increment leg.
+    */
+  def semanticDedupEachBatch(incoming: DataFrame,
+                             index0: graft.dedup.Dedup.SemanticIndex,
+                             idCol: String, textCol: String, outDir: String,
+                             threshold: Double = 0.995)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val state = new java.util.concurrent.atomic.AtomicReference(index0)
+    incoming.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val classified = graft.dedup.Dedup.semanticStatus(
+          batch, state.get(), idCol, textCol, threshold)
+        classified
+          .select(col(idCol), lit(batchId).as("increment"), col("status"),
+            col("match_id"), col("best_sim"))
+          .write.mode("overwrite").parquet(s"$outDir/status/inc=$batchId")
+        classified.filter(col("status") === "kept")
+          .select(col(idCol), col(textCol))
+          .write.mode("overwrite").parquet(s"$outDir/kept/inc=$batchId")
+        state.set(graft.dedup.Dedup.semanticAppend(state.get(),
+          spark.read.parquet(s"$outDir/kept/inc=$batchId"),
+          idCol, textCol))
+      }
+  }
 }

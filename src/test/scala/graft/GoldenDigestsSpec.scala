@@ -73,6 +73,11 @@ class GoldenDigestsSpec extends SparkSpec {
   // (encoded with the existing quantizers), inc2's re-crawls of them
   // must read sem_hist off the grown index; contracts in ExtensionsSpec
   check("dedup_incremental_semantic_fold", 209L, "5764935742945909182")
+  // r11: the same loop as a STREAM — foreachBatch classify + grow-from-
+  // written-parquet; one addData block per increment makes the batch
+  // boundary (= the semantics) deterministic. Streaming-equals-batch
+  // parity in StreamingSpec; digest verified back-to-back
+  check("ev_dedup_semantic", 209L, "152163444404646366878")
   // r7: SemDeDup (trained-quantizer clusters -> within-cluster near-dup
   // components); k-means training has no SQL form, rows-only for the
   // driver — invariants in CurationSpec, digest verified back-to-back

@@ -245,6 +245,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticDedupEachBatch parity: streaming statuses = batch " +
+      "semanticStatus + semanticAppend loop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val idx0 = graft.dedup.Dedup.semanticIndex(hist, "doc_id", "text")
+    val inc1 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+        pmod($"doc_id", lit(2)) === 0).select($"doc_id", $"text")
+    val inc2 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+        pmod($"doc_id", lit(2)) === 1).select($"doc_id", $"text")
+      .unionByName(docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+          pmod($"doc_id", lit(2)) === 0 && pmod($"doc_id", lit(4)) === 0)
+        .select(($"doc_id" + 200000L).as("doc_id"), $"text"))
+    // batch reference: classify inc1, grow, classify inc2
+    val b1 = graft.dedup.Dedup.semanticStatus(inc1, idx0, "doc_id", "text")
+    val kept1 = b1.filter($"status" === "kept").select($"doc_id", $"text")
+    val idx1 = graft.dedup.Dedup.semanticAppend(idx0, kept1, "doc_id", "text")
+    val b2 = graft.dedup.Dedup.semanticStatus(inc2, idx1, "doc_id", "text")
+    val batchRes = (b1.select($"doc_id", lit(0L).as("increment"), $"status")
+      .unionByName(b2.select($"doc_id", lit(1L).as("increment"), $"status")))
+      .collect().map(_.toSeq).toSet
+    // streaming: same two increments as micro-batches
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_sem_stream_spec").toString
+    val input = MemoryStream[(Long, String)]
+    val q = IncrementalStream.semanticDedupEachBatch(
+        input.toDF().toDF("doc_id", "text"), idx0, "doc_id", "text", outDir)
+      .start()
+    try {
+      input.addData(inc1.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      input.addData(inc2.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamRes = spark.read.parquet(s"$outDir/status")
+      .select($"doc_id", $"increment", $"status")
+      .collect().map(_.toSeq).toSet
+    assert(streamRes === batchRes)
+  }
+
   test("sessionizeStream batch parity: sessions = Sessionize.byGap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -668,13 +668,15 @@ object Dedup {
   def semanticStatus(newDocs: DataFrame, index: SemanticIndex,
                      idCol: String, textCol: String,
                      threshold: Double = 0.995,
-                     nProbe: Int = 3, rFactor: Int = 20): DataFrame = {
+                     nProbe: Int = 3, rFactor: Int = 20,
+                     broadcastProbes: Boolean = true): DataFrame = {
     val q = TextAnalysis
       .hashedEmbeddings(newDocs, idCol, textCol, index.model.dim)
       .select(col(idCol).as("q_id"), col("embedding").as("q_vec"))
     val best = graft.similarity.Pq
       .ivfPqTopK(q, index.codes, index.centroids, index.vectors,
-        index.model, k = 1, nProbe = nProbe, rFactor = rFactor)
+        index.model, k = 1, nProbe = nProbe, rFactor = rFactor,
+        broadcastProbes = broadcastProbes)
       .select(col("q_id").as(idCol), col("c_id").as("match_id"),
         col("sim").as("best_sim"))
     newDocs

@@ -253,7 +253,8 @@ object Pq {
     */
   def ivfPqTopK(queries: DataFrame, index: DataFrame, centroids: DataFrame,
                 corpus: DataFrame, model: PqModel, k: Int, nProbe: Int,
-                rFactor: Int = 10): DataFrame = {
+                rFactor: Int = 10,
+                broadcastProbes: Boolean = true): DataFrame = {
     require(rFactor >= 1, s"rFactor must be >= 1: $rFactor")
     // probe selection: map-side against the literal quantizer, exactly
     // like ivfProbe (explode_outer + not-null for the same
@@ -269,8 +270,19 @@ object Pq {
         pq_lut(col("q_vec"), model.codebooks, model.ksub).as("_lut"),
         Similarity.dot(col("q_vec"), col("cent_vec")).as("_qc"),
         Similarity.norm(col("q_vec")).as("_qn"))
+    // Probe-side join form is the same boundary semDedupHier's cells
+    // frame has (Similarity.hierBroadcastsCells): each probe row
+    // carries an 8*m*ksub-byte lut (~2 KB at the registered geometry),
+    // so a SEARCH-sized query set broadcasts in KBs–MBs, but a
+    // DEDUP-INCREMENT-sized one (millions of docs x nProbe) would ship
+    // GBs to every executor. Callers with large query sets pass
+    // broadcastProbes = false: the join co-partitions both sides on
+    // cent_id (one shuffle of the probes, index shuffled or — at
+    // 100 TB — already bucketed/partitioned BY cent_id), identical
+    // output (spec-pinned in PqSpec).
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
     val scored = index
-      .join(broadcast(probes), Seq("cent_id"))
+      .join(probeSide, Seq("cent_id"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("_den", col("_qn") * sqrt(col("c_xsqn")))
       .withColumn("sim", round(

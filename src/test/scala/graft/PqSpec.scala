@@ -164,6 +164,33 @@ class PqSpec extends SparkSpec {
     assert(adc === ivf)
   }
 
+  test("IVFADC shuffle-join probe path equals the broadcast path and " +
+      "actually drops the broadcast hint") {
+    import graft.operators.Sampling
+    val stride = math.max(1, math.sqrt(corpus.count().toDouble).toLong)
+    val seeds = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val sample = Sampling.hashSample(corpus, col("c_id"), "8", "pq")
+    val cents = Similarity.trainIvfCentroids(sample, seeds, iterations = 2)
+    val rModel = Pq.trainResidual(sample, cents, "c_id", "c_vec",
+      m = 16, ksub = 16, iterations = 2)
+    val index = Pq.ivfPqEncode(corpus, cents, rModel)
+    def run(bc: Boolean) = Pq.ivfPqTopK(queries, index, cents, corpus,
+      rModel, k = 5, nProbe = 3, rFactor = 10, broadcastProbes = bc)
+    assert(run(false).collect().map(_.toSeq).toSet ===
+      run(true).collect().map(_.toSeq).toSet)
+    // the flag really changes the physical form: the broadcast path
+    // joins index-to-probes via a broadcast exchange, the fallback
+    // repartitions both sides on cent_id (large-increment shape)
+    val plan = run(false).queryExecution.executedPlan.toString
+    val bplan = run(true).queryExecution.executedPlan.toString
+    assert(bplan.contains("BroadcastHashJoin") ||
+      bplan.contains("BroadcastExchange"))
+    assert(plan.contains("hashpartitioning(cent_id") ||
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"fallback plan still broadcast-shaped:\n${plan.take(1500)}")
+  }
+
   test("re-rank degenerates to exact brute force at full retrieve width") {
     val encoded = Pq.encode(corpus, model)
     // rFactor*k >= |corpus|: every candidate is retrieved, so the

@@ -351,24 +351,55 @@ object IncrementalStream {
   def semanticDedupEachBatch(incoming: DataFrame,
                              index0: graft.dedup.Dedup.SemanticIndex,
                              idCol: String, textCol: String, outDir: String,
-                             threshold: Double = 0.995)
+                             threshold: Double = 0.995,
+                             nProbe: Int = 3, rFactor: Int = 20,
+                             broadcastProbes: Boolean = true)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val state = new java.util.concurrent.atomic.AtomicReference(index0)
     incoming.writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // The grown index derives from index0 + the DURABLY WRITTEN kept
+        // outputs of every batch id < this one, never from in-memory
+        // state: a restarted query resumes at batch N without replaying
+        // 0..N-1 (an in-memory reference would silently re-initialize
+        // and miss their dups), and a RETRIED batch re-derives exactly
+        // the same index (its own half-written dir is excluded by the
+        // id < batchId bound, then overwritten) — the same repeated-
+        // batchId idempotence applyBatch's MERGE sink has. Cost: prior
+        // kept increments re-encode each batch (kept sets are small —
+        // an increment is mostly dups); a long-lived deployment
+        // checkpoints its grown CODE table periodically instead, via
+        // Dedup.semanticIndex/Pq.ivfPqEncode over the accumulated kept
+        // store.
+        val keptRoot = new org.apache.hadoop.fs.Path(s"$outDir/kept")
+        val fs = keptRoot.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val priorDirs =
+          if (!fs.exists(keptRoot)) Array.empty[String]
+          else fs.listStatus(keptRoot).map(_.getPath)
+            .filter { p =>
+              val n = p.getName
+              n.startsWith("inc=") && n.drop(4).toLongOption
+                .exists(_ < batchId)
+            }.map(_.toString).sorted
+        val idx =
+          if (priorDirs.isEmpty) index0
+          else graft.dedup.Dedup.semanticAppend(index0,
+            spark.read.parquet(priorDirs: _*), idCol, textCol)
         val classified = graft.dedup.Dedup.semanticStatus(
-          batch, state.get(), idCol, textCol, threshold)
-        classified
-          .select(col(idCol), lit(batchId).as("increment"), col("status"),
-            col("match_id"), col("best_sim"))
-          .write.mode("overwrite").parquet(s"$outDir/status/inc=$batchId")
-        classified.filter(col("status") === "kept")
-          .select(col(idCol), col(textCol))
-          .write.mode("overwrite").parquet(s"$outDir/kept/inc=$batchId")
-        state.set(graft.dedup.Dedup.semanticAppend(state.get(),
-          spark.read.parquet(s"$outDir/kept/inc=$batchId"),
-          idCol, textCol))
+            batch, idx, idCol, textCol, threshold,
+            nProbe = nProbe, rFactor = rFactor,
+            broadcastProbes = broadcastProbes)
+          .persist() // two write actions below must not classify twice
+        try {
+          classified
+            .select(col(idCol), lit(batchId).as("increment"), col("status"),
+              col("match_id"), col("best_sim"))
+            .write.mode("overwrite").parquet(s"$outDir/status/inc=$batchId")
+          classified.filter(col("status") === "kept")
+            .select(col(idCol), col(textCol))
+            .write.mode("overwrite").parquet(s"$outDir/kept/inc=$batchId")
+        } finally classified.unpersist()
       }
   }
 }

@@ -179,16 +179,24 @@ class PqSpec extends SparkSpec {
       rModel, k = 5, nProbe = 3, rFactor = 10, broadcastProbes = bc)
     assert(run(false).collect().map(_.toSeq).toSet ===
       run(true).collect().map(_.toSeq).toSet)
-    // the flag really changes the physical form: the broadcast path
-    // joins index-to-probes via a broadcast exchange, the fallback
-    // repartitions both sides on cent_id (large-increment shape)
-    val plan = run(false).queryExecution.executedPlan.toString
-    val bplan = run(true).queryExecution.executedPlan.toString
-    assert(bplan.contains("BroadcastHashJoin") ||
-      bplan.contains("BroadcastExchange"))
-    assert(plan.contains("hashpartitioning(cent_id") ||
-      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
-      s"fallback plan still broadcast-shaped:\n${plan.take(1500)}")
+    // the flag really changes the physical form of the PROBE join:
+    // only the fallback repartitions on cent_id (other broadcasts —
+    // centroids, rerank queries — exist on BOTH plans, so asserting
+    // their presence/absence would be vacuous; and auto-broadcast is
+    // disabled for the comparison so tiny test fixtures can't let
+    // Spark re-broadcast the probe side behind the flag's back)
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(thresholdKey)
+    val (plan, bplan) =
+      try {
+        spark.conf.set(thresholdKey, "-1")
+        (run(false).queryExecution.executedPlan.toString,
+          run(true).queryExecution.executedPlan.toString)
+      } finally spark.conf.set(thresholdKey, old)
+    assert(plan.contains("hashpartitioning(cent_id"),
+      s"fallback plan is not co-partitioned on cent_id:\n${plan.take(1500)}")
+    assert(!bplan.contains("hashpartitioning(cent_id"),
+      s"broadcast path unexpectedly shuffles on cent_id:\n${bplan.take(1500)}")
   }
 
   test("re-rank degenerates to exact brute force at full retrieve width") {

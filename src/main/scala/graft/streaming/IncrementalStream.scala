@@ -338,10 +338,11 @@ object IncrementalStream {
     * The ranker's per-query window cannot run on an unbounded stream,
     * so each micro-batch classifies as a BATCH plan against the current
     * index (foreachBatch — the same boundary [[mergeEachBatch]] uses
-    * for the MERGE sink), writes every doc's status to
-    * `<outDir>/status/inc=<batchId>` and the kept docs' (id, text) to
-    * `<outDir>/kept/inc=<batchId>`, then grows the index FROM THE
-    * WRITTEN PARQUET: a foreachBatch frame is only valid inside its own
+    * for the MERGE sink), writes ONE parquet per batch to
+    * `<outDir>/status/inc=<batchId>` — every doc's status row, with the
+    * doc text carried on KEPT rows only (the kept corpus IS the
+    * deployment's output; dup rows store a null text), then grows the
+    * index FROM THE WRITTEN PARQUET: a foreachBatch frame is only valid inside its own
     * micro-batch, so the next batch's index must read durable storage —
     * which is exactly how a deployment evolves its stored index between
     * increments (the [[graft.dedup.BloomIndex.fold]] lifecycle, third
@@ -371,12 +372,12 @@ object IncrementalStream {
         // checkpoints its grown CODE table periodically instead, via
         // Dedup.semanticIndex/Pq.ivfPqEncode over the accumulated kept
         // store.
-        val keptRoot = new org.apache.hadoop.fs.Path(s"$outDir/kept")
-        val fs = keptRoot.getFileSystem(
+        val statusRoot = new org.apache.hadoop.fs.Path(s"$outDir/status")
+        val fs = statusRoot.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val priorDirs =
-          if (!fs.exists(keptRoot)) Array.empty[String]
-          else fs.listStatus(keptRoot).map(_.getPath)
+          if (!fs.exists(statusRoot)) Array.empty[String]
+          else fs.listStatus(statusRoot).map(_.getPath)
             .filter { p =>
               val n = p.getName
               n.startsWith("inc=") && n.drop(4).toLongOption
@@ -385,21 +386,20 @@ object IncrementalStream {
         val idx =
           if (priorDirs.isEmpty) index0
           else graft.dedup.Dedup.semanticAppend(index0,
-            spark.read.parquet(priorDirs: _*), idCol, textCol)
-        val classified = graft.dedup.Dedup.semanticStatus(
+            spark.read.parquet(priorDirs: _*)
+              .filter(col("status") === "kept")
+              .select(col(idCol), col(textCol)),
+            idCol, textCol)
+        graft.dedup.Dedup.semanticStatus(
             batch, idx, idCol, textCol, threshold,
             nProbe = nProbe, rFactor = rFactor,
             broadcastProbes = broadcastProbes)
-          .persist() // two write actions below must not classify twice
-        try {
-          classified
-            .select(col(idCol), lit(batchId).as("increment"), col("status"),
-              col("match_id"), col("best_sim"))
-            .write.mode("overwrite").parquet(s"$outDir/status/inc=$batchId")
-          classified.filter(col("status") === "kept")
-            .select(col(idCol), col(textCol))
-            .write.mode("overwrite").parquet(s"$outDir/kept/inc=$batchId")
-        } finally classified.unpersist()
+          .select(col(idCol), lit(batchId).as("increment"), col("status"),
+            col("match_id"), col("best_sim"),
+            // kept corpus rides the same file: ONE write job per batch
+            // (the second job was ~1/3 of the row's fixed cost)
+            when(col("status") === "kept", col(textCol)).as(textCol))
+          .write.mode("overwrite").parquet(s"$outDir/status/inc=$batchId")
       }
   }
 }

@@ -31,4 +31,11 @@ private[functions] object CosineArgmax {
     val cmp = java.lang.Double.compare(score, bestScore)
     !any || cmp > 0 || (cmp == 0 && id < bestId)
   }
+
+  /** `round(x, 0)` with the same Round semantics as [[round6]] — used by
+    * the int8 quantizer's code rounding.
+    */
+  def round0(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else JBigDecimal.valueOf(d).setScale(0, RoundingMode.HALF_UP).doubleValue()
 }

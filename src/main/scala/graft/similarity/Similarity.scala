@@ -345,33 +345,24 @@ object Similarity {
     * query stands in for reading that index.
     */
   def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    // Quantize with the scale BOUND ONCE PER ROW (r11): composing
-    // quantizeInt8 as one Column inlines the array_max(transform(v,abs))
-    // scale expression INSIDE the per-element lambda — O(dim²)
-    // interpreted work per row (two full-array rescans per element; the
-    // PqScaleMain fan-out measured the corpus-side quantize at 44 s for
-    // a 100k-row corpus vs 1.3 s for the whole exact ranker), and a
-    // staged `_scale` COLUMN doesn't survive: CollapseProject counts
-    // the alias's one syntactic reference (inside the lambda body) as
-    // cheap-to-inline and collapses it straight back (verified on the
-    // physical plan). Binding the scale as the element of a one-element
-    // outer transform is collapse-proof — a lambda VARIABLE evaluates
-    // once per row no matter how projections merge. Arithmetic is
-    // unchanged (same double scale, same round/cast chain), so
-    // codes/scores are bit-identical — pinned by the sim_int8_topk
-    // golden digest.
+    // Quantization history (r11), each step digest-pinned identical:
+    // composing quantizeInt8 as one Column inlined the
+    // array_max(transform(v,abs)) scale expression INSIDE the
+    // per-element lambda — O(dim²) interpreted work per row (44 s for a
+    // 100k-row corpus vs 1.3 s for the whole exact ranker, PqScaleMain);
+    // a staged `_scale` COLUMN didn't survive (CollapseProject counts
+    // the alias's one syntactic reference inside the lambda body as
+    // cheap-to-inline and collapses it back — verified on the physical
+    // plan); the collapse-proof one-element-outer-transform binding cut
+    // it to 5.4 s but stayed interpreted (~60% of the remaining row).
+    // Now the fused native [[graft.functions.QuantizeInt8Expr]] — one
+    // codegen'd pass, bit-parity vs the column formula pinned in
+    // NativeExprSpec.
     def stagedCodes(df: DataFrame, id: String, vec: String,
-                    qc: String, qn: String): DataFrame = {
-      val ma = array_max(transform(col(vec), x => abs(x.cast("double"))))
-      val scale = when(ma > 0, ma / 127.0).otherwise(lit(1.0))
-      df.select(col(id), col(vec))
-        .withColumn(qc, element_at(
-          transform(array(scale), s => transform(col(vec),
-            x => round(x.cast("double") / s).cast("tinyint").cast("double"))),
-          1))
+                    qc: String, qn: String): DataFrame =
+      df.select(col(id),
+          graft.functions.QuantizeInt8Expr.quantize_int8(col(vec)).as(qc))
         .withColumn(qn, norm(col(qc)))
-        .drop(vec)
-    }
     // code arrays AND their norms staged once per side row (see
     // cosinePre): the inline form re-ran the dequant transform and both
     // norm folds per PAIR

@@ -562,7 +562,8 @@ object Dedup {
     */
   final case class SemanticIndex(model: graft.similarity.Pq.PqModel,
                                  centroids: DataFrame,
-                                 codes: DataFrame, vectors: DataFrame)
+                                 codes: DataFrame, vectors: DataFrame,
+                                 assign: DataFrame => DataFrame)
 
   /** Build the semantic history index: hashed set-of-words embeddings
     * (map-only, engine-reproducible), a ~√N coarse quantizer Lloyd-
@@ -572,48 +573,102 @@ object Dedup {
     * between-increments artifact (the Fixtures memo boundary) and
     * downstream digests pin.
     */
+  /** Above this history size the coarse quantizer trains and assigns
+    * TWO-LEVEL (coarse→fine, [[graft.similarity.Similarity.trainTwoLevelCentroids]]):
+    * the flat Lloyd's per-row argmax over k≈√n centroids makes both
+    * training and the full-history encode n·√n — measured 6.7 s →
+    * 124.1 s over a 50× history (BASELINE.md r11) — where the two-level
+    * form is ~n·n^(1/4). Below it the flat path is cheaper (no cells
+    * join) and keeps r11's digests bit-for-bit.
+    */
+  val SemanticHierThreshold: Long = 20000L
+
+  /** The coarse quantizer + assignment strategy for [[semanticIndex]]:
+    * flat Lloyd below [[SemanticHierThreshold]] (unchanged r11 path),
+    * two-level above it. Returns the flat `(cent_id, cent_vec)` view
+    * (probe selection and residual training are quantizer-shape-
+    * agnostic) plus the assigner that routes `(v_id, v_vec)` rows to
+    * `cent_id` — the piece that differs in cost: O(k) vs O(√k) per row.
+    */
+  private def semanticCoarse(emb: DataFrame, sample: DataFrame,
+                             n: Long, k: Int, iterations: Int,
+                             hierThreshold: Long)
+      : (DataFrame, DataFrame => DataFrame) = {
+    import graft.similarity.Similarity
+    if (n <= hierThreshold) {
+      val seeds = emb.orderBy(xxhash64(col("c_id")), col("c_id")).limit(k)
+        .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"))
+      val centroids = Similarity.trainIvfCentroids(sample, seeds,
+        iterations = iterations)
+      (centroids, vs => Similarity.assignToCentroids(vs, centroids))
+    } else {
+      val coarseK = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+      val fineK = math.max(1, math.ceil(k.toDouble / coarseK).toInt)
+      val tl = Similarity.trainTwoLevelCentroids(sample, coarseK, fineK,
+        iterations = iterations)
+      (tl.flat, vs => Similarity.assignTwoLevel(vs, tl))
+    }
+  }
+
   def semanticIndex(hist: DataFrame, idCol: String, textCol: String,
                     dim: Int = 64, m: Int = 16, ksub: Int = 16,
-                    iterations: Int = 2): SemanticIndex = {
+                    iterations: Int = 2,
+                    hierThreshold: Long = SemanticHierThreshold)
+      : SemanticIndex = {
     // zero-vector (empty/null-text) docs are excluded from the INDEX
     // entirely, not just from training: cosine can never match a zero
     // vector, so indexing them buys nothing, a hash-picked zero seed is
     // a dead centroid no assignment can win, and a zero sample row
     // trains residual codebooks on a -cent_vec outlier (same rationale
     // as the curate pipeline's pre-training filter)
-    val emb = TextAnalysis.hashedEmbeddings(
+    // ONE persisted embedding pass feeds the count, the seed pick, the
+    // sample decision, and every training collect (trainIvfCentroids /
+    // Pq.train localize per iteration — unpersisted, each collect
+    // re-tokenized and re-embedded the whole history from parquet; the
+    // r11 build re-ran that chain ~6x). Released before return: the
+    // returned codes/vectors stay lazy (the caller persists the stored-
+    // index shape it wants), costing exactly the one documented full
+    // pass at materialization.
+    val embSrc = TextAnalysis.hashedEmbeddings(
         hist.filter(size(tokens(coalesce(col(textCol), lit("")))) > 0),
         idCol, textCol, dim)
       .select(col(idCol).as("c_id"), col("embedding").as("c_vec"))
-    val n = emb.count()
-    // the crawl loop's FIRST generation has no history: classification
-    // against nothing keeps everything — callers skip the classify, so
-    // an empty build is a caller bug, not a bootstrap path
-    require(n > 0,
-      "semanticIndex: empty (or all-empty-text) history — with no " +
-        "history every increment doc is kept by definition; skip " +
-        "classification until the first increment folds in")
-    // ~√N seeds by HASH order, not id arithmetic: history id sets are
-    // residue classes (doc_id % 3 != 0 here), and a stride aligned with
-    // the class modulus selects ZERO seeds (√1334 ≈ 36, every multiple
-    // of 36 is a multiple of 3 — measured empty on first run)
-    val k = math.max(1, math.sqrt(n.toDouble).toInt)
-    val seeds = emb.orderBy(xxhash64(col("c_id")), col("c_id")).limit(k)
-      .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"))
-    // small histories: Pq.train requires ksubEff sample seeds — shrink
-    // ksub to what the history can seed (fewer codes = coarser residual
-    // quantization, still correct), and train on the full history when
-    // the 50% hash-sample can't fill even that
-    val ksubEff = math.min(ksub.toLong, n).toInt
-    val half = graft.operators.Sampling
-      .hashSample(emb, col("c_id"), "8", "semidx")
-    val sample = if (half.count() >= ksubEff.toLong) half else emb
-    val centroids = graft.similarity.Similarity
-      .trainIvfCentroids(sample, seeds, iterations = iterations)
-    val model = graft.similarity.Pq.trainResidual(sample, centroids,
-      "c_id", "c_vec", m, ksubEff, iterations)
-    SemanticIndex(model, centroids,
-      graft.similarity.Pq.ivfPqEncode(emb, centroids, model), emb)
+    val emb = embSrc.persist()
+    try {
+      val n = emb.count()
+      // the crawl loop's FIRST generation has no history: classification
+      // against nothing keeps everything — callers skip the classify, so
+      // an empty build is a caller bug, not a bootstrap path
+      require(n > 0,
+        "semanticIndex: empty (or all-empty-text) history — with no " +
+          "history every increment doc is kept by definition; skip " +
+          "classification until the first increment folds in")
+      // ~√N seeds by HASH order, not id arithmetic: history id sets are
+      // residue classes (doc_id % 3 != 0 here), and a stride aligned with
+      // the class modulus selects ZERO seeds (√1334 ≈ 36, every multiple
+      // of 36 is a multiple of 3 — measured empty on first run)
+      val k = math.max(1, math.sqrt(n.toDouble).toInt)
+      // small histories: Pq.train requires ksubEff sample seeds — shrink
+      // ksub to what the history can seed (fewer codes = coarser residual
+      // quantization, still correct), and train on the full history when
+      // the 50% hash-sample can't fill even that
+      val ksubEff = math.min(ksub.toLong, n).toInt
+      val half = graft.operators.Sampling
+        .hashSample(emb, col("c_id"), "8", "semidx")
+      val sample = if (half.count() >= ksubEff.toLong) half else emb
+      val (centroids, assign) =
+        semanticCoarse(emb, sample, n, k, iterations, hierThreshold)
+      def assigned(src: DataFrame): DataFrame =
+        assign(src.select(col("c_id").as("v_id"), col("c_vec").as("v_vec")))
+          .select(col("v_id").as("c_id"), col("v_vec").as("c_vec"),
+            col("cent_id"))
+      val model = graft.similarity.Pq.trainResidualAssigned(
+        assigned(sample), centroids, m, ksubEff, iterations)
+      SemanticIndex(model, centroids,
+        graft.similarity.Pq.ivfPqEncodeAssigned(assigned(embSrc),
+          centroids, model),
+        embSrc, assign)
+    } finally emb.unpersist()
   }
 
   /** Grow the index with an increment's KEPT docs — the between-
@@ -629,15 +684,46 @@ object Dedup {
     * `BloomIndex.rebuild`.
     */
   def semanticAppend(index: SemanticIndex, newDocs: DataFrame,
-                     idCol: String, textCol: String): SemanticIndex = {
+                     idCol: String, textCol: String): SemanticIndex =
+    semanticAppendEncoded(index,
+      semanticEncode(index, newDocs, idCol, textCol))
+
+  /** Map-only encode of an increment's docs against the index's EXISTING
+    * quantizers, carrying the float vector alongside the codes:
+    * `(c_id, cent_id, c_code, c_vec, c_xsqn)` — exactly the durable row
+    * a deployment (or the streaming loop) checkpoints per batch so later
+    * increments derive their grown index by UNIONING code tables instead
+    * of re-embedding kept text. Applies [[semanticIndex]]'s empty-text
+    * pre-filter: a zero-vector doc can never match by cosine, and its
+    * encoded row would only burn ADC candidate slots as a dead entry
+    * (and make a grown index diverge from a rebuilt one).
+    */
+  def semanticEncode(index: SemanticIndex, newDocs: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
     val emb = TextAnalysis
-      .hashedEmbeddings(newDocs, idCol, textCol, index.model.dim)
+      .hashedEmbeddings(
+        newDocs.filter(size(tokens(coalesce(col(textCol), lit("")))) > 0),
+        idCol, textCol, index.model.dim)
       .select(col(idCol).as("c_id"), col("embedding").as("c_vec"))
-    index.copy(
-      codes = index.codes.unionByName(graft.similarity.Pq
-        .ivfPqEncode(emb, index.centroids, index.model)),
-      vectors = index.vectors.unionByName(emb))
+    graft.similarity.Pq.ivfPqEncodeAssigned(
+      index.assign(emb.select(col("c_id").as("v_id"),
+          col("c_vec").as("v_vec")))
+        .select(col("v_id").as("c_id"), col("v_vec").as("c_vec"),
+          col("cent_id")),
+      index.centroids, index.model, keepVec = true)
   }
+
+  /** Grow the index from ALREADY-ENCODED rows ([[semanticEncode]]'s
+    * schema, e.g. read back from a durable per-batch code table): codes
+    * and vectors split off the same frame, no embedding or encoding
+    * work — the union is free until materialized.
+    */
+  def semanticAppendEncoded(index: SemanticIndex,
+                            encoded: DataFrame): SemanticIndex =
+    index.copy(
+      codes = index.codes.unionByName(encoded.drop("c_vec")),
+      vectors = index.vectors.unionByName(
+        encoded.select(col("c_id"), col("c_vec"))))
 
   /** Classify a crawl increment against the semantic history index:
     * embed each new doc, probe its nProbe nearest coarse buckets,
@@ -676,7 +762,13 @@ object Dedup {
     val best = graft.similarity.Pq
       .ivfPqTopK(q, index.codes, index.centroids, index.vectors,
         index.model, k = 1, nProbe = nProbe, rFactor = rFactor,
-        broadcastProbes = broadcastProbes)
+        broadcastProbes = broadcastProbes,
+        // probe each doc's OWN assignment cell too: under a two-level
+        // index the flat top-nProbe probe can rank an identical page's
+        // hier-assigned cell out — the own-cell union restores the
+        // exact-re-crawl containment guarantee (flat indexes: top-1 IS
+        // the own cell, union is a no-op by value)
+        ownCellAssign = Some(index.assign))
       .select(col("q_id").as(idCol), col("c_id").as("match_id"),
         col("sim").as("best_sim"))
     newDocs

@@ -18,7 +18,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * EXACT parity with the column form (NativeExprSpec pins code equality
   * over the corpus):
   *  - maxAbs = max over |x_i| as doubles (float inputs widened first,
-  *    exactly like the abs(cast) lambda);
+  *    exactly like the abs(cast) lambda), with NaN propagating as the
+  *    MAXIMUM — array_max's ordering treats NaN greatest, so a NaN
+  *    element forces maxAbs = NaN, the `> 0` test false, scale 1.0;
   *  - scale = maxAbs/127.0 when maxAbs > 0 else 1.0, kept as a DOUBLE
   *    (the column form divides by the pre-float-cast scale);
   *  - code_i = round(x_i/scale, 0) replicating Round's HALF_UP
@@ -54,7 +56,10 @@ case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
     i = 0
     while (i < n) {
       val a = math.abs(v(i))
-      if (a > maxAbs) maxAbs = a
+      // NaN-greatest like array_max (a > maxAbs is false for NaN, which
+      // would silently SKIP it and quantize [NaN, 5.0] on a 5.0 scale
+      // where the column form falls to the scale-1.0 branch)
+      if (a > maxAbs || java.lang.Double.isNaN(a)) maxAbs = a
       i += 1
     }
     val scale = if (n > 0 && maxAbs > 0) maxAbs / 127.0 else 1.0

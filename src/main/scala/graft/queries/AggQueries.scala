@@ -442,9 +442,25 @@ object AggQueries extends QueryPack {
         q.processAllAvailable()
         input.addData(inc2)
         q.processAllAvailable()
-      } finally q.stop()
-      s.read.parquet(s"$outDir/status")
-        .select($"doc_id", $"increment", $"status")
+        // localize the (small) status output so the temp dir can be
+        // deleted HERE instead of leaking one tree per invocation (the
+        // bench's warm + timed + retry passes each create one)
+        val out = s.read.parquet(s"$outDir/status")
+          .select($"doc_id", $"increment", $"status")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        q.stop()
+        scala.util.Try {
+          val walk = java.nio.file.Files.walk(
+            java.nio.file.Paths.get(outDir))
+          val paths =
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .toArray(n => new Array[java.nio.file.Path](n))
+            finally walk.close()
+          paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
     }),
 
     // U4 guard inputs: the two scalar counts the threshold brake compares

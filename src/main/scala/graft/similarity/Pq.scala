@@ -163,9 +163,36 @@ object Pq {
   def topKRefined(queries: DataFrame, encoded: DataFrame, corpus: DataFrame,
                   model: PqModel, k: Int, rFactor: Int = 10): DataFrame = {
     require(rFactor >= 1, s"rFactor must be >= 1: $rFactor")
-    val cand = topK(queries, encoded, model, k * rFactor)
+    val q = broadcast(queries
+      .select(col("q_id"),
+        pq_lut(col("q_vec"), model.codebooks, model.ksub).as("_lut"),
+        Similarity.norm(col("q_vec")).as("_qn")))
+    val scored = encoded
+      .crossJoin(q)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("_den", col("_qn") * sqrt(col("c_sqn")))
+      .withColumn("sim", round(
+        when(col("_den") > 0,
+          pq_adc(col("c_code"), col("_lut")) / col("_den"))
+          .otherwise(lit(0.0)), 6))
+    rerankExact(adcCandidates(scored, k * rFactor), queries, corpus, k)
+  }
+
+  /** Tie-INCLUSIVE ADC candidate cut: every row whose rounded ADC score
+    * ties into the top `width` scores survives to the exact re-rank —
+    * `rank()` over the score alone, no id tiebreak. With `row_number`
+    * ties among byte-equal codes were broken by id, and the true
+    * neighbor could be evicted BEFORE the re-rank ever saw it (r11
+    * factor-50 probe: 13/334 re-crawls lost exactly this coin toss).
+    * The extension is bounded by the tie group at the boundary — codes
+    * quantize to m·ksub levels, so byte-equal (= score-equal) groups
+    * are the common case the cut must not split.
+    */
+  private def adcCandidates(scored: DataFrame, width: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc)
+    scored.withColumn("_r", rank().over(w))
+      .filter(col("_r") <= width)
       .select(col("q_id"), col("c_id"))
-    rerankExact(cand, queries, corpus, k)
   }
 
   /** Exact cosine re-rank of retrieved (q_id, c_id) candidates — the
@@ -207,13 +234,33 @@ object Pq {
         sample.select(col(id).as("c_id"), col(vec).as("c_vec")), centroids),
       "c_id", "r_vec", m, ksub, iterations)
 
+  /** [[trainResidual]] over a PRE-ASSIGNED sample `(c_id, c_vec,
+    * cent_id)` — pairs with [[ivfPqEncodeAssigned]] so a two-level
+    * quantizer's assignment governs both training residuals and the
+    * encoded index.
+    */
+  def trainResidualAssigned(assigned: DataFrame, centroids: DataFrame,
+                            m: Int, ksub: Int,
+                            iterations: Int = 2): PqModel =
+    train(residualsAssigned(assigned, centroids),
+      "c_id", "r_vec", m, ksub, iterations)
+
   /** (c_id, cent_id, r_vec, cent_vec): each vector's coarse assignment,
     * its residual from the assigned centroid (exact double
     * subtraction), and the centroid itself (carried so the encode pass
     * doesn't re-join).
     */
   private def residuals(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    Similarity.buildIvfIndex(corpus, centroids)
+    residualsAssigned(Similarity.buildIvfIndex(corpus, centroids), centroids)
+
+  /** [[residuals]] over a PRE-ASSIGNED corpus `(c_id, c_vec, cent_id)` —
+    * the hook that lets a hierarchically-trained quantizer supply its
+    * own two-level assignment (flat argmax over k≈√n centroids is the
+    * n·√n term the two-level build exists to remove).
+    */
+  private def residualsAssigned(assigned: DataFrame,
+                                centroids: DataFrame): DataFrame =
+    assigned
       .join(broadcast(centroids), Seq("cent_id"))
       .select(col("cent_id"), col("c_id"),
         zip_with(col("c_vec"), col("cent_vec"),
@@ -231,16 +278,36 @@ object Pq {
     */
   def ivfPqEncode(corpus: DataFrame, centroids: DataFrame,
                   model: PqModel): DataFrame =
-    residuals(corpus, centroids)
-      .select(col("c_id"), col("cent_id"),
-        pq_encode(col("r_vec"), model.codebooks, model.ksub).as("c_code"),
-        col("cent_vec"))
+    ivfPqEncodeAssigned(Similarity.buildIvfIndex(corpus, centroids),
+      centroids, model)
+
+  /** [[ivfPqEncode]] over a pre-assigned corpus. The centroid's lut and
+    * squared norm depend only on the centroid, so both are computed once
+    * per centroid on the broadcast side of the join — the per-row form
+    * recomputed an m·ksub·subDim lut |corpus|/|centroids| times over.
+    * Values (and so downstream digests) are bit-identical: same folds,
+    * same operand order, evaluated per centroid instead of per row.
+    */
+  def ivfPqEncodeAssigned(assigned: DataFrame, centroids: DataFrame,
+                          model: PqModel,
+                          keepVec: Boolean = false): DataFrame = {
+    val centsAug = broadcast(centroids.select(col("cent_id"), col("cent_vec"),
+      pq_lut(col("cent_vec"), model.codebooks, model.ksub).as("_clut"),
+      Similarity.dot(col("cent_vec"), col("cent_vec")).as("_csqn")))
+    assigned
+      .join(centsAug, Seq("cent_id"))
+      .select(col("c_id") +: col("cent_id") +:
+        pq_encode(zip_with(col("c_vec"), col("cent_vec"),
+            (x, c) => x.cast("double") - c.cast("double")),
+          model.codebooks, model.ksub).as("c_code") +:
+        col("_clut") +: col("_csqn") +:
+        (if (keepVec) Seq(col("c_vec")) else Nil): _*)
       .withColumn("c_xsqn",
         pq_adc(col("c_code"), typedLit(model.sqNormLut)) +
-          lit(2.0) * pq_adc(col("c_code"),
-            pq_lut(col("cent_vec"), model.codebooks, model.ksub)) +
-          Similarity.dot(col("cent_vec"), col("cent_vec")))
-      .drop("cent_vec")
+          lit(2.0) * pq_adc(col("c_code"), col("_clut")) +
+          col("_csqn"))
+      .drop("_clut", "_csqn")
+  }
 
   /** IVFADC search — the paper's full layout and the 100 TB recipe: the
     * coarse quantizer prunes the scan to nProbe buckets (partition
@@ -254,22 +321,44 @@ object Pq {
   def ivfPqTopK(queries: DataFrame, index: DataFrame, centroids: DataFrame,
                 corpus: DataFrame, model: PqModel, k: Int, nProbe: Int,
                 rFactor: Int = 10,
-                broadcastProbes: Boolean = true): DataFrame = {
+                broadcastProbes: Boolean = true,
+                ownCellAssign: Option[DataFrame => DataFrame] = None)
+      : DataFrame = {
     require(rFactor >= 1, s"rFactor must be >= 1: $rFactor")
-    // probe selection: map-side against the literal quantizer, exactly
-    // like ivfProbe (explode_outer + not-null for the same
+    // probe CELL selection: map-side against the literal quantizer,
+    // exactly like ivfProbe (explode_outer + not-null for the same
     // InferFiltersFromGenerate reason)
-    val probes = queries
+    val cellsBase = queries
       .withColumn("_probe",
         explode_outer(slice(Similarity.centroidScores(col("q_vec"),
           Similarity.centroidLit(centroids)), 1, nProbe)))
       .filter(col("_probe").isNotNull)
-      .select(col("q_id"), col("q_vec"), (-col("_probe.neg_id")).as("cent_id"))
-      .join(broadcast(centroids), Seq("cent_id"))
-      .select(col("q_id"), col("cent_id"),
+      .select(col("q_id"), (-col("_probe.neg_id")).as("cent_id"))
+    // when the index was encoded by a NON-FLAT assigner (two-level
+    // quantizer), additionally probe the query's OWN assignment cell —
+    // the cell an identical corpus vector landed in, which flat probing
+    // over hier-assigned codes cannot guarantee to rank top-nProbe.
+    // Restores the exact-re-crawl containment (q == x ⟹ x's cell ∈ q's
+    // probes) by construction. For flat-encoded indexes flat top-1 IS
+    // the own cell, so callers pass None and the union never runs.
+    val cells = ownCellAssign.fold(cellsBase) { assign =>
+      cellsBase.unionByName(
+        assign(queries.select(col("q_id").as("v_id"),
+            col("q_vec").as("v_vec")))
+          .select(col("v_id").as("q_id"), col("cent_id")))
+        .distinct()
+    }
+    // the query's lut and norm depend only on the query — computed once
+    // per query on the join's right side, never per probe row; ⟨q,c⟩ is
+    // genuinely per-probe and stays below the centroid join
+    val probes = cells
+      .join(queries.select(col("q_id"), col("q_vec"),
         pq_lut(col("q_vec"), model.codebooks, model.ksub).as("_lut"),
+        Similarity.norm(col("q_vec")).as("_qn")), Seq("q_id"))
+      .join(broadcast(centroids), Seq("cent_id"))
+      .select(col("q_id"), col("cent_id"), col("_lut"),
         Similarity.dot(col("q_vec"), col("cent_vec")).as("_qc"),
-        Similarity.norm(col("q_vec")).as("_qn"))
+        col("_qn"))
     // Probe-side join form is the same boundary semDedupHier's cells
     // frame has (Similarity.hierBroadcastsCells): each probe row
     // carries an 8*m*ksub-byte lut (~2 KB at the registered geometry),
@@ -289,10 +378,6 @@ object Pq {
         when(col("_den") > 0,
           (col("_qc") + pq_adc(col("c_code"), col("_lut"))) / col("_den"))
           .otherwise(lit(0.0)), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    val cand = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k * rFactor)
-      .select(col("q_id"), col("c_id"))
-    rerankExact(cand, queries, corpus, k)
+    rerankExact(adcCandidates(scored, k * rFactor), queries, corpus, k)
   }
 }

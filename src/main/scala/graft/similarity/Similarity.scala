@@ -206,6 +206,130 @@ object Similarity {
       graft.functions.NearestCentroidExpr.nearest_centroid(
         col("c_vec"), collectCentroids(centroids)))
 
+  // ------------------------------------------ two-level (coarse→fine) IVF
+  /** A trained two-level quantizer: `coarse` routes a vector to a cell
+    * with a √k-wide argmax, `fine` holds each cell's fine centroids, and
+    * the flattened id `coarse_id * fineK + fine_id` is what downstream
+    * IVF machinery sees. Assignment cost per vector is O(coarseK +
+    * fineK) ≈ O(√k) dots instead of the flat argmax's O(k) — at k≈√n
+    * that converts the n·√n full-corpus encode into ~n·n^(1/4), the
+    * super-linear term the r11 semantic-index build measured (6.7 s →
+    * 124.1 s over a 50× history). `coarse` is restricted to LIVE cells
+    * (cells that seeded at least one fine centroid), so every assignment
+    * lands in a cell that exists in `flat`.
+    */
+  final case class TwoLevelQuantizer(coarse: DataFrame, fine: DataFrame,
+                                     fineK: Int) {
+    /** The flat `(cent_id, cent_vec)` view — feeds [[centroidLit]] probe
+      * selection and residual-PQ training like any flat quantizer.
+      */
+    def flat: DataFrame = fine.select(
+      (col("coarse_id") * lit(fineK.toLong) + col("fine_id")).as("cent_id"),
+      col("cent_vec"))
+  }
+
+  /** The fine frame grouped to per-cell centroid arrays — the broadcast
+    * build side of every two-level assignment. fine_id is unique per
+    * cell, so the struct sort is total without comparing vectors.
+    */
+  private def fineCells(fine: DataFrame): DataFrame =
+    fine.groupBy(col("coarse_id"))
+      .agg(array_sort(collect_list(struct(col("fine_id"), col("cent_vec"))))
+        .as("_cells"))
+
+  /** Two-level assignment of `(v_id, v_vec)` rows: map-side coarse
+    * argmax against the literal coarse quantizer, then the fine argmax
+    * inside the routed cell via a broadcast cells join ([[semDedupHier]]'s
+    * assignment form). Output `(v_id, v_vec, cent_id)` with the
+    * flattened id — drop-in for [[assignToCentroids]] against
+    * `tl.flat`, at O(√k) per row instead of O(k).
+    */
+  def assignTwoLevel(vectors: DataFrame, tl: TwoLevelQuantizer): DataFrame =
+    assignToCentroids(vectors, tl.coarse)
+      .withColumnRenamed("cent_id", "coarse_id")
+      .join(broadcast(fineCells(tl.fine)), Seq("coarse_id"))
+      .withColumn("cent_id",
+        col("coarse_id") * lit(tl.fineK.toLong) +
+          graft.functions.NearestInCellExpr
+            .nearest_in_cell(col("v_vec"), col("_cells")))
+      .select(col("v_id"), col("v_vec"), col("cent_id"))
+
+  /** Train a two-level quantizer: Lloyd the coarse level exactly like
+    * [[trainIvfCentroids]] (hash-ranked seeds renumbered 0..coarseK-1),
+    * assign the sample once, seed ≤fineK hash-ranked members per cell,
+    * then Lloyd the fine level DISTRIBUTED — per iteration one broadcast
+    * cells join + one exact-decimal means aggregation over (cell, fine,
+    * dim), never a per-row O(coarseK·fineK) argmax. Same determinism
+    * discipline as every quantizer here (decimal means, hash-ordered
+    * seeds, id tie-breaks), so downstream encodes digest-pin.
+    *
+    * With coarseK = 1 the fine level IS a flat quantizer: same seed
+    * order, same argmax semantics (NearestInCellExpr ≡
+    * NearestCentroidExpr, NativeExprSpec), same means — membership
+    * equality with [[trainIvfCentroids]] is pinned in ExtensionsSpec.
+    */
+  def trainTwoLevelCentroids(sample: DataFrame, coarseK: Int, fineK: Int,
+                             iterations: Int = 2, id: String = "c_id",
+                             vec: String = "c_vec"): TwoLevelQuantizer = {
+    require(coarseK >= 1 && fineK >= 1,
+      s"bad two-level geometry: coarseK=$coarseK fineK=$fineK")
+    require(coarseK.toLong * fineK <= maxCentroids,
+      s"coarseK*fineK = ${coarseK.toLong * fineK} exceeds the " +
+        s"literal-quantizer cap $maxCentroids")
+    require(iterations >= 0, s"negative iterations: $iterations")
+    val spark = sample.sparkSession
+    val vectors = sample.select(col(id).as("v_id"), col(vec).as("v_vec"))
+    val hashOrd = Seq(xxhash64(col("v_id")), col("v_id"))
+    val seedW = Window.orderBy(hashOrd: _*)
+    val coarseSeeds = vectors.orderBy(hashOrd: _*).limit(coarseK)
+      .withColumn("cent_id", row_number().over(seedW).cast("long") - 1)
+      .select(col("cent_id"), col("v_vec").as("cent_vec"))
+    val coarse = trainIvfCentroids(vectors, coarseSeeds,
+      iterations = iterations, id = "v_id", vec = "v_vec")
+    // consumed by the fine-seed window plus once per Lloyd iteration —
+    // localCheckpoint so the coarse argmax over the sample runs ONCE
+    val withCoarse = assignToCentroids(vectors, coarse)
+      .withColumnRenamed("cent_id", "coarse_id")
+      .localCheckpoint()
+    val cellW = Window.partitionBy(col("coarse_id"))
+      .orderBy(xxhash64(col("v_id")), col("v_id"))
+    var fine = withCoarse
+      .withColumn("_rn", row_number().over(cellW))
+      .filter(col("_rn") <= fineK)
+      .select(col("coarse_id"), (col("_rn") - 1).cast("long").as("fine_id"),
+        transform(col("v_vec"), x => x.cast("double")).as("cent_vec"))
+    (1 to iterations).foreach { _ =>
+      val means = withCoarse
+        .join(broadcast(fineCells(fine)), Seq("coarse_id"))
+        .withColumn("fine_id", graft.functions.NearestInCellExpr
+          .nearest_in_cell(col("v_vec"), col("_cells")))
+        .select(col("coarse_id"), col("fine_id"),
+          posexplode(col("v_vec")).as(Seq("pos", "x")))
+        .groupBy(col("coarse_id"), col("fine_id"), col("pos"))
+        .agg(avg(col("x").cast("decimal(27,10)")).as("m"))
+        .groupBy(col("coarse_id"), col("fine_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("coarse_id"), col("fine_id"),
+          transform(col("pm"), p => p.getField("m").cast("double"))
+            .as("new_vec"))
+      // a fine cluster that captures no member keeps its position
+      fine = fine.join(means, Seq("coarse_id", "fine_id"), "left")
+        .select(col("coarse_id"), col("fine_id"),
+          coalesce(col("new_vec"), col("cent_vec")).as("cent_vec"))
+        .localCheckpoint()
+    }
+    // LIVE coarse cells only: a coarse cell with no sample member seeds
+    // no fine centroids — restricting the stored coarse quantizer keeps
+    // every future assignment (corpus OR query) inside a cell that has
+    // fine entries, consistently for both
+    val fineRows = fine.collect()
+    val fineLocal = spark.createDataFrame(
+      java.util.Arrays.asList(fineRows: _*), fine.schema)
+    val live = fineRows.map(_.getLong(0)).toSet
+    val coarseLive = coarse.filter(col("cent_id").isInCollection(live))
+    TwoLevelQuantizer(coarseLive, fineLocal, fineK)
+  }
+
   /** Probe a built index: map-side probe selection against the literal
     * quantizer, hash-join on cent_id (cheap integer probe, no cosine for
     * non-bucket rows), exact rank within the probed fraction. The only

@@ -341,13 +341,26 @@ object IncrementalStream {
     * for the MERGE sink), writes ONE parquet per batch to
     * `<outDir>/status/inc=<batchId>` — every doc's status row, with the
     * doc text carried on KEPT rows only (the kept corpus IS the
-    * deployment's output; dup rows store a null text), then grows the
-    * index FROM THE WRITTEN PARQUET: a foreachBatch frame is only valid inside its own
-    * micro-batch, so the next batch's index must read durable storage —
-    * which is exactly how a deployment evolves its stored index between
-    * increments (the [[graft.dedup.BloomIndex.fold]] lifecycle, third
-    * leg). The caller's `index0` is never mutated; within-batch
-    * near-dups are the batch ops' job, as with every increment leg.
+    * deployment's output; dup rows store a null text) AND, also on kept
+    * rows only, the doc's ENCODED index entry (cent_id, c_code, c_vec,
+    * c_xsqn — [[graft.dedup.Dedup.semanticEncode]]'s columns): the
+    * per-batch checkpoint of the grown code table. The next batch's
+    * index derives by UNIONING those durable code rows
+    * ([[graft.dedup.Dedup.semanticAppendEncoded]]) — map-only reads, no
+    * re-embedding of prior kept text, so per-batch index-derivation
+    * cost is linear in index SIZE, not quadratic in batch count (the
+    * r11 form re-embedded and re-encoded every prior batch's kept docs
+    * on each new batch — O(B²) over the stream's lifetime).
+    *
+    * Durability contract unchanged: the grown index derives from
+    * index0 + the WRITTEN outputs of every batch id < this one, never
+    * from in-memory state — a restarted query resumes at batch N
+    * without replaying 0..N-1, and a RETRIED batch re-derives exactly
+    * the same index (its own half-written dir is excluded by the
+    * id < batchId bound, then overwritten), the same repeated-batchId
+    * idempotence applyBatch's MERGE sink has. The caller's `index0` is
+    * never mutated; within-batch near-dups are the batch ops' job, as
+    * with every increment leg.
     */
   def semanticDedupEachBatch(incoming: DataFrame,
                              index0: graft.dedup.Dedup.SemanticIndex,
@@ -359,19 +372,6 @@ object IncrementalStream {
     incoming.writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // The grown index derives from index0 + the DURABLY WRITTEN kept
-        // outputs of every batch id < this one, never from in-memory
-        // state: a restarted query resumes at batch N without replaying
-        // 0..N-1 (an in-memory reference would silently re-initialize
-        // and miss their dups), and a RETRIED batch re-derives exactly
-        // the same index (its own half-written dir is excluded by the
-        // id < batchId bound, then overwritten) — the same repeated-
-        // batchId idempotence applyBatch's MERGE sink has. Cost: prior
-        // kept increments re-encode each batch (kept sets are small —
-        // an increment is mostly dups); a long-lived deployment
-        // checkpoints its grown CODE table periodically instead, via
-        // Dedup.semanticIndex/Pq.ivfPqEncode over the accumulated kept
-        // store.
         val statusRoot = new org.apache.hadoop.fs.Path(s"$outDir/status")
         val fs = statusRoot.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
@@ -385,12 +385,17 @@ object IncrementalStream {
             }.map(_.toString).sorted
         val idx =
           if (priorDirs.isEmpty) index0
-          else graft.dedup.Dedup.semanticAppend(index0,
+          else graft.dedup.Dedup.semanticAppendEncoded(index0,
             spark.read.parquet(priorDirs: _*)
-              .filter(col("status") === "kept")
-              .select(col(idCol), col(textCol)),
-            idCol, textCol)
-        graft.dedup.Dedup.semanticStatus(
+              // kept rows carry their encoded entry; cent_id is null on
+              // dup rows and on kept-but-empty-text docs (excluded from
+              // the index by semanticEncode's zero-vector filter)
+              .filter(col("cent_id").isNotNull)
+              .select(col(idCol).as("c_id"), col("cent_id"),
+                col("c_code"), col("c_vec"), col("c_xsqn")))
+        // status consumed twice (the write's left side + the kept slice
+        // the encode reads) — persist so classify runs once per batch
+        val status = graft.dedup.Dedup.semanticStatus(
             batch, idx, idCol, textCol, threshold,
             nProbe = nProbe, rFactor = rFactor,
             broadcastProbes = broadcastProbes)
@@ -399,7 +404,16 @@ object IncrementalStream {
             // kept corpus rides the same file: ONE write job per batch
             // (the second job was ~1/3 of the row's fixed cost)
             when(col("status") === "kept", col(textCol)).as(textCol))
-          .write.mode("overwrite").parquet(s"$outDir/status/inc=$batchId")
+          .persist()
+        try {
+          val codes = graft.dedup.Dedup.semanticEncode(index0,
+              status.filter(col("status") === "kept")
+                .select(col(idCol), col(textCol)),
+              idCol, textCol)
+            .withColumnRenamed("c_id", idCol)
+          status.join(codes, Seq(idCol), "left")
+            .write.mode("overwrite").parquet(s"$outDir/status/inc=$batchId")
+        } finally status.unpersist()
       }
   }
 }

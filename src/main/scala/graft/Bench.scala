@@ -141,7 +141,22 @@ object Bench {
     * waitFor runs BEFORE the stdout read so the 20-minute timeout can
     * actually fire (the one-line stdout payload fits any pipe buffer).
     */
-  private def duckdbWall(sfDir: String, cpus: String): Option[(Double, Int)] = {
+  /** Parse the PERQ line's flat {"name": seconds, ...} object — query
+    * names are plain identifiers (no quotes/commas inside), so a
+    * split-based read is exact for what duckdb_wall.py emits.
+    */
+  private def parsePerQuery(s: String): Map[String, Double] =
+    s.trim.stripPrefix("{").stripSuffix("}").split(",")
+      .iterator.map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+        val i = kv.lastIndexOf(':')
+        if (i < 0) None
+        else scala.util.Try(
+          kv.take(i).trim.stripPrefix("\"").stripSuffix("\"") ->
+            kv.drop(i + 1).trim.toDouble).toOption
+      }.toMap
+
+  private def duckdbWall(sfDir: String, cpus: String)
+      : Option[(Double, Int, Map[String, Double])] = {
     val script = java.nio.file.Paths.get("tools/duckdb_wall.py")
     if (!java.nio.file.Files.exists(script)) return None
     val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
@@ -158,9 +173,13 @@ object Bench {
         else if (p.exitValue() != 0) None
         else {
           val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-          out.trim.split("\n").lastOption.map(_.trim.split("\\s+")).collect {
-            case Array(total, failed) => (total.toDouble, failed.toInt)
-            case Array(total) => (total.toDouble, 0)
+          val lines = out.trim.split("\n").map(_.trim)
+          val perq = lines.find(_.startsWith("PERQ "))
+            .map(l => parsePerQuery(l.drop(5)))
+            .getOrElse(Map.empty[String, Double])
+          lines.lastOption.map(_.split("\\s+")).collect {
+            case Array(total, failed) => (total.toDouble, failed.toInt, perq)
+            case Array(total) => (total.toDouble, 0, perq)
           }
         }
       } finally if (p.isAlive) p.destroyForcibly()
@@ -366,6 +385,35 @@ object Bench {
     val sparkOracleSubset = results
       .filter(r => r.sec > 0 && oracleNames(r.name)).map(_.sec).sum
     val duckWall = duckdbWall(sfDir, cpus)
+    // per-query pairing (r12): the 2x gate's aggregate ratio can hide a
+    // single pathological row — pair each oracle-backed query's Spark
+    // time against ITS same-session DuckDB wall, surface the worst 5
+    // (with BOTH walls, so a reader sees when the "ratio" divides by a
+    // trivial oracle), and flag every row >2x where both sides did real
+    // work. Floors: Spark < 0.5 s measures per-action fixed cost (plan
+    // analysis, job scheduling) and DuckDB < 50 ms means the oracle
+    // restates the VALUES without the work (e.g. pack_shard_roundtrip's
+    // oracle computes shard stats but never writes shard files) — below
+    // either, the quotient is not an engine-throughput comparison.
+    val pairFloorSparkSec = 0.5
+    val pairFloorDuckSec = 0.05
+    val perDuck = duckWall.map(_._3).getOrElse(Map.empty[String, Double])
+    val pairAll = results.flatMap { r =>
+      perDuck.get(r.name) match {
+        case Some(d) if r.sec > 0 && d > 0 =>
+          Some((r.name, r.sec, d, r.sec / d))
+        case _ => None
+      }
+    }
+    val pairEligible = pairAll.filter { case (_, s, d, _) =>
+      s >= pairFloorSparkSec && d >= pairFloorDuckSec }
+    val pairingWorst = pairEligible.sortBy(-_._4).take(5)
+      .map { case (n, s, d, x) =>
+        "\"" + n + s"""":{"spark":${fmt(s)},"duck":${fmt(d)},""" +
+          s""""ratio":${fmt(x)}}""" }
+      .mkString("{", ",", "}")
+    val pairingFlagged = pairEligible.filter(_._4 > 2.0).map(_._1).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadEnd = loadavg()
 
     val failed = results.collect { case r if r.sec < 0 => r.name }.sorted
@@ -385,13 +433,15 @@ object Bench {
           fmt(warm.getOrElse(r.name, 0.0)))
           .mkString(""""warm_queries":{""", ",", "},")
       val duck = duckWall.fold(
-        """"duckdb_wall":null,"duckdb_failed":null""") { case (t, f) =>
+        """"duckdb_wall":null,"duckdb_failed":null""") { case (t, f, _) =>
         s""""duckdb_wall":${fmt(t)},"duckdb_failed":$f""" }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""action":"digest","failed":$fs,"suspect":$ss,""" +
         s""""reruns":${results.count(_.reran)},"calib_trace":$tr,""" +
         s""""ratio_trace":$ratioTrace,"ratio_rows_medianized":$mixedMedians,""" +
         s""""spark_oracle_subset":${fmt(sparkOracleSubset)},$duck,""" +
+        s""""pairing_worst":$pairingWorst,""" +
+        s""""pairing_flagged":$pairingFlagged,""" +
         s""""queries":$qs,$wm"sf":"$sfDir",""" +
         s""""calib_1t_pre":${fmt(calPre._1)},"calib_32t_pre":${fmt(calPre._2)},""" +
         s""""calib_1t_post":${fmt(calPost._1)},"calib_32t_post":${fmt(calPost._2)},""" +

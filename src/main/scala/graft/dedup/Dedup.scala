@@ -560,10 +560,21 @@ object Dedup {
     * corpus growth where this is linear-per-doc at fixed probe
     * fraction).
     */
+  /** `assign` routes `(v_id, v_vec)` rows to their index bucket — flat
+    * argmax below [[SemanticHierThreshold]], two-level above it; every
+    * append/encode must use it so increments land where the build put
+    * identical vectors. `ownCellProbe` is that same assigner exposed to
+    * the SEARCH side, set ONLY when it differs from the flat argmax the
+    * probe selection runs (two-level): each query then additionally
+    * probes its own assignment cell, restoring exact-re-crawl
+    * containment. Flat indexes leave it None — flat top-1 already IS
+    * the own cell, and the union would only add a per-batch pass.
+    */
   final case class SemanticIndex(model: graft.similarity.Pq.PqModel,
                                  centroids: DataFrame,
                                  codes: DataFrame, vectors: DataFrame,
-                                 assign: DataFrame => DataFrame)
+                                 assign: DataFrame => DataFrame,
+                                 ownCellProbe: Option[DataFrame => DataFrame])
 
   /** Build the semantic history index: hashed set-of-words embeddings
     * (map-only, engine-reproducible), a ~√N coarse quantizer Lloyd-
@@ -593,20 +604,22 @@ object Dedup {
   private def semanticCoarse(emb: DataFrame, sample: DataFrame,
                              n: Long, k: Int, iterations: Int,
                              hierThreshold: Long)
-      : (DataFrame, DataFrame => DataFrame) = {
+      : (DataFrame, DataFrame => DataFrame,
+         Option[DataFrame => DataFrame]) = {
     import graft.similarity.Similarity
     if (n <= hierThreshold) {
       val seeds = emb.orderBy(xxhash64(col("c_id")), col("c_id")).limit(k)
         .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"))
       val centroids = Similarity.trainIvfCentroids(sample, seeds,
         iterations = iterations)
-      (centroids, vs => Similarity.assignToCentroids(vs, centroids))
+      (centroids, vs => Similarity.assignToCentroids(vs, centroids), None)
     } else {
       val coarseK = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
       val fineK = math.max(1, math.ceil(k.toDouble / coarseK).toInt)
       val tl = Similarity.trainTwoLevelCentroids(sample, coarseK, fineK,
         iterations = iterations)
-      (tl.flat, vs => Similarity.assignTwoLevel(vs, tl))
+      val assign = (vs: DataFrame) => Similarity.assignTwoLevel(vs, tl)
+      (tl.flat, assign, Some(assign))
     }
   }
 
@@ -656,7 +669,7 @@ object Dedup {
       val half = graft.operators.Sampling
         .hashSample(emb, col("c_id"), "8", "semidx")
       val sample = if (half.count() >= ksubEff.toLong) half else emb
-      val (centroids, assign) =
+      val (centroids, assign, ownCellProbe) =
         semanticCoarse(emb, sample, n, k, iterations, hierThreshold)
       def assigned(src: DataFrame): DataFrame =
         assign(src.select(col("c_id").as("v_id"), col("c_vec").as("v_vec")))
@@ -667,7 +680,7 @@ object Dedup {
       SemanticIndex(model, centroids,
         graft.similarity.Pq.ivfPqEncodeAssigned(assigned(embSrc),
           centroids, model),
-        embSrc, assign)
+        embSrc, assign, ownCellProbe)
     } finally emb.unpersist()
   }
 
@@ -763,12 +776,11 @@ object Dedup {
       .ivfPqTopK(q, index.codes, index.centroids, index.vectors,
         index.model, k = 1, nProbe = nProbe, rFactor = rFactor,
         broadcastProbes = broadcastProbes,
-        // probe each doc's OWN assignment cell too: under a two-level
-        // index the flat top-nProbe probe can rank an identical page's
-        // hier-assigned cell out — the own-cell union restores the
-        // exact-re-crawl containment guarantee (flat indexes: top-1 IS
-        // the own cell, union is a no-op by value)
-        ownCellAssign = Some(index.assign))
+        // under a two-level index the flat top-nProbe probe can rank an
+        // identical page's hier-assigned cell out — probing each doc's
+        // OWN cell restores the exact-re-crawl containment guarantee
+        // (None on flat indexes: top-1 IS the own cell there)
+        ownCellAssign = index.ownCellProbe)
       .select(col("q_id").as(idCol), col("c_id").as("match_id"),
         col("sim").as("best_sim"))
     newDocs

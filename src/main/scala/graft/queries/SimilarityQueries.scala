@@ -232,6 +232,44 @@ object SimilarityQueries extends QueryPack {
         k = 5, nProbe = 3, rFactor = 10)
     }),
 
+    // the STORED form of the IVFADC claim, end to end: the encoded index
+    // written partitionBy(cent_bucket) (the bucket id duplicated into a
+    // partition column so cent_id keeps its type in the data files),
+    // read back, cut to the query set's probed cells BEFORE the search —
+    // a partition filter the scan resolves at planning time, so only
+    // the probed buckets' FILES are read (PlanSpec pins the pruned
+    // scan). Same search over the same codes: the digest EQUALS
+    // sim_ivfpq_topk's by construction.
+    "sim_ivfpq_pruned" -> ((s, d) => {
+      import s.implicits._
+      val queries = annQueries(s, d)
+      val corpus = annCorpus(s, d)
+      val (model, index, centroids) = ivfPqIndex(s, d)
+      val tmpPath = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_pruned")
+      try {
+        index.withColumn("cent_bucket", $"cent_id")
+          .repartition($"cent_bucket")
+          .write.partitionBy("cent_bucket").mode("overwrite")
+          .parquet(tmpPath.toString)
+        val cells = Similarity.probeCells(queries, centroids, nProbe = 3)
+          .collect().map(_.getLong(0))
+        val pruned = s.read.parquet(tmpPath.toString)
+          .filter($"cent_bucket".isin(cells: _*))
+          .drop("cent_bucket")
+        val out = Pq.ivfPqTopK(queries, pruned, centroids, corpus, model,
+          k = 5, nProbe = 3, rFactor = 10)
+        // k*|queries|-bounded result copied out so the temp tree can be
+        // deleted before returning (a lazy frame would pin the files)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
     // LSH random-hyperplane variant (rows-only: recall asserted in spec)
     "sim_lsh_topk" -> ((s, d) => {
       val queries = annQueries(s, d)

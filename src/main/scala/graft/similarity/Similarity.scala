@@ -330,6 +330,24 @@ object Similarity {
     TwoLevelQuantizer(coarseLive, fineLocal, fineK)
   }
 
+  /** The DISTINCT cells a query set will probe — collect this (bounded
+    * by |queries|·nProbe) and push it as a partition filter over a
+    * cent_id-partitioned STORED index: the scan then reads only the
+    * probed buckets' files (static partition pruning at the source,
+    * plan-pinned in PlanSpec via sim_ivfpq_pruned), which is the IVF
+    * 100 TB contract — search cost scales with the probed fraction, not
+    * the corpus.
+    */
+  def probeCells(queries: DataFrame, centroids: DataFrame,
+                 nProbe: Int): DataFrame =
+    queries
+      .withColumn("_probe",
+        explode_outer(slice(centroidScores(col("q_vec"),
+          centroidLit(centroids)), 1, nProbe)))
+      .filter(col("_probe").isNotNull)
+      .select((-col("_probe.neg_id")).as("cent_id"))
+      .distinct()
+
   /** Probe a built index: map-side probe selection against the literal
     * quantizer, hash-join on cent_id (cheap integer probe, no cosine for
     * non-bucket rows), exact rank within the probed fraction. The only

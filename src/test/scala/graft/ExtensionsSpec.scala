@@ -185,6 +185,84 @@ class ExtensionsSpec extends SparkSpec {
     assert(old.getOrElse("kept", 0L) === grown.length.toLong)
   }
 
+  test("two-level quantizer with ONE coarse cell IS the flat quantizer: " +
+      "same trained vectors, same assignment membership") {
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val k = 8
+    val seeds = emb.orderBy(xxhash64($"c_id"), $"c_id").limit(k)
+      .select($"c_id".as("cent_id"), $"c_vec".as("cent_vec"))
+    val flat = Similarity.trainIvfCentroids(emb, seeds, iterations = 2)
+    val tl = Similarity.trainTwoLevelCentroids(emb, coarseK = 1, fineK = k,
+      iterations = 2)
+    // flat keeps source ids as cent_id; the two-level fine level numbers
+    // 0..k-1 in the SAME hash-seed order — map rank -> source id to pair
+    // them up, then the trained vectors must agree bit-for-bit (same
+    // seeds, same argmax semantics per NativeExprSpec, same decimal
+    // means)
+    val rankToId = seeds.select($"cent_id").collect().map(_.getLong(0))
+    val flatVecs = flat.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val tlVecs = tl.flat.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(tlVecs.size === k)
+    tlVecs.foreach { case (rank, v) =>
+      assert(v === flatVecs(rankToId(rank.toInt)),
+        s"fine centroid $rank drifted from flat ${rankToId(rank.toInt)}")
+    }
+    // assignment membership: every vector routes to the SAME centroid
+    // under both forms (modulo the rank<->id renumbering)
+    val vs = emb.select($"c_id".as("v_id"), $"c_vec".as("v_vec"))
+    val flatAsg = Similarity.assignToCentroids(vs, flat)
+      .select($"v_id", $"cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tlAsg = Similarity.assignTwoLevel(vs, tl)
+      .select($"v_id", $"cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tlAsg.size === flatAsg.size)
+    tlAsg.foreach { case (id, rank) =>
+      assert(rankToId(rank.toInt) === flatAsg(id),
+        s"vector $id assigned differently: rank $rank vs ${flatAsg(id)}")
+    }
+  }
+
+  test("semanticIndex hier path (forced): re-crawls still caught at 1.0, " +
+      "threshold partition holds, statuses match the flat path") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    // hierThreshold=0 forces the two-level build on the same history the
+    // flat path indexes — the classification CONTRACT must be identical
+    // even though the quantizer shape (and so bucket ids) differs
+    val hierIdx = Dedup.semanticIndex(hist, "doc_id", "text",
+      hierThreshold = 0L)
+    val flatIdx = Dedup.semanticIndex(hist, "doc_id", "text")
+    val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
+      .select($"doc_id", $"text")
+      .unionByName(hist.filter(pmod($"doc_id", lit(10)) === 1)
+        .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    def statuses(idx: Dedup.SemanticIndex): Map[Long, (String, Double)] =
+      Dedup.semanticStatus(batch, idx, "doc_id", "text")
+        .select($"doc_id", $"status", $"best_sim").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val hier = statuses(hierIdx)
+    val flat = statuses(flatIdx)
+    // exact re-crawls cannot escape the hier probe: the own-cell union
+    // guarantees an identical vector's bucket is probed
+    val recrawls = hier.filter(_._1 >= 100000L)
+    assert(recrawls.nonEmpty)
+    recrawls.foreach { case (id, (st, sim)) =>
+      assert(st === "sem_hist" && sim === 1.0, s"re-crawl $id: $st $sim")
+    }
+    hier.foreach { case (id, (st, sim)) =>
+      assert(st === (if (sim >= 0.995) "sem_hist" else "kept"),
+        s"doc $id: $st vs sim $sim")
+    }
+    // same classification as the flat index on this corpus (sub-
+    // threshold audit columns may differ — different probe geometry)
+    assert(hier.view.mapValues(_._1).toMap ===
+      flat.view.mapValues(_._1).toMap)
+  }
+
   test("semDedupHier: one output row per input, keep iff own group, and " +
       "a 1x1 quantizer degrades to the flat single-cluster semantics") {
     val emb = Tables.embeddings(spark, sf)

@@ -59,6 +59,11 @@ class GoldenDigestsSpec extends SparkSpec {
   // (verified: -2217057557915718457 vs -14665822293677786946) — the
   // compressed path is a different execution, same probe geometry.
   check("sim_ivfpq_topk", 50L, "-30697647038325938886")
+  // r12: the STORED form — index written partitionBy(cent_bucket), read
+  // back, cut to the probed cells (partition filter at the scan, pruning
+  // pinned in PlanSpec), searched. Same codes, same search: the digest
+  // EQUALS sim_ivfpq_topk's by construction.
+  check("sim_ivfpq_pruned", 50L, "-30697647038325938886")
   // r11: semantic crawl-increment classification (the third index leg
   // after exact keys and Bloom bits): hashed embeddings -> memoized PQ
   // code table -> ADC retrieve + exact rerank -> threshold status. No

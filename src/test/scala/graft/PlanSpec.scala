@@ -185,6 +185,55 @@ class PlanSpec extends SparkSpec {
       s"curate shuffle budget grew to $distinctStages: " + p)
   }
 
+  test("cent_id-partitioned stored IVFADC index prunes to the probed " +
+      "buckets' files") {
+    import graft.similarity.{Pq, Similarity}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val (model, index, centroids) =
+      graft.queries.SimilarityQueries.ivfPqIndex(spark,
+        "/root/testdata/sf0.01")
+    val tmpPath = java.nio.file.Files
+      .createTempDirectory("graft_plan_pruned")
+    try {
+      index.withColumn("cent_bucket", $"cent_id")
+        .repartition($"cent_bucket")
+        .write.partitionBy("cent_bucket").mode("overwrite")
+        .parquet(tmpPath.toString)
+      // ONE query, two probes: the probed-cell set must be a strict
+      // subset of the stored buckets for the file-count check to bite
+      val queries = emb.filter($"vec_id" === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val cells = Similarity.probeCells(queries, centroids, nProbe = 2)
+        .collect().map(_.getLong(0))
+      val stored = spark.read.parquet(tmpPath.toString)
+      val pruned = stored.filter($"cent_bucket".isin(cells: _*))
+      // the partition filter reaches the SCAN: resolved at planning
+      // time, so only matching buckets' files are listed and read
+      val p = Pq.ivfPqTopK(queries, pruned.drop("cent_bucket"), centroids,
+          corpus, model, k = 5, nProbe = 2, rFactor = 10)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: [") &&
+        p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+          l.contains("cent_bucket")),
+        "probe-cell partition filter missing from the stored scan:\n" +
+          p.take(2000))
+      // file-level proof: the pruned scan READS only the probed
+      // buckets' files (one file per bucket by the repartition layout)
+      val totalBuckets = index.select($"cent_id").distinct().count()
+      val filesRead = pruned
+        .select(input_file_name().as("f")).distinct().count()
+      assert(cells.length.toLong < totalBuckets,
+        s"vacuous: probe set covers all $totalBuckets buckets")
+      assert(filesRead <= cells.length.toLong,
+        s"scan read $filesRead files for ${cells.length} probed buckets")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("signature expressions evaluate once per row (no generator filter blowup)") {
     // the inferred size>0 filter of a plain explode inlines the full
     // signature expression through the projection — once per band

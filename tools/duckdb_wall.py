@@ -47,6 +47,11 @@ def main(sf_dir, oracle_path, threads="32"):
         if dt > 0:
             total += dt
     print(json.dumps(per), file=sys.stderr)
+    # per-query walls on stdout too (r12): the caller pairs each Spark
+    # query against ITS DuckDB wall so one >2x row can't hide under a
+    # passing aggregate ratio. Line order contract: PERQ first, the
+    # "<total> <n_failed>" line LAST (older parsers read the last line).
+    print("PERQ " + json.dumps(per))
     print(f"{total:.3f} {failed}")
 
 if __name__ == "__main__":

@@ -29,6 +29,29 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** A pluggable payload decoder — the deployment extension point that
+    * turns the audio/video stub boundary into configuration (the
+    * Transport-adapter pattern): a codec CLAIMS payloads by a cheap
+    * sniff (magic bytes / media_type) and produces dimensions + the
+    * feature vector. [[decodeFeatures]] tries injected codecs in order
+    * before its built-in imageio path; unclaimed payloads keep the
+    * documented stub fallback. Codecs ship to executors inside the
+    * mapPartitions closure, hence Serializable; per-batch setup (a
+    * native decoder context, a JNI handle) belongs in [[MediaCodec.open]],
+    * called once per batch.
+    */
+  trait MediaCodec extends Serializable {
+    def name: String
+    /** cheap claim check — magic sniff and/or media_type. */
+    def claims(mediaType: String, payload: Array[Byte]): Boolean
+    def decode(mediaType: String, payload: Array[Byte]): Decoded
+    /** per-batch initialization hook (codec context setup); default no-op. */
+    def open(): Unit = ()
+  }
+
+  final case class Decoded(width: Option[Int], height: Option[Int],
+                           feature: Array[Float])
+
   /** media row: payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
@@ -192,24 +215,31 @@ object Multimodal {
     * sniff for dims and [[stubDecode]] for the feature — the documented
     * codec boundary.
     */
-  def decodeFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeature] = {
+  def decodeFeatures(media: DataFrame, batchSize: Int = 64,
+                     codecs: Seq[MediaCodec] = Nil): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.select("media_id", "media_type", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // per-batch codec setup would go here
+          codecs.foreach(_.open()) // per-batch codec setup
           batch.iterator.map { case (id, tpe, payload) =>
             val bytes = if (payload == null) Array.emptyByteArray else payload
-            decodeImage(bytes) match {
-              case Some(img) =>
+            codecs.find(_.claims(tpe, bytes)) match {
+              case Some(c) =>
+                val d = c.decode(tpe, bytes)
                 MediaFeature(id, tpe, bytes.length, checksum64(bytes),
-                  Some(img.getWidth), Some(img.getHeight),
-                  pixelFeatures(img))
-              case None =>
-                val dims = imageDims(bytes)
-                MediaFeature(id, tpe, bytes.length, checksum64(bytes),
-                  dims.map(_._1), dims.map(_._2), stubDecode(bytes))
+                  d.width, d.height, d.feature)
+              case None => decodeImage(bytes) match {
+                case Some(img) =>
+                  MediaFeature(id, tpe, bytes.length, checksum64(bytes),
+                    Some(img.getWidth), Some(img.getHeight),
+                    pixelFeatures(img))
+                case None =>
+                  val dims = imageDims(bytes)
+                  MediaFeature(id, tpe, bytes.length, checksum64(bytes),
+                    dims.map(_._1), dims.map(_._2), stubDecode(bytes))
+              }
             }
           }
         }

@@ -263,6 +263,44 @@ class ExtensionsSpec extends SparkSpec {
       flat.view.mapValues(_._1).toMap)
   }
 
+  test("composed increment order: identity legs catch byte-dup re-crawls " +
+      "BEFORE the semantic leg sees them") {
+    // The production crawl loop runs exact fp/band keys -> Bloom ->
+    // semantic, in that order. Byte-identical re-crawls — the class
+    // whose byte-equal PQ codes crowd the ADC candidate window under
+    // replica-heavy histories (SemIncScaleMain factor 50: 2/334 escape
+    // the tie-inclusive width) — are caught by the EXACT leg with no
+    // width to escape: the semantic leg only ever sees identity-novel
+    // docs, where its job is near-REWRITES, not byte dups.
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val recrawls = hist.filter(pmod($"doc_id", lit(10)) === 1)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
+      .select($"doc_id", $"text")
+      .unionByName(recrawls)
+    val exact = Dedup.incrementalStatus(batch,
+      Dedup.dedupIndex(hist, "doc_id", "text", k = 16, bands = 2),
+      "doc_id", "text", k = 16, bands = 2)
+    val recrawlStatuses = exact.filter($"doc_id" >= 100000L)
+      .select($"status").collect().map(_.getString(0))
+    assert(recrawlStatuses.nonEmpty)
+    assert(recrawlStatuses.forall(_ === "exact_hist"),
+      s"byte-dup re-crawl leaked past the exact leg: " +
+        recrawlStatuses.groupBy(identity).view.mapValues(_.length).toMap)
+    // the semantic leg consumes ONLY the identity-kept remainder —
+    // no re-crawl id reaches it, and it still classifies every
+    // remaining doc (non-vacuous composition)
+    val rest = exact.filter($"status" === "kept")
+      .select($"doc_id", $"text")
+    assert(rest.filter($"doc_id" >= 100000L).count() === 0L)
+    val restN = rest.count()
+    assert(restN > 0)
+    val sem = Dedup.semanticStatus(rest,
+      Dedup.semanticIndex(hist, "doc_id", "text"), "doc_id", "text")
+    assert(sem.count() === restN)
+  }
+
   test("semDedupHier: one output row per input, keep iff own group, and " +
       "a 1x1 quantizer degrades to the flat single-cluster semantics") {
     val emb = Tables.embeddings(spark, sf)
@@ -752,4 +790,53 @@ class ExtensionsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(got === Set((1L, 0), (1L, 500), (1L, 1000)))
   }
+
+  test("injected codec claims its payloads; built-in and stub paths " +
+      "untouched (the deployment decode extension point)") {
+    val riff = "RIFFxxxxWAVEdata".getBytes
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, "audio", riff),             // claimed by the injected codec
+      (2L, "image", png(7, 5)),        // built-in imageio path
+      (3L, "audio", "nomagic".getBytes)) // unclaimed -> documented stub
+      .toDF("media_id", "media_type", "payload")
+    val got = Multimodal
+      .decodeFeatures(media, codecs = Seq(FixtureWavCodec))
+      .collect().sortBy(_.media_id)
+    // the codec decoded ONLY what it claims
+    assert(got(0).feature.toSeq === Seq.fill(8)(riff.length.toFloat))
+    assert(got(0).decoded_width === None)
+    // imageio rows untouched by the injection
+    assert(got(1).decoded_width === Some(7) &&
+      got(1).decoded_height === Some(5))
+    // unclaimed audio keeps the stub boundary
+    assert(got(2).feature.toSeq ===
+      Multimodal.stubDecode("nomagic".getBytes).toSeq)
+    // no codecs injected = exactly the prior behavior (the
+    // mm_decode_features digest pin stays green on this contract)
+    val dflt = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    assert(dflt(0).feature.toSeq === Multimodal.stubDecode(riff).toSeq)
+    assert(dflt(1).feature.toSeq === got(1).feature.toSeq)
+  }
+}
+
+/** Fixture codec for the injection spec: claims RIFF-magic audio
+  * payloads, derives a deterministic feature from payload length —
+  * standing in for a real audio decoder behind the same boundary.
+  * Top-level object: the mapPartitions closure must not capture the
+  * (non-serializable) spec instance.
+  */
+private object FixtureWavCodec extends Multimodal.MediaCodec {
+  val name = "wav-fixture"
+  def claims(tpe: String, p: Array[Byte]): Boolean =
+    tpe == "audio" && p.length >= 4 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F'
+  def decode(tpe: String, p: Array[Byte]): Multimodal.Decoded =
+    Multimodal.Decoded(None, None, Array.fill(8)(p.length.toFloat))
 }

@@ -137,9 +137,11 @@ object Bench {
     * not like-for-like.
     *
     * Process hygiene: stderr (per-query timings + failure detail) is
-    * DISCARDED — an undrained pipe would fill and deadlock the child;
-    * waitFor runs BEFORE the stdout read so the 20-minute timeout can
-    * actually fire (the one-line stdout payload fits any pipe buffer).
+    * DISCARDED and stdout is REDIRECTED TO A FILE — an undrained pipe
+    * would fill and deadlock the child, and the r12 PERQ line grows
+    * with the oracle set (O(#queries) JSON — a 64 KB pipe stops being
+    * "fits any buffer" at ~1.5k queries), so no pipe exists at all;
+    * waitFor runs first, then the file is read.
     */
   /** Parse the PERQ line's flat {"name": seconds, ...} object — query
     * names are plain identifiers (no quotes/commas inside), so a
@@ -160,19 +162,22 @@ object Bench {
     val script = java.nio.file.Paths.get("tools/duckdb_wall.py")
     if (!java.nio.file.Files.exists(script)) return None
     val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
+    val outFile = java.nio.file.Files.createTempFile("graft_duck", ".out")
     try {
       java.nio.file.Files.write(tmp,
         OracleJson.oracleJson.getBytes("UTF-8"))
       val pb = new ProcessBuilder("python3", script.toString,
         sfDir, tmp.toString, cpus)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectOutput(outFile.toFile)
       val p = pb.start()
       try {
         val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
         if (!done) { p.destroyForcibly(); None }
         else if (p.exitValue() != 0) None
         else {
-          val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          val out = new String(
+            java.nio.file.Files.readAllBytes(outFile), "UTF-8")
           val lines = out.trim.split("\n").map(_.trim)
           val perq = lines.find(_.startsWith("PERQ "))
             .map(l => parsePerQuery(l.drop(5)))
@@ -186,6 +191,8 @@ object Bench {
     } catch { case _: Throwable => None }
     finally {
       try java.nio.file.Files.deleteIfExists(tmp)
+      catch { case _: Throwable => () }
+      try java.nio.file.Files.deleteIfExists(outFile)
       catch { case _: Throwable => () }
     }
   }

@@ -17,6 +17,26 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Best-effort recursive delete of a harness temp tree. Swallows ALL
+    * failures (and closes the walk stream): cleanup runs in `finally`
+    * blocks where a thrown deletion error would REPLACE the computed
+    * result — a roundtrip query's digest must never fail because a
+    * temp-file unlink hiccuped. One shared definition; the idiom was
+    * copy-pasted (some copies unguarded, some leaking the stream).
+    */
+  def deleteTree(path: java.nio.file.Path): Unit =
+    try {
+      val walk = java.nio.file.Files.walk(path)
+      val paths =
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .toArray(n => new Array[java.nio.file.Path](n))
+        finally walk.close()
+      paths.foreach { p =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () }
+      }
+    } catch { case _: Exception => () }
+
   /** Ensure at least the session's default parallelism before a long
     * map-side chain. Fewer input splits than cores only happens on toy
     * inputs (one small single-row-group parquet file => one scan

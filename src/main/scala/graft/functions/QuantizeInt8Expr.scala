@@ -18,9 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * EXACT parity with the column form (NativeExprSpec pins code equality
   * over the corpus):
   *  - maxAbs = max over |x_i| as doubles (float inputs widened first,
-  *    exactly like the abs(cast) lambda), with NaN propagating as the
-  *    MAXIMUM — array_max's ordering treats NaN greatest, so a NaN
-  *    element forces maxAbs = NaN, the `> 0` test false, scale 1.0;
+  *    exactly like the abs(cast) lambda). A NON-FINITE element throws
+  *    loudly (same contract as a null element): Spark compares NaN
+  *    greater than every numeric, so the column form's scale becomes
+  *    NaN (or ±Inf makes x/scale NaN) and its tinyint cast throws
+  *    CAST_OVERFLOW under ANSI — a silent native fallback would
+  *    instead emit garbage codes (measured: Java's NaN.toByte is 0).
+  *    Parity holds exactly on finite inputs and both forms FAIL on
+  *    non-finite ones (NativeExprSpec pins both);
   *  - scale = maxAbs/127.0 when maxAbs > 0 else 1.0, kept as a DOUBLE
   *    (the column form divides by the pre-float-cast scale);
   *  - code_i = round(x_i/scale, 0) replicating Round's HALF_UP
@@ -56,10 +61,14 @@ case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
     i = 0
     while (i < n) {
       val a = math.abs(v(i))
-      // NaN-greatest like array_max (a > maxAbs is false for NaN, which
-      // would silently SKIP it and quantize [NaN, 5.0] on a 5.0 scale
-      // where the column form falls to the scale-1.0 branch)
-      if (a > maxAbs || java.lang.Double.isNaN(a)) maxAbs = a
+      // the column form throws here too (ANSI tinyint cast of the NaN
+      // that a NaN/Inf element pushes through scale) — fail loudly
+      // rather than silently skip NaN in the max (a > maxAbs is false
+      // for NaN) and quantize the rest on the wrong scale
+      if (java.lang.Double.isNaN(a) || java.lang.Double.isInfinite(a))
+        throw new IllegalArgumentException(
+          s"quantize_int8: non-finite element ${v(i)} at index $i")
+      if (a > maxAbs) maxAbs = a
       i += 1
     }
     val scale = if (n > 0 && maxAbs > 0) maxAbs / 127.0 else 1.0

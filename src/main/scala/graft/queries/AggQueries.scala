@@ -451,15 +451,7 @@ object AggQueries extends QueryPack {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally {
         q.stop()
-        scala.util.Try {
-          val walk = java.nio.file.Files.walk(
-            java.nio.file.Paths.get(outDir))
-          val paths =
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .toArray(n => new Array[java.nio.file.Path](n))
-            finally walk.close()
-          paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        }
+        Tables.deleteTree(java.nio.file.Paths.get(outDir))
       }
     }),
 

@@ -154,12 +154,7 @@ object CorpusQueries extends QueryPack {
         // deleted before returning (a lazy frame would pin the files)
         val rows = agg.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
-      } finally {
-        import java.nio.file.{Files, Path}
-        import scala.jdk.CollectionConverters._
-        Files.walk(tmpPath).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p: Path))
-      }
+      } finally Tables.deleteTree(tmpPath)
     }),
 
     "pack_shard_manifest" -> ((s, d) => {

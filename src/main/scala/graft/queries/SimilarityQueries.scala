@@ -263,11 +263,7 @@ object SimilarityQueries extends QueryPack {
         // deleted before returning (a lazy frame would pin the files)
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      } finally Tables.deleteTree(tmpPath)
     }),
 
     // LSH random-hyperplane variant (rows-only: recall asserted in spec)

@@ -129,13 +129,17 @@ object Pq {
     * c_id: reproducible across engines and partitionings like every
     * ranker here.
     */
-  def topK(queries: DataFrame, encoded: DataFrame, model: PqModel,
-           k: Int): DataFrame = {
+  /** The exhaustive ADC scoring stage shared by [[topK]] and
+    * [[topKRefined]] — ONE definition because the sim formula is
+    * digest-load-bearing (same staging, same guard, same rounding).
+    */
+  private def adcScored(queries: DataFrame, encoded: DataFrame,
+                        model: PqModel): DataFrame = {
     val q = broadcast(queries
       .select(col("q_id"),
         pq_lut(col("q_vec"), model.codebooks, model.ksub).as("_lut"),
         Similarity.norm(col("q_vec")).as("_qn")))
-    val scored = encoded
+    encoded
       .crossJoin(q)
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("_den", col("_qn") * sqrt(col("c_sqn")))
@@ -143,8 +147,13 @@ object Pq {
         when(col("_den") > 0,
           pq_adc(col("c_code"), col("_lut")) / col("_den"))
           .otherwise(lit(0.0)), 6))
+  }
+
+  def topK(queries: DataFrame, encoded: DataFrame, model: PqModel,
+           k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
+    adcScored(queries, encoded, model)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
   }
@@ -163,19 +172,8 @@ object Pq {
   def topKRefined(queries: DataFrame, encoded: DataFrame, corpus: DataFrame,
                   model: PqModel, k: Int, rFactor: Int = 10): DataFrame = {
     require(rFactor >= 1, s"rFactor must be >= 1: $rFactor")
-    val q = broadcast(queries
-      .select(col("q_id"),
-        pq_lut(col("q_vec"), model.codebooks, model.ksub).as("_lut"),
-        Similarity.norm(col("q_vec")).as("_qn")))
-    val scored = encoded
-      .crossJoin(q)
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("_den", col("_qn") * sqrt(col("c_sqn")))
-      .withColumn("sim", round(
-        when(col("_den") > 0,
-          pq_adc(col("c_code"), col("_lut")) / col("_den"))
-          .otherwise(lit(0.0)), 6))
-    rerankExact(adcCandidates(scored, k * rFactor), queries, corpus, k)
+    rerankExact(adcCandidates(adcScored(queries, encoded, model),
+      k * rFactor), queries, corpus, k)
   }
 
   /** Tie-INCLUSIVE ADC candidate cut: every row whose rounded ADC score
@@ -186,12 +184,22 @@ object Pq {
     * factor-50 probe: 13/334 re-crawls lost exactly this coin toss).
     * The extension is bounded by the tie group at the boundary — codes
     * quantize to m·ksub levels, so byte-equal (= score-equal) groups
-    * are the common case the cut must not split.
+    * are the common case the cut must not split. EXCEPT the exact-0.0
+    * class: 0.0 is the guard value every zero-denominator pair scores
+    * (zero query norm, zero reconstruction), an unboundedly large class
+    * on indexes that contain zero vectors — those rows get only their
+    * row_number slots, never the tie extension, so the re-rank join
+    * stays O(width) per query when real candidates run out.
     */
   private def adcCandidates(scored: DataFrame, width: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc)
-    scored.withColumn("_r", rank().over(w))
-      .filter(col("_r") <= width)
+    val wRn = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    scored
+      .withColumn("_r", rank().over(w))
+      .withColumn("_rn", row_number().over(wRn))
+      .filter(col("_rn") <= width ||
+        (col("_r") <= width && col("sim") =!= 0.0))
       .select(col("q_id"), col("c_id"))
   }
 

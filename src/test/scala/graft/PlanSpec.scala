@@ -227,11 +227,7 @@ class PlanSpec extends SparkSpec {
         s"vacuous: probe set covers all $totalBuckets buckets")
       assert(filesRead <= cells.length.toLong,
         s"scan read $filesRead files for ${cells.length} probed buckets")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally Tables.deleteTree(tmpPath)
   }
 
   test("signature expressions evaluate once per row (no generator filter blowup)") {

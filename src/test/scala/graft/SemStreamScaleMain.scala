@@ -70,12 +70,7 @@ object SemStreamScaleMain {
       .groupBy($"status").count().collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(",")
     println(s"SEMSTREAM totals $statuses")
-    scala.util.Try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(outDir))
-        .iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    Tables.deleteTree(java.nio.file.Paths.get(outDir))
     spark.stop()
   }
 }

@@ -196,8 +196,11 @@ object Pq {
     val wRn = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id"))
     scored
-      .withColumn("_r", rank().over(w))
+      // row_number's window FIRST: its (sim, c_id) sort order satisfies
+      // the rank window's (sim) requirement as a prefix, so the stacked
+      // plan sorts ONCE
       .withColumn("_rn", row_number().over(wRn))
+      .withColumn("_r", rank().over(w))
       .filter(col("_rn") <= width ||
         (col("_r") <= width && col("sim") =!= 0.0))
       .select(col("q_id"), col("c_id"))
@@ -335,38 +338,47 @@ object Pq {
     require(rFactor >= 1, s"rFactor must be >= 1: $rFactor")
     // probe CELL selection: map-side against the literal quantizer,
     // exactly like ivfProbe (explode_outer + not-null for the same
-    // InferFiltersFromGenerate reason)
-    val cellsBase = queries
-      .withColumn("_probe",
-        explode_outer(slice(Similarity.centroidScores(col("q_vec"),
-          Similarity.centroidLit(centroids)), 1, nProbe)))
-      .filter(col("_probe").isNotNull)
-      .select(col("q_id"), (-col("_probe.neg_id")).as("cent_id"))
-    // when the index was encoded by a NON-FLAT assigner (two-level
-    // quantizer), additionally probe the query's OWN assignment cell —
-    // the cell an identical corpus vector landed in, which flat probing
-    // over hier-assigned codes cannot guarantee to rank top-nProbe.
-    // Restores the exact-re-crawl containment (q == x ⟹ x's cell ∈ q's
-    // probes) by construction. For flat-encoded indexes flat top-1 IS
-    // the own cell, so callers pass None and the union never runs.
-    val cells = ownCellAssign.fold(cellsBase) { assign =>
-      cellsBase.unionByName(
-        assign(queries.select(col("q_id").as("v_id"),
-            col("q_vec").as("v_vec")))
-          .select(col("v_id").as("q_id"), col("cent_id")))
-        .distinct()
-    }
-    // the query's lut and norm depend only on the query — computed once
-    // per query on the join's right side, never per probe row; ⟨q,c⟩ is
-    // genuinely per-probe and stays below the centroid join
-    val probes = cells
-      .join(queries.select(col("q_id"), col("q_vec"),
-        pq_lut(col("q_vec"), model.codebooks, model.ksub).as("_lut"),
-        Similarity.norm(col("q_vec")).as("_qn")), Seq("q_id"))
+    // InferFiltersFromGenerate reason). The query's lut and norm depend
+    // only on the query — staged in ONE projection below the probe
+    // explode so they evaluate once per query, never per probe row;
+    // ⟨q,c⟩ is genuinely per-probe and stays below the centroid join.
+    def finishProbes(withCells: DataFrame): DataFrame = withCells
       .join(broadcast(centroids), Seq("cent_id"))
       .select(col("q_id"), col("cent_id"), col("_lut"),
         Similarity.dot(col("q_vec"), col("cent_vec")).as("_qc"),
         col("_qn"))
+    val qStaged = queries.select(col("q_id"), col("q_vec"),
+      pq_lut(col("q_vec"), model.codebooks, model.ksub).as("_lut"),
+      Similarity.norm(col("q_vec")).as("_qn"))
+    val flatCells = qStaged
+      .withColumn("_probe",
+        explode_outer(slice(Similarity.centroidScores(col("q_vec"),
+          Similarity.centroidLit(centroids)), 1, nProbe)))
+      .filter(col("_probe").isNotNull)
+      .select(col("q_id"), col("q_vec"), col("_lut"), col("_qn"),
+        (-col("_probe.neg_id")).as("cent_id"))
+    val probes = ownCellAssign match {
+      // flat-encoded index: flat top-1 IS the query's own cell — the
+      // single generate chain is the whole probe selection (one embed
+      // pass over the query set, no extra join)
+      case None => finishProbes(flatCells)
+      // index encoded by a NON-FLAT assigner (two-level quantizer):
+      // additionally probe the query's OWN assignment cell — the cell
+      // an identical corpus vector landed in, which flat probing over
+      // hier-assigned codes cannot guarantee to rank top-nProbe.
+      // Restores exact-re-crawl containment (q == x ⟹ x's cell ∈ q's
+      // probes) by construction. The assigner is a JOIN (per-cell fine
+      // argmax), so the union is (q_id, cent_id) pairs deduped and the
+      // per-query lut/norm join back from the staged projection.
+      case Some(assign) =>
+        val cells = flatCells.select(col("q_id"), col("cent_id"))
+          .unionByName(
+            assign(queries.select(col("q_id").as("v_id"),
+                col("q_vec").as("v_vec")))
+              .select(col("v_id").as("q_id"), col("cent_id")))
+          .distinct()
+        finishProbes(cells.join(qStaged, Seq("q_id")))
+    }
     // Probe-side join form is the same boundary semDedupHier's cells
     // frame has (Similarity.hierBroadcastsCells): each probe row
     // carries an 8*m*ksub-byte lut (~2 KB at the registered geometry),

@@ -396,12 +396,18 @@ object Bench {
     // single pathological row — pair each oracle-backed query's Spark
     // time against ITS same-session DuckDB wall, surface the worst 5
     // (with BOTH walls, so a reader sees when the "ratio" divides by a
-    // trivial oracle), and flag every row >2x where both sides did real
-    // work. Floors: Spark < 0.5 s measures per-action fixed cost (plan
-    // analysis, job scheduling) and DuckDB < 50 ms means the oracle
-    // restates the VALUES without the work (e.g. pack_shard_roundtrip's
-    // oracle computes shard stats but never writes shard files) — below
-    // either, the quotient is not an engine-throughput comparison.
+    // trivial oracle), and FLAG rows >2x among the big rows. Floors on
+    // the worst-5 list: Spark < 0.5 s measures per-action fixed cost
+    // (plan analysis, job scheduling) and DuckDB < 50 ms means the
+    // oracle restates the VALUES without the work (e.g.
+    // pack_shard_roundtrip's oracle computes shard stats but never
+    // writes shard files) — below either, the quotient is not an
+    // engine-throughput comparison. The FLAG additionally requires
+    // Spark >= BigRowSec: measured at sf0.1, EVERY oracle-backed row
+    // under 2 s is floor-dominated (0.5-0.8 s Spark vs ms-scale DuckDB
+    // on sub-million-row tables — overhead that amortizes to nothing at
+    // scale), so flagging them would bury a real pathological row in 19
+    // rows of noise; a genuinely slow operator lands >= 2 s even here.
     val pairFloorSparkSec = 0.5
     val pairFloorDuckSec = 0.05
     val perDuck = duckWall.map(_._3).getOrElse(Map.empty[String, Double])
@@ -419,7 +425,9 @@ object Bench {
         "\"" + n + s"""":{"spark":${fmt(s)},"duck":${fmt(d)},""" +
           s""""ratio":${fmt(x)}}""" }
       .mkString("{", ",", "}")
-    val pairingFlagged = pairEligible.filter(_._4 > 2.0).map(_._1).sorted
+    val pairingFlagged = pairEligible
+      .filter { case (_, s, _, x) => x > 2.0 && s >= BigRowSec }
+      .map(_._1).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadEnd = loadavg()
 

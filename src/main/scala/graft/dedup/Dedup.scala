@@ -560,21 +560,22 @@ object Dedup {
     * corpus growth where this is linear-per-doc at fixed probe
     * fraction).
     */
-  /** `assign` routes `(v_id, v_vec)` rows to their index bucket — flat
-    * argmax below [[SemanticHierThreshold]], two-level above it; every
-    * append/encode must use it so increments land where the build put
-    * identical vectors. `ownCellProbe` is that same assigner exposed to
-    * the SEARCH side, set ONLY when it differs from the flat argmax the
-    * probe selection runs (two-level): each query then additionally
-    * probes its own assignment cell, restoring exact-re-crawl
-    * containment. Flat indexes leave it None — flat top-1 already IS
-    * the own cell, and the union would only add a per-batch pass.
+  /** `quantizer.assign` routes `(v_id, v_vec)` rows to their index
+    * bucket — flat argmax below [[SemanticHierThreshold]], two-level
+    * above it; every append/encode must use it so increments land where
+    * the build put identical vectors. `quantizer.ownCellProbe` is that
+    * same assigner exposed to the SEARCH side, set ONLY when it differs
+    * from the flat argmax the probe selection runs (two-level): each
+    * query then additionally probes its own assignment cell, restoring
+    * exact-re-crawl containment. The quantizer is DATA (frames + one
+    * int), so the whole index round-trips storage —
+    * [[SemanticIndexIO]].
     */
   final case class SemanticIndex(model: graft.similarity.Pq.PqModel,
-                                 centroids: DataFrame,
-                                 codes: DataFrame, vectors: DataFrame,
-                                 assign: DataFrame => DataFrame,
-                                 ownCellProbe: Option[DataFrame => DataFrame])
+                                 quantizer: graft.similarity.Similarity.CoarseQuantizer,
+                                 codes: DataFrame, vectors: DataFrame) {
+    def centroids: DataFrame = quantizer.centroids
+  }
 
   /** Build the semantic history index: hashed set-of-words embeddings
     * (map-only, engine-reproducible), a ~√N coarse quantizer Lloyd-
@@ -604,22 +605,18 @@ object Dedup {
   private def semanticCoarse(emb: DataFrame, sample: DataFrame,
                              n: Long, k: Int, iterations: Int,
                              hierThreshold: Long)
-      : (DataFrame, DataFrame => DataFrame,
-         Option[DataFrame => DataFrame]) = {
+      : graft.similarity.Similarity.CoarseQuantizer = {
     import graft.similarity.Similarity
     if (n <= hierThreshold) {
       val seeds = emb.orderBy(xxhash64(col("c_id")), col("c_id")).limit(k)
         .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"))
-      val centroids = Similarity.trainIvfCentroids(sample, seeds,
-        iterations = iterations)
-      (centroids, vs => Similarity.assignToCentroids(vs, centroids), None)
+      Similarity.FlatQuantizer(
+        Similarity.trainIvfCentroids(sample, seeds, iterations = iterations))
     } else {
       val coarseK = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
       val fineK = math.max(1, math.ceil(k.toDouble / coarseK).toInt)
-      val tl = Similarity.trainTwoLevelCentroids(sample, coarseK, fineK,
-        iterations = iterations)
-      val assign = (vs: DataFrame) => Similarity.assignTwoLevel(vs, tl)
-      (tl.flat, assign, Some(assign))
+      Similarity.TwoLevelCoarse(Similarity.trainTwoLevelCentroids(
+        sample, coarseK, fineK, iterations = iterations))
     }
   }
 
@@ -669,18 +666,20 @@ object Dedup {
       val half = graft.operators.Sampling
         .hashSample(emb, col("c_id"), "8", "semidx")
       val sample = if (half.count() >= ksubEff.toLong) half else emb
-      val (centroids, assign, ownCellProbe) =
+      val quantizer =
         semanticCoarse(emb, sample, n, k, iterations, hierThreshold)
+      val centroids = quantizer.centroids
       def assigned(src: DataFrame): DataFrame =
-        assign(src.select(col("c_id").as("v_id"), col("c_vec").as("v_vec")))
+        quantizer.assign(
+            src.select(col("c_id").as("v_id"), col("c_vec").as("v_vec")))
           .select(col("v_id").as("c_id"), col("v_vec").as("c_vec"),
             col("cent_id"))
       val model = graft.similarity.Pq.trainResidualAssigned(
         assigned(sample), centroids, m, ksubEff, iterations)
-      SemanticIndex(model, centroids,
+      SemanticIndex(model, quantizer,
         graft.similarity.Pq.ivfPqEncodeAssigned(assigned(embSrc),
           centroids, model),
-        embSrc, assign, ownCellProbe)
+        embSrc)
     } finally emb.unpersist()
   }
 
@@ -719,7 +718,7 @@ object Dedup {
         idCol, textCol, index.model.dim)
       .select(col(idCol).as("c_id"), col("embedding").as("c_vec"))
     graft.similarity.Pq.ivfPqEncodeAssigned(
-      index.assign(emb.select(col("c_id").as("v_id"),
+      index.quantizer.assign(emb.select(col("c_id").as("v_id"),
           col("c_vec").as("v_vec")))
         .select(col("v_id").as("c_id"), col("v_vec").as("c_vec"),
           col("cent_id")),
@@ -780,7 +779,7 @@ object Dedup {
         // identical page's hier-assigned cell out — probing each doc's
         // OWN cell restores the exact-re-crawl containment guarantee
         // (None on flat indexes: top-1 IS the own cell there)
-        ownCellAssign = index.ownCellProbe)
+        ownCellAssign = index.quantizer.ownCellProbe)
       .select(col("q_id").as(idCol), col("c_id").as("match_id"),
         col("sim").as("best_sim"))
     newDocs

@@ -231,6 +231,37 @@ object Similarity {
       col("cent_vec"))
   }
 
+  /** A coarse quantizer in either shape, with its assignment strategy —
+    * the PERSISTABLE replacement for assignment closures: both variants
+    * are plain frames (+ one int), so a stored index can reconstruct
+    * the exact assigner ([[graft.dedup.SemanticIndexIO]]).
+    */
+  sealed trait CoarseQuantizer {
+    /** flat `(cent_id, cent_vec)` view — probe selection + residual
+      * training are quantizer-shape-agnostic. */
+    def centroids: DataFrame
+    /** route `(v_id, v_vec)` rows to `cent_id`. */
+    def assign(vectors: DataFrame): DataFrame
+    /** Some(assign) iff assignment differs from the flat argmax probe
+      * selection runs — the search must then also probe each query's
+      * own cell (exact-re-crawl containment). */
+    def ownCellProbe: Option[DataFrame => DataFrame]
+  }
+
+  final case class FlatQuantizer(centroids: DataFrame)
+      extends CoarseQuantizer {
+    def assign(vectors: DataFrame): DataFrame =
+      assignToCentroids(vectors, centroids)
+    def ownCellProbe: Option[DataFrame => DataFrame] = None
+  }
+
+  final case class TwoLevelCoarse(tl: TwoLevelQuantizer)
+      extends CoarseQuantizer {
+    def centroids: DataFrame = tl.flat
+    def assign(vectors: DataFrame): DataFrame = assignTwoLevel(vectors, tl)
+    def ownCellProbe: Option[DataFrame => DataFrame] = Some(assign)
+  }
+
   /** The fine frame grouped to per-cell centroid arrays — the broadcast
     * build side of every two-level assignment. fine_id is unique per
     * cell, so the struct sort is total without comparing vectors.

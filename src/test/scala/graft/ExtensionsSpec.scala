@@ -263,6 +263,41 @@ class ExtensionsSpec extends SparkSpec {
       flat.view.mapValues(_._1).toMap)
   }
 
+  test("semantic index round-trips storage: load(save(idx)) classifies " +
+      "bit-identically, both quantizer shapes") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
+      .select($"doc_id", $"text")
+      .unionByName(hist.filter(pmod($"doc_id", lit(10)) === 1)
+        .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    def rows(idx: Dedup.SemanticIndex): Set[Seq[Any]] =
+      Dedup.semanticStatus(batch, idx, "doc_id", "text")
+        .select($"doc_id", $"status", $"match_id", $"best_sim")
+        .collect().map(_.toSeq).toSet
+    val shapes = Seq(
+      ("flat", Dedup.semanticIndex(hist, "doc_id", "text")),
+      ("twolevel",
+        Dedup.semanticIndex(hist, "doc_id", "text", hierThreshold = 0L)))
+    shapes.foreach { case (tag, idx) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_semio_$tag").toString
+      try {
+        graft.dedup.SemanticIndexIO.save(idx, dir)
+        val loaded = graft.dedup.SemanticIndexIO.load(spark, dir)
+        assert(loaded.quantizer.getClass === idx.quantizer.getClass, tag)
+        // full output parity including the audit columns: quantizer,
+        // codebooks, codes, and vectors all survived storage exactly
+        assert(rows(loaded) === rows(idx), tag)
+        // the loaded index still GROWS — the between-increments op a
+        // restarted deployment performs next
+        val grown = Dedup.semanticAppend(loaded,
+          batch.limit(5), "doc_id", "text")
+        assert(grown.codes.count() === loaded.codes.count() + 5)
+      } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("composed increment order: identity legs catch byte-dup re-crawls " +
       "BEFORE the semantic leg sees them") {
     // The production crawl loop runs exact fp/band keys -> Bloom ->

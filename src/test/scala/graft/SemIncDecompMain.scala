@@ -74,7 +74,7 @@ object SemIncDecompMain {
           Similarity.centroidLit(idx.centroids)), 1, 3)))
       .filter($"_probe".isNotNull)
       .select($"q_id", (-$"_probe.neg_id").as("cent_id"))
-    val withOwn = idx.ownCellProbe.fold(cells) { a =>
+    val withOwn = idx.quantizer.ownCellProbe.fold(cells) { a =>
       cells.unionByName(
         a(q.select($"q_id".as("v_id"), $"q_vec".as("v_vec")))
           .select($"v_id".as("q_id"), $"cent_id")).distinct()

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.SparkSession
 
+import graft.Tables
 import graft.similarity.{Pq, Similarity}
 
 /** Durable form of the semantic crawl index — what a deployment writes
@@ -37,6 +38,18 @@ object SemanticIndexIO {
   def save(index: Dedup.SemanticIndex, dir: String): Unit = {
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
+    // Every parquet artifact is written to a STAGING subtree first and
+    // swapped in only after all writes succeed: the between-increments
+    // cycle is load(dir) -> append -> save(dir), where the grown
+    // frames' lineage READS the very directories an in-place overwrite
+    // would clobber (Spark rejects it with UNSUPPORTED_OVERWRITE.PATH,
+    // and a partial overwrite would corrupt the only copy). Standard
+    // checkpoint semantics apply AFTER the save: the swap replaces the
+    // files under the pre-save object's lineage, so the caller's next
+    // increment must use load(dir)'s handle, not the saved object.
+    val staging = d.resolve("_staging")
+    Tables.deleteTree(staging)
+    java.nio.file.Files.createDirectories(staging)
     val model = index.model
     val modelTxt = new StringBuilder()
       .append(s"${model.m} ${model.ksub} ${model.subDim}\n")
@@ -44,22 +57,43 @@ object SemanticIndexIO {
       modelTxt.append(row.map(java.lang.Double.toString).mkString(" "))
         .append('\n')
     }
-    java.nio.file.Files.write(d.resolve("model.txt"),
+    java.nio.file.Files.write(staging.resolve("model.txt"),
       modelTxt.toString.getBytes("UTF-8"))
-    index.quantizer match {
+    val sg = staging.toString
+    val quantizerDirs: Seq[String] = index.quantizer match {
       case Similarity.FlatQuantizer(centroids) =>
-        java.nio.file.Files.write(d.resolve("meta.txt"),
+        java.nio.file.Files.write(staging.resolve("meta.txt"),
           "flat".getBytes("UTF-8"))
-        centroids.write.mode("overwrite")
-          .parquet(s"$dir/quantizer/centroids")
+        centroids.write.parquet(s"$sg/quantizer/centroids")
+        Seq("quantizer/centroids")
       case Similarity.TwoLevelCoarse(tl) =>
-        java.nio.file.Files.write(d.resolve("meta.txt"),
+        java.nio.file.Files.write(staging.resolve("meta.txt"),
           s"twolevel ${tl.fineK}".getBytes("UTF-8"))
-        tl.coarse.write.mode("overwrite").parquet(s"$dir/quantizer/coarse")
-        tl.fine.write.mode("overwrite").parquet(s"$dir/quantizer/fine")
+        tl.coarse.write.parquet(s"$sg/quantizer/coarse")
+        tl.fine.write.parquet(s"$sg/quantizer/fine")
+        Seq("quantizer/coarse", "quantizer/fine")
     }
-    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
-    index.vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+    // codes and vectors share the embedding lineage on a freshly built
+    // index (semanticIndex releases its build-time cache before
+    // returning) — persist vectors for the duration of the two writes
+    // so the tokenize+embed history pass runs ONCE: the codes plan
+    // contains the vectors plan as a fragment, which the cache manager
+    // substitutes
+    val vec = index.vectors.persist()
+    try {
+      vec.write.parquet(s"$sg/vectors")
+      index.codes.write.parquet(s"$sg/codes")
+    } finally vec.unpersist()
+    // swap: remove old artifacts, move staged ones into place (same
+    // filesystem — plain directory moves)
+    (quantizerDirs ++ Seq("codes", "vectors", "model.txt", "meta.txt"))
+      .foreach { rel =>
+        val target = d.resolve(rel)
+        Tables.deleteTree(target)
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.move(staging.resolve(rel), target)
+      }
+    Tables.deleteTree(staging)
   }
 
   def load(spark: SparkSession, dir: String): Dedup.SemanticIndex = {

@@ -338,6 +338,9 @@ object Similarity {
     val kTot = coarseK.toLong * fineK
     val cellSizes = withCoarse.groupBy(col("coarse_id")).count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(cellSizes.nonEmpty,
+      "trainTwoLevelCentroids: empty sample — no vectors to seed or " +
+        "train a quantizer from (filter upstream produced zero rows?)")
     val nTot = cellSizes.map(_._2).sum
     val floors = cellSizes.map { case (cid, c) =>
       (cid, kTot * c / nTot, kTot * c % nTot) }

@@ -293,7 +293,21 @@ class ExtensionsSpec extends SparkSpec {
         // restarted deployment performs next
         val grown = Dedup.semanticAppend(loaded,
           batch.limit(5), "doc_id", "text")
-        assert(grown.codes.count() === loaded.codes.count() + 5)
+        val grownN = loaded.codes.count() + 5
+        assert(grown.codes.count() === grownN)
+        // and the FULL checkpoint cycle closes IN PLACE: saving the
+        // grown index back to the directory it was loaded from (whose
+        // files its own lineage still reads — the staging swap exists
+        // for exactly this), then loading again. Expected rows are
+        // captured BEFORE the save: the swap replaces the files under
+        // the pre-save object's lineage, so after a checkpoint the
+        // RELOADED handle is the live one (standard checkpoint
+        // semantics, documented on save)
+        val grownRows = rows(grown)
+        graft.dedup.SemanticIndexIO.save(grown, dir)
+        val reloaded = graft.dedup.SemanticIndexIO.load(spark, dir)
+        assert(reloaded.codes.count() === grownN, tag)
+        assert(rows(reloaded) === grownRows, tag)
       } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
     }
   }

@@ -247,12 +247,22 @@ class StreamingSpec extends SparkSpec {
 
   test("semanticDedupEachBatch parity: streaming statuses = batch " +
       "semanticStatus + semanticAppend loop") {
+    semStreamParity(graft.dedup.Dedup.SemanticHierThreshold)
+  }
+
+  test("semanticDedupEachBatch parity holds over a TWO-LEVEL index " +
+      "(forced hier build: own-cell probes + checkpointed codes)") {
+    semStreamParity(0L)
+  }
+
+  private def semStreamParity(hierThreshold: Long): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, sf)
     val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
-    val idx0 = graft.dedup.Dedup.semanticIndex(hist, "doc_id", "text")
+    val idx0 = graft.dedup.Dedup.semanticIndex(hist, "doc_id", "text",
+      hierThreshold = hierThreshold)
     val inc1 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
         pmod($"doc_id", lit(2)) === 0).select($"doc_id", $"text")
     val inc2 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
@@ -281,10 +291,12 @@ class StreamingSpec extends SparkSpec {
       input.addData(inc2.as[(Long, String)].collect().toSeq)
       q.processAllAvailable()
     } finally q.stop()
-    val streamRes = spark.read.parquet(s"$outDir/status")
-      .select($"doc_id", $"increment", $"status")
-      .collect().map(_.toSeq).toSet
-    assert(streamRes === batchRes)
+    try {
+      val streamRes = spark.read.parquet(s"$outDir/status")
+        .select($"doc_id", $"increment", $"status")
+        .collect().map(_.toSeq).toSet
+      assert(streamRes === batchRes)
+    } finally graft.Tables.deleteTree(java.nio.file.Paths.get(outDir))
   }
 
   test("sessionizeStream batch parity: sessions = Sessionize.byGap") {

@@ -12,44 +12,65 @@ import graft.similarity.{Pq, Similarity}
   * `parseDouble`), the coarse quantizer in either shape (flat
   * centroids, or the two-level coarse + fine frames and their id
   * stride), the 8 B/vector code table, and the float vectors the exact
-  * re-rank point-reads. Layout under `dir`:
+  * re-rank point-reads.
+  *
+  * Writes are GENERATIONAL with an atomically flipped pointer: every
+  * save() lands a complete new tree under `gen=<k>/` and only then
+  * replaces the one-line `CURRENT` file (temp write + atomic move), so
+  * there is NO point in time where the stored index is a mix of two
+  * generations — a crash mid-save leaves `CURRENT` on the old complete
+  * generation and the partial new tree is swept by the next save. This
+  * also makes the in-place checkpoint cycle `load(dir)` -> append ->
+  * `save(dir)` safe: the grown frames' lineage reads the OLD
+  * generation's files, which stay untouched until the new one is
+  * complete (old generations are deleted after the flip — after a
+  * save, the RELOADED handle is the live one, standard checkpoint
+  * semantics). Layout:
   *
   * {{{
-  *   meta.txt              "flat" | "twolevel <stride>"
-  *   model.txt             "m ksub subDim" + one line per codebook row
-  *   quantizer/centroids/  (flat)      cent_id, cent_vec
-  *   quantizer/coarse/     (twolevel)  cent_id, cent_vec
-  *   quantizer/fine/       (twolevel)  coarse_id, fine_id, cent_vec
-  *   codes/                c_id, cent_id, c_code, c_xsqn
-  *   vectors/              c_id, c_vec
+  *   CURRENT                        "gen=<k>"
+  *   gen=<k>/meta.txt               "flat" | "twolevel <stride>"
+  *   gen=<k>/model.txt              "m ksub subDim" + codebook rows
+  *   gen=<k>/quantizer/centroids/   (flat)      cent_id, cent_vec
+  *   gen=<k>/quantizer/coarse/      (twolevel)  cent_id, cent_vec
+  *   gen=<k>/quantizer/fine/        (twolevel)  coarse_id, fine_id, cent_vec
+  *   gen=<k>/codes/                 c_id, cent_id, c_code, c_xsqn
+  *   gen=<k>/vectors/               c_id, c_vec
   * }}}
   *
   * Everything that matters for classification parity is either parquet
   * (binary-exact doubles/floats) or the exact text round-trip, so
   * `load(save(idx))` classifies bit-identically — pinned in
-  * ExtensionsSpec for both quantizer shapes. At 100 TB the codes dir is
-  * the one large artifact; write it partitioned by bucket
-  * (sim_ivfpq_pruned's layout) and pass the read-back frame through
-  * [[Dedup.SemanticIndex.copy]] if probe-side partition pruning is
-  * wanted — this writer keeps the plain layout.
+  * ExtensionsSpec for both quantizer shapes, including the full grown
+  * in-place cycle. At 100 TB the codes dir is the one large artifact;
+  * write it partitioned by bucket (sim_ivfpq_pruned's layout) and pass
+  * the read-back frame through [[Dedup.SemanticIndex.copy]] if
+  * probe-side partition pruning is wanted — this writer keeps the
+  * plain layout.
   */
 object SemanticIndexIO {
+
+  private val CurrentFile = "CURRENT"
+
+  /** The generation `CURRENT` points at, or -1 when the dir holds no
+    * committed index yet.
+    */
+  private def currentGen(d: java.nio.file.Path): Long = {
+    val cur = d.resolve(CurrentFile)
+    if (!java.nio.file.Files.exists(cur)) -1L
+    else new String(java.nio.file.Files.readAllBytes(cur), "UTF-8")
+      .trim.stripPrefix("gen=").toLong
+  }
 
   def save(index: Dedup.SemanticIndex, dir: String): Unit = {
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
-    // Every parquet artifact is written to a STAGING subtree first and
-    // swapped in only after all writes succeed: the between-increments
-    // cycle is load(dir) -> append -> save(dir), where the grown
-    // frames' lineage READS the very directories an in-place overwrite
-    // would clobber (Spark rejects it with UNSUPPORTED_OVERWRITE.PATH,
-    // and a partial overwrite would corrupt the only copy). Standard
-    // checkpoint semantics apply AFTER the save: the swap replaces the
-    // files under the pre-save object's lineage, so the caller's next
-    // increment must use load(dir)'s handle, not the saved object.
-    val staging = d.resolve("_staging")
-    Tables.deleteTree(staging)
-    java.nio.file.Files.createDirectories(staging)
+    val oldGen = currentGen(d)
+    val gen = oldGen + 1
+    val g = d.resolve(s"gen=$gen")
+    // a partial gen tree from a crashed save is swept before reuse
+    Tables.deleteTree(g)
+    java.nio.file.Files.createDirectories(g)
     val model = index.model
     val modelTxt = new StringBuilder()
       .append(s"${model.m} ${model.ksub} ${model.subDim}\n")
@@ -57,74 +78,81 @@ object SemanticIndexIO {
       modelTxt.append(row.map(java.lang.Double.toString).mkString(" "))
         .append('\n')
     }
-    java.nio.file.Files.write(staging.resolve("model.txt"),
+    java.nio.file.Files.write(g.resolve("model.txt"),
       modelTxt.toString.getBytes("UTF-8"))
-    val sg = staging.toString
-    val quantizerDirs: Seq[String] = index.quantizer match {
+    val gs = g.toString
+    index.quantizer match {
       case Similarity.FlatQuantizer(centroids) =>
-        java.nio.file.Files.write(staging.resolve("meta.txt"),
+        java.nio.file.Files.write(g.resolve("meta.txt"),
           "flat".getBytes("UTF-8"))
-        centroids.write.parquet(s"$sg/quantizer/centroids")
-        Seq("quantizer/centroids")
+        centroids.write.parquet(s"$gs/quantizer/centroids")
       case Similarity.TwoLevelCoarse(tl) =>
-        java.nio.file.Files.write(staging.resolve("meta.txt"),
+        java.nio.file.Files.write(g.resolve("meta.txt"),
           s"twolevel ${tl.fineK}".getBytes("UTF-8"))
-        tl.coarse.write.parquet(s"$sg/quantizer/coarse")
-        tl.fine.write.parquet(s"$sg/quantizer/fine")
-        Seq("quantizer/coarse", "quantizer/fine")
+        tl.coarse.write.parquet(s"$gs/quantizer/coarse")
+        tl.fine.write.parquet(s"$gs/quantizer/fine")
     }
-    // codes and vectors share the embedding lineage on a freshly built
-    // index (semanticIndex releases its build-time cache before
-    // returning) — persist vectors for the duration of the two writes
-    // so the tokenize+embed history pass runs ONCE: the codes plan
-    // contains the vectors plan as a fragment, which the cache manager
-    // substitutes
-    val vec = index.vectors.persist()
+    // On a FRESHLY BUILT index codes and vectors share the full-history
+    // tokenize+embed lineage (semanticIndex releases its build cache
+    // before returning) — persist vectors for the duration of the two
+    // writes so that pass runs once: the codes plan contains the
+    // vectors plan as a fragment, which the cache manager substitutes.
+    // Respect a cache the CALLER already owns (persist-then-unpersist
+    // here would silently evict it). On a GROWN index the union legs
+    // share only the increment's encode fragment (map-only over the
+    // small increment — runs twice, minor), not the vectors plan.
+    val callerCached =
+      index.vectors.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val vec = if (callerCached) index.vectors else index.vectors.persist()
     try {
-      vec.write.parquet(s"$sg/vectors")
-      index.codes.write.parquet(s"$sg/codes")
-    } finally vec.unpersist()
-    // swap: remove old artifacts, move staged ones into place (same
-    // filesystem — plain directory moves)
-    (quantizerDirs ++ Seq("codes", "vectors", "model.txt", "meta.txt"))
-      .foreach { rel =>
-        val target = d.resolve(rel)
-        Tables.deleteTree(target)
-        java.nio.file.Files.createDirectories(target.getParent)
-        java.nio.file.Files.move(staging.resolve(rel), target)
-      }
-    Tables.deleteTree(staging)
+      vec.write.parquet(s"$gs/vectors")
+      index.codes.write.parquet(s"$gs/codes")
+    } finally if (!callerCached) vec.unpersist()
+    // the COMMIT point: one atomic pointer move — readers see either
+    // the old complete generation or the new complete one, never a mix
+    val tmp = java.nio.file.Files.createTempFile(d, "_current", ".tmp")
+    java.nio.file.Files.write(tmp, s"gen=$gen".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, d.resolve(CurrentFile),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // old generations are dead after the flip; best-effort cleanup
+    if (oldGen >= 0) Tables.deleteTree(d.resolve(s"gen=$oldGen"))
   }
 
   def load(spark: SparkSession, dir: String): Dedup.SemanticIndex = {
     val d = java.nio.file.Paths.get(dir)
+    val gen = currentGen(d)
+    require(gen >= 0, s"no committed semantic index under $dir " +
+      s"(missing $CurrentFile — was save() ever completed here?)")
+    val g = d.resolve(s"gen=$gen")
+    val gs = g.toString
     val modelLines = new String(java.nio.file.Files
-      .readAllBytes(d.resolve("model.txt")), "UTF-8").split("\n")
+      .readAllBytes(g.resolve("model.txt")), "UTF-8").split("\n")
     val Array(m, ksub, subDim) = modelLines.head.trim.split(" ").map(_.toInt)
     val codebooks = modelLines.tail.filter(_.nonEmpty).map(
       _.trim.split(" ").map(java.lang.Double.parseDouble))
     require(codebooks.length == m * ksub &&
       codebooks.forall(_.length == subDim),
-      s"corrupt model.txt under $dir: ${codebooks.length} rows for " +
+      s"corrupt model.txt under $gs: ${codebooks.length} rows for " +
         s"m=$m ksub=$ksub subDim=$subDim")
     val model = Pq.PqModel(m, ksub, subDim, codebooks)
     val meta = new String(java.nio.file.Files
-      .readAllBytes(d.resolve("meta.txt")), "UTF-8").trim.split(" ")
+      .readAllBytes(g.resolve("meta.txt")), "UTF-8").trim.split(" ")
     val quantizer = meta(0) match {
       case "flat" =>
         Similarity.FlatQuantizer(
-          spark.read.parquet(s"$dir/quantizer/centroids"))
+          spark.read.parquet(s"$gs/quantizer/centroids"))
       case "twolevel" =>
         Similarity.TwoLevelCoarse(Similarity.TwoLevelQuantizer(
-          spark.read.parquet(s"$dir/quantizer/coarse"),
-          spark.read.parquet(s"$dir/quantizer/fine"),
+          spark.read.parquet(s"$gs/quantizer/coarse"),
+          spark.read.parquet(s"$gs/quantizer/fine"),
           meta(1).toInt))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown quantizer kind '$other' in $dir/meta.txt")
+          s"unknown quantizer kind '$other' in $gs/meta.txt")
     }
     Dedup.SemanticIndex(model, quantizer,
-      spark.read.parquet(s"$dir/codes"),
-      spark.read.parquet(s"$dir/vectors"))
+      spark.read.parquet(s"$gs/codes"),
+      spark.read.parquet(s"$gs/vectors"))
   }
 }

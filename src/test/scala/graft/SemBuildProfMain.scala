@@ -45,9 +45,15 @@ object SemBuildProfMain {
       .select($"doc_id".as("c_id"), $"embedding".as("c_vec"))
     val emb = embSrc.persist()
     val n = timed("embed_persist_count")(emb.count())
+    require(n > graft.dedup.Dedup.SemanticHierThreshold,
+      s"SemBuildProfMain profiles the TWO-LEVEL build path; n=$n is " +
+        s"under the ${graft.dedup.Dedup.SemanticHierThreshold} " +
+        "threshold where production takes the flat Lloyd — raise the " +
+        "factor so the split measures the build that actually runs")
     val k = math.max(1, math.sqrt(n.toDouble).toInt)
+    val ksubEff = math.min(16L, n).toInt
     val half = graft.operators.Sampling.hashSample(emb, $"c_id", "8", "semidx")
-    val sample = if (half.count() >= 16L) half else emb
+    val sample = if (half.count() >= ksubEff.toLong) half else emb
     val coarseK = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val fineK = math.max(1, math.ceil(k.toDouble / coarseK).toInt)
     val tl = timed(s"coarse_train_2level(coarseK=$coarseK,fineK=$fineK)")(
@@ -59,7 +65,7 @@ object SemBuildProfMain {
           src.select($"c_id".as("v_id"), $"c_vec".as("v_vec")), tl)
         .select($"v_id".as("c_id"), $"v_vec".as("c_vec"), $"cent_id")
     val model = timed("residual_pq_train")(
-      Pq.trainResidualAssigned(assigned(sample), centroids, 16, 16,
+      Pq.trainResidualAssigned(assigned(sample), centroids, 16, ksubEff,
         iterations = 2))
     val codes = Pq.ivfPqEncodeAssigned(assigned(emb), centroids, model)
       .persist()

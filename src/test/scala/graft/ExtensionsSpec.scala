@@ -312,6 +312,34 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("stored-index crash window: a partial next generation is invisible " +
+      "to load() and swept by the next save()") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val idx = Dedup.semanticIndex(hist, "doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semio_crash").toString
+    try {
+      graft.dedup.SemanticIndexIO.save(idx, dir) // commits gen=0
+      // simulate a save that died mid-write: a partial gen=1 tree
+      // exists (codes only — the mixed-generation state the atomic
+      // pointer exists to mask) but CURRENT was never flipped
+      val partial = java.nio.file.Paths.get(dir, "gen=1", "codes")
+      java.nio.file.Files.createDirectories(partial)
+      java.nio.file.Files.write(partial.resolve("garbage.parquet"),
+        Array[Byte](1, 2, 3))
+      val loaded = graft.dedup.SemanticIndexIO.load(spark, dir)
+      // load() serves the committed generation, untouched by the debris
+      assert(loaded.codes.count() === idx.codes.count())
+      // the next save sweeps the partial tree and commits OVER it
+      graft.dedup.SemanticIndexIO.save(loaded, dir)
+      val reloaded = graft.dedup.SemanticIndexIO.load(spark, dir)
+      assert(reloaded.codes.count() === idx.codes.count())
+      assert(!java.nio.file.Files.exists(partial.resolve("garbage.parquet")),
+        "crashed-save debris survived the sweep")
+    } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("composed increment order: identity legs catch byte-dup re-crawls " +
       "BEFORE the semantic leg sees them") {
     // The production crawl loop runs exact fp/band keys -> Bloom ->

@@ -32,6 +32,25 @@ private[functions] object CosineArgmax {
     !any || cmp > 0 || (cmp == 0 && id < bestId)
   }
 
+  /** Lazy-rounding guard for the argmax loops: true iff `(round6(x),
+    * id)` COULD beat or tie `(bestRounded, anyId)` — callers confirm
+    * with the exact [[round6]] + [[wins]] pair. round6 is HALF_UP at
+    * scale 6, so `round6(x) >= bestRounded` requires `x >= bestRounded
+    * - 5e-7` exactly; skipping below `bestRounded - 6e-7` (an extra
+    * 1e-7 of slack, orders of magnitude above double error at cosine
+    * magnitudes |x| <= ~1) never skips a potential winner, and the
+    * BigDecimal round evaluates only on running-max ascents and
+    * near-ties instead of per candidate — the r13 probes measured the
+    * per-pair `BigDecimal.valueOf` as a material share of every
+    * assignment pass. NaN-safe: NaN comparisons are false, so NaN
+    * scores (greatest in the sort order) always take the exact path.
+    * Callers' scores are cosines (or their 0.0 guard) by contract —
+    * the 1e-7 slack argument needs |x| small enough that FP
+    * subtraction error stays below it.
+    */
+  def mightWin(x: Double, bestRounded: Double): Boolean =
+    !(x < bestRounded - 6e-7)
+
   /** `round(x, 0)` with the same Round semantics as [[round6]] — used by
     * the int8 quantizer's code rounding.
     */

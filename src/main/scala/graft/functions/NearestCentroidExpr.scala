@@ -89,11 +89,15 @@ case class NearestCentroidExpr(child: Expression,
       var k = 0
       while (k < n) { d += v(k) * c(k); k += 1 }
       val nn = vNorm * centNorms(j)
-      val score = CosineArgmax.round6(if (nn > 0) d / nn else 0.0)
-      if (CosineArgmax.wins(score, ids(j), any, bestScore, bestId)) {
-        any = true
-        bestScore = score
-        bestId = ids(j)
+      val raw = if (nn > 0) d / nn else 0.0
+      // lazy rounding: BigDecimal only on candidates that could win
+      if (!any || CosineArgmax.mightWin(raw, bestScore)) {
+        val score = CosineArgmax.round6(raw)
+        if (CosineArgmax.wins(score, ids(j), any, bestScore, bestId)) {
+          any = true
+          bestScore = score
+          bestId = ids(j)
+        }
       }
       j += 1
     }

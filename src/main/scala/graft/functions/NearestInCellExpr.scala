@@ -95,11 +95,15 @@ case class NearestInCellExpr(left: Expression, right: Expression)
           k += 1
         }
         val nn = vNorm * math.sqrt(cAcc)
-        val score = CosineArgmax.round6(if (nn > 0) d / nn else 0.0)
-        if (CosineArgmax.wins(score, cid, any, bestScore, bestId)) {
-          any = true
-          bestScore = score
-          bestId = cid
+        val raw = if (nn > 0) d / nn else 0.0
+        // lazy rounding: BigDecimal only on candidates that could win
+        if (!any || CosineArgmax.mightWin(raw, bestScore)) {
+          val score = CosineArgmax.round6(raw)
+          if (CosineArgmax.wins(score, cid, any, bestScore, bestId)) {
+            any = true
+            bestScore = score
+            bestId = cid
+          }
         }
       }
       j += 1

@@ -82,10 +82,10 @@ object Pq {
   private def trainOnPersisted(vectors: DataFrame,
                                m: Int, ksub: Int,
                                iterations: Int): PqModel = {
-    val seedRows = vectors
+    val seedRows = Similarity.tt("pq_seed_collect")(vectors
       .orderBy(xxhash64(col("v_id")), col("v_id"))
       .limit(ksub)
-      .select(col("v_vec")).collect()
+      .select(col("v_vec")).collect())
     require(seedRows.length == ksub,
       s"sample has only ${seedRows.length} rows for ksub=$ksub seeds")
     val seedVecs = seedRows.map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
@@ -101,20 +101,33 @@ object Pq {
       java.util.Arrays.copyOfRange(seedVecs(c), s * subDim, (s + 1) * subDim)
     }
     (1 to iterations).foreach { _ =>
-      val subIdx = (col("p") / subDim).cast("int")
+      // explode per SUBSPACE (m rows/vector), not per position (dim
+      // rows/vector), and take each (subspace, code) cell to its exact
+      // decimal member mean in ONE aggregation pass — within a
+      // subspace every position shares the cell's membership, so the
+      // per-subvector mean equals the old per-(p, code) means
+      // element-for-element (and VecDecimalMeanAgg replays the decimal
+      // avg arithmetic bit-exactly). posexplode_outer + not-null:
+      // a plain posexplode's inferred size>0 filter would inline the
+      // pq_encode expression and push it to the scan (the r8
+      // InferFiltersFromGenerate lesson).
       val cells = vectors
         .select(pq_encode(col("v_vec"), codebooks, ksub).as("codes"),
           col("v_vec"))
-        .select(col("codes"), posexplode(col("v_vec")).as(Seq("p", "x")))
-        .select(col("p"), element_at(col("codes"), subIdx + 1).as("code"),
-          col("x"))
-        .groupBy(col("p"), col("code"))
-        .agg(avg(col("x").cast("decimal(27,10)")).cast("double").as("mean_x"))
-        .collect()
+        .select(posexplode_outer(col("codes")).as(Seq("s", "code")),
+          col("v_vec"))
+        .filter(col("code").isNotNull)
+        .select(col("s"), col("code"),
+          slice(col("v_vec"), col("s") * lit(subDim) + 1, lit(subDim))
+            .as("sub"))
+        .groupBy(col("s"), col("code"))
+        .agg(graft.functions.VecDecimalMeanAgg
+          .vec_decimal_mean(col("sub")).as("mean_sub"))
+      val cellRows = Similarity.tt("pq_iter")(cells.collect())
       val next = codebooks.map(_.clone())
-      cells.foreach { r =>
-        val p = r.getInt(0); val c = r.getInt(1); val mean = r.getDouble(2)
-        next((p / subDim) * ksub + c)(p % subDim) = mean
+      cellRows.foreach { r =>
+        val s = r.getInt(0); val c = r.getInt(1)
+        next(s * ksub + c) = r.getSeq[Double](2).toArray
       }
       codebooks = next
     }

@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Phase timing for training scale probes (set GRAFT_TRAIN_TIMING=1);
+    * zero-cost when unset. */
+  private val trainTiming = sys.env.contains("GRAFT_TRAIN_TIMING")
+  private[similarity] def tt[T](name: String)(f: => T): T =
+    if (!trainTiming) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"TRAIN $name ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+
   /** Sequential-fold dot product (deterministic order). Native codegen'd
     * expression with exact HOF-fold parity — see
     * [[graft.functions.DotProductExpr]]; NativeExprSpec pins equality
@@ -174,20 +184,21 @@ object Similarity {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
     }
     val vectors = sample.select(col(id).as("v_id"), col(vec).as("v_vec"))
-    var cents = localize(seeds.select(col("cent_id"), col("cent_vec")))
+    var cents = tt("ivf_seed_localize")(
+      localize(seeds.select(col("cent_id"), col("cent_vec"))))
     (1 to iterations).foreach { _ =>
+      // one-pass exact-decimal array mean (r13): bit-identical to the
+      // old posexplode + avg(decimal) + collect_list reassembly
+      // (NativeExprSpec pins the formula parity), at one partial
+      // buffer per (cell x partition) through the shuffle instead of
+      // n*dim exploded rows
       val means = assignToCentroids(vectors, cents)
-        .select(col("cent_id"), posexplode(col("v_vec")).as(Seq("pos", "x")))
-        .groupBy(col("cent_id"), col("pos"))
-        .agg(avg(col("x").cast("decimal(27,10)")).as("m"))
         .groupBy(col("cent_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .agg(graft.functions.VecDecimalMeanAgg
+          .vec_decimal_mean(col("v_vec")).as("new_vec"))
+      cents = tt("ivf_iter")(localize(cents.join(means, Seq("cent_id"), "left")
         .select(col("cent_id"),
-          transform(col("pm"), p => p.getField("m").cast("double"))
-            .as("new_vec"))
-      cents = localize(cents.join(means, Seq("cent_id"), "left")
-        .select(col("cent_id"),
-          coalesce(col("new_vec"), col("cent_vec")).as("cent_vec")))
+          coalesce(col("new_vec"), col("cent_vec")).as("cent_vec"))))
     }
     cents
   }
@@ -271,21 +282,51 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("fine_id"), col("cent_vec"))))
         .as("_cells"))
 
+  /** The fine frame collected to the driver as the literal-expression
+    * form: coarse_id -> (fine_id, cent_vec) entries sorted by fine_id
+    * (the array_sort order of [[fineCells]]). Bounded by
+    * [[maxCentroids]], like every literal quantizer here.
+    */
+  private def collectFineCellsMap(fine: DataFrame)
+      : Map[Long, Seq[(Long, Seq[Double])]] = {
+    val rows = fine
+      .select(col("coarse_id").cast("long"), col("fine_id").cast("long"),
+        col("cent_vec")).collect()
+    require(rows.nonEmpty, "empty fine centroid set")
+    require(rows.length <= maxCentroids,
+      s"${rows.length} fine centroids exceed the literal-quantizer " +
+        s"cap $maxCentroids")
+    rows.toSeq
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Number](2).map(_.doubleValue()).toSeq))
+      .groupBy(_._1)
+      .map { case (cid, es) =>
+        cid -> es.sortBy(_._2).map(e => (e._2, e._3)) }
+  }
+
   /** Two-level assignment of `(v_id, v_vec)` rows: map-side coarse
     * argmax against the literal coarse quantizer, then the fine argmax
-    * inside the routed cell via a broadcast cells join ([[semDedupHier]]'s
-    * assignment form). Output `(v_id, v_vec, cent_id)` with the
-    * flattened id — drop-in for [[assignToCentroids]] against
-    * `tl.flat`, at O(√k) per row instead of O(k).
+    * against the DRIVER-EMBEDDED cells
+    * ([[graft.functions.NearestInCellsLitExpr]] — centroid norms
+    * precomputed once per expression instead of per row, primitive
+    * arrays instead of a per-row ArrayData struct walk; the r13 probe
+    * measured the join form's row-invariant work as the dominant cost
+    * of every assignment pass under proportional quotas). Output
+    * `(v_id, v_vec, cent_id)` with the flattened id — drop-in for
+    * [[assignToCentroids]] against `tl.flat`, at O(√k) per row instead
+    * of O(k), zero joins. Geometry is [[maxCentroids]]-capped by
+    * construction (trainTwoLevelCentroids enforces it);
+    * [[semDedupHier]] keeps the broadcast/shuffle join form for
+    * geometries past the literal budget.
     */
   def assignTwoLevel(vectors: DataFrame, tl: TwoLevelQuantizer): DataFrame =
     assignToCentroids(vectors, tl.coarse)
       .withColumnRenamed("cent_id", "coarse_id")
-      .join(broadcast(fineCells(tl.fine)), Seq("coarse_id"))
       .withColumn("cent_id",
         col("coarse_id") * lit(tl.fineK.toLong) +
-          graft.functions.NearestInCellExpr
-            .nearest_in_cell(col("v_vec"), col("_cells")))
+          graft.functions.NearestInCellsLitExpr.nearest_in_cells_lit(
+            col("v_vec"), col("coarse_id"),
+            collectFineCellsMap(tl.fine)))
       .select(col("v_id"), col("v_vec"), col("cent_id"))
 
   /** Train a two-level quantizer: Lloyd the coarse level exactly like
@@ -305,7 +346,9 @@ object Similarity {
     */
   def trainTwoLevelCentroids(sample: DataFrame, coarseK: Int, fineK: Int,
                              iterations: Int = 2, id: String = "c_id",
-                             vec: String = "c_vec"): TwoLevelQuantizer = {
+                             vec: String = "c_vec",
+                             fineLitBytes: Long = 256L << 20)
+      : TwoLevelQuantizer = {
     require(coarseK >= 1 && fineK >= 1,
       s"bad two-level geometry: coarseK=$coarseK fineK=$fineK")
     require(coarseK.toLong * fineK <= maxCentroids,
@@ -319,13 +362,14 @@ object Similarity {
     val coarseSeeds = vectors.orderBy(hashOrd: _*).limit(coarseK)
       .withColumn("cent_id", row_number().over(seedW).cast("long") - 1)
       .select(col("cent_id"), col("v_vec").as("cent_vec"))
-    val coarse = trainIvfCentroids(vectors, coarseSeeds,
-      iterations = iterations, id = "v_id", vec = "v_vec")
+    val coarse = tt("tl_coarse_lloyd")(trainIvfCentroids(vectors, coarseSeeds,
+      iterations = iterations, id = "v_id", vec = "v_vec"))
     // consumed by the fine-seed window plus once per Lloyd iteration —
     // localCheckpoint so the coarse argmax over the sample runs ONCE
-    val withCoarse = assignToCentroids(vectors, coarse)
-      .withColumnRenamed("cent_id", "coarse_id")
-      .localCheckpoint()
+    val withCoarse = tt("tl_assign_checkpoint")(
+      assignToCentroids(vectors, coarse)
+        .withColumnRenamed("cent_id", "coarse_id")
+        .localCheckpoint())
     // the fine budget (coarseK·fineK total) is allocated PROPORTIONALLY
     // to coarse cell population, not fineK-per-cell: Lloyd coarse cells
     // are naturally skewed, and a uniform quota under-quantizes the big
@@ -336,8 +380,9 @@ object Similarity {
     // Largest-remainder rounding with id tiebreak + a 1-seed floor per
     // live cell: deterministic, Σquota ∈ [kTot, kTot + #subfloor cells).
     val kTot = coarseK.toLong * fineK
-    val cellSizes = withCoarse.groupBy(col("coarse_id")).count().collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val cellSizes = tt("tl_cell_sizes")(
+      withCoarse.groupBy(col("coarse_id")).count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1))
     require(cellSizes.nonEmpty,
       "trainTwoLevelCentroids: empty sample — no vectors to seed or " +
         "train a quantizer from (filter upstream produced zero rows?)")
@@ -355,41 +400,69 @@ object Similarity {
     val quotaCol = element_at(typedLit(quota), col("coarse_id"))
     val cellW = Window.partitionBy(col("coarse_id"))
       .orderBy(xxhash64(col("v_id")), col("v_id"))
-    var fine = withCoarse
+    val seedFrame = withCoarse
       .withColumn("_rn", row_number().over(cellW))
       .filter(col("_rn") <= quotaCol)
       .select(col("coarse_id"), (col("_rn") - 1).cast("long").as("fine_id"),
         transform(col("v_vec"), x => x.cast("double")).as("cent_vec"))
+    // The fine level is DRIVER data from here on (it ends life collected
+    // into TwoLevelQuantizer.fine and a literal expression in every
+    // assignment anyway — maxCentroids-capped by the geometry require
+    // above): seeds collect once, each Lloyd iteration is one map-side
+    // literal argmax + one vec_decimal_mean aggregation collected back,
+    // and the keep-position merge is a driver map. The r12 form kept
+    // fine as a frame and paid, per iteration, a broadcast cells join
+    // whose per-row ArrayData struct walk + per-row centroid self-norms
+    // dominated the whole build (r13 FineIterProbeMain: the
+    // proportional-quota fat cell multiplies row-invariant work).
+    // fineLitBytes guards the driver heap at extreme geometry
+    // (kTot*dim*8; 65536 cents at dim 768 = 400 MB) — past it, use
+    // [[semDedupHier]]'s self-contained distributed hierarchy instead.
+    var fineLocal: Array[(Long, Long, Seq[Double])] =
+      tt("tl_fine_seed_collect")(seedFrame.collect())
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Double](2)))
+    val dim = fineLocal.headOption.map(_._3.length).getOrElse(0)
+    require(kTot * dim * 8 <= fineLitBytes,
+      s"two-level fine quantizer (kTot=$kTot, dim=$dim) exceeds the " +
+        s"driver-literal budget $fineLitBytes bytes; the two-level " +
+        "quantizer is driver/literal data by construction (its flat " +
+        "analog centroidLit has the same bound) — raise fineLitBytes " +
+        "with the driver heap, shrink the geometry, or use " +
+        "semDedupHier's distributed hierarchy")
     (1 to iterations).foreach { _ =>
-      val means = withCoarse
-        .join(broadcast(fineCells(fine)), Seq("coarse_id"))
-        .withColumn("fine_id", graft.functions.NearestInCellExpr
-          .nearest_in_cell(col("v_vec"), col("_cells")))
-        .select(col("coarse_id"), col("fine_id"),
-          posexplode(col("v_vec")).as(Seq("pos", "x")))
-        .groupBy(col("coarse_id"), col("fine_id"), col("pos"))
-        .agg(avg(col("x").cast("decimal(27,10)")).as("m"))
+      val cellsMap: Map[Long, Seq[(Long, Seq[Double])]] = fineLocal.toSeq
+        .groupBy(_._1)
+        .map { case (cid, es) =>
+          cid -> es.sortBy(_._2).map(e => (e._2, e._3)) }
+      // same one-pass exact-decimal array mean as trainIvfCentroids
+      // (r13) — values bit-identical to the old explode chain; the
+      // assignment is bit-identical to the old broadcast-join
+      // nearest_in_cell (NativeExprSpec pins both)
+      val means = tt("tl_fine_iter")(withCoarse
+        .withColumn("fine_id",
+          graft.functions.NearestInCellsLitExpr.nearest_in_cells_lit(
+            col("v_vec"), col("coarse_id"), cellsMap))
         .groupBy(col("coarse_id"), col("fine_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("coarse_id"), col("fine_id"),
-          transform(col("pm"), p => p.getField("m").cast("double"))
-            .as("new_vec"))
+        .agg(graft.functions.VecDecimalMeanAgg
+          .vec_decimal_mean(col("v_vec")).as("new_vec"))
+        .collect())
+      val moved = means.map(r =>
+        (r.getLong(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
       // a fine cluster that captures no member keeps its position
-      fine = fine.join(means, Seq("coarse_id", "fine_id"), "left")
-        .select(col("coarse_id"), col("fine_id"),
-          coalesce(col("new_vec"), col("cent_vec")).as("cent_vec"))
-        .localCheckpoint()
+      fineLocal = fineLocal.map { case (cid, fid, vec) =>
+        (cid, fid, moved.getOrElse((cid, fid), vec)) }
     }
     // LIVE coarse cells only: a coarse cell with no sample member seeds
     // no fine centroids — restricting the stored coarse quantizer keeps
     // every future assignment (corpus OR query) inside a cell that has
     // fine entries, consistently for both
-    val fineRows = fine.collect()
-    val fineLocal = spark.createDataFrame(
-      java.util.Arrays.asList(fineRows: _*), fine.schema)
-    val live = fineRows.map(_.getLong(0)).toSet
+    import spark.implicits._
+    val fineDf = fineLocal.toSeq
+      .toDF("coarse_id", "fine_id", "cent_vec")
+    val live = fineLocal.map(_._1).toSet
     val coarseLive = coarse.filter(col("cent_id").isInCollection(live))
-    TwoLevelQuantizer(coarseLive, fineLocal, stride.toInt)
+    TwoLevelQuantizer(coarseLive, fineDf, stride.toInt)
   }
 
   /** The DISTINCT cells a query set will probe — collect this (bounded
@@ -821,16 +894,12 @@ object Similarity {
     }
 
     (1 to iterations).foreach { _ =>
+      // one-pass exact-decimal array mean (r13) — bit-identical to the
+      // old posexplode + avg(decimal) chain (NativeExprSpec parity pin)
       val means = assignFine(fine)
-        .select(col("coarse_id"), col("fine_id"),
-          posexplode(col("v_vec")).as(Seq("pos", "x")))
-        .groupBy(col("coarse_id"), col("fine_id"), col("pos"))
-        .agg(avg(col("x").cast("decimal(27,10)")).as("m"))
         .groupBy(col("coarse_id"), col("fine_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("coarse_id"), col("fine_id"),
-          transform(col("pm"), p => p.getField("m").cast("double"))
-            .as("new_vec"))
+        .agg(graft.functions.VecDecimalMeanAgg
+          .vec_decimal_mean(col("v_vec")).as("new_vec"))
       // a fine cluster that captures no member keeps its position,
       // like trainIvfCentroids
       fine = fine.join(means, Seq("coarse_id", "fine_id"), "left")

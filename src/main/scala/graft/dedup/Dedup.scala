@@ -763,6 +763,58 @@ object Dedup {
     * to the zero vector score 0 everywhere and stay `kept` — gate empty
     * docs with the qc filters, not similarity.
     */
+  /** The DISTINCT index cells classifying `newDocs` will probe: the
+    * flat top-nProbe cells per query PLUS (two-level quantizers) each
+    * query's own assignment cell — exactly [[semanticStatus]]'s probe
+    * selection, factored out so a STORED index can be cut to these
+    * cells at the scan ([[SemanticIndexIO.prunedCodes]] — a partition
+    * filter over the cent_bucket layout). Bounded by
+    * min(|queries|·(nProbe+1), k) rows.
+    */
+  def semanticProbeCells(newDocs: DataFrame, index: SemanticIndex,
+                         idCol: String, textCol: String,
+                         nProbe: Int = 3): DataFrame = {
+    import graft.similarity.Similarity
+    val q = TextAnalysis
+      .hashedEmbeddings(newDocs, idCol, textCol, index.model.dim)
+      .select(col(idCol).as("q_id"), col("embedding").as("q_vec"))
+    val flat = Similarity.probeCells(q, index.centroids, nProbe)
+    index.quantizer.ownCellProbe match {
+      case None => flat
+      case Some(assign) =>
+        flat.unionByName(
+            assign(q.select(col("q_id").as("v_id"), col("q_vec").as("v_vec")))
+              .select(col("cent_id")))
+          .distinct()
+    }
+  }
+
+  /** [[semanticStatus]] against a STORED index with the probe-side
+    * partition prune applied: load, collect the increment's probe cells
+    * (one bounded embed pass over the increment), swap the code table
+    * for [[SemanticIndexIO.prunedCodes]] cut to those cells, classify.
+    * Output is bit-identical to [[semanticStatus]] over the full loaded
+    * index — the search only ever joins codes in probed cells, and the
+    * cut is a superset of them by construction (ExtensionsSpec pins the
+    * equality) — but the scan reads ONLY the probed buckets' files
+    * (PlanSpec pins the file count), which is the IVF 100 TB contract:
+    * classify cost scales with the probed fraction, not the history.
+    */
+  def semanticStatusStored(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, newDocs: DataFrame,
+                           idCol: String, textCol: String,
+                           threshold: Double = 0.995,
+                           nProbe: Int = 3, rFactor: Int = 20,
+                           broadcastProbes: Boolean = true): DataFrame = {
+    val idx = SemanticIndexIO.load(spark, dir)
+    val cells = semanticProbeCells(newDocs, idx, idCol, textCol, nProbe)
+      .collect().map(_.getLong(0)).toSeq
+    val pruned = idx.copy(
+      codes = SemanticIndexIO.prunedCodes(spark, dir, cells))
+    semanticStatus(newDocs, pruned, idCol, textCol, threshold,
+      nProbe, rFactor, broadcastProbes)
+  }
+
   def semanticStatus(newDocs: DataFrame, index: SemanticIndex,
                      idCol: String, textCol: String,
                      threshold: Double = 0.995,

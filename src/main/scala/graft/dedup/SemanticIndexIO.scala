@@ -1,8 +1,9 @@
 package graft.dedup
 
-import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.{FileContext, FileSystem, FileUtil, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-import graft.Tables
 import graft.similarity.{Pq, Similarity}
 
 /** Durable form of the semantic crawl index — what a deployment writes
@@ -14,120 +15,342 @@ import graft.similarity.{Pq, Similarity}
   * stride), the 8 B/vector code table, and the float vectors the exact
   * re-rank point-reads.
   *
-  * Writes are GENERATIONAL with an atomically flipped pointer: every
-  * save() lands a complete new tree under `gen=<k>/` and only then
-  * replaces the one-line `CURRENT` file (temp write + atomic move), so
-  * there is NO point in time where the stored index is a mix of two
-  * generations — a crash mid-save leaves `CURRENT` on the old complete
-  * generation and the partial new tree is swept by the next save. This
-  * also makes the in-place checkpoint cycle `load(dir)` -> append ->
-  * `save(dir)` safe: the grown frames' lineage reads the OLD
-  * generation's files, which stay untouched until the new one is
-  * complete (old generations are deleted after the flip — after a
-  * save, the RELOADED handle is the live one, standard checkpoint
-  * semantics). Layout:
+  * The store is GENERATIONAL with APPEND-ONLY data fragments (r13 —
+  * the r12 form rewrote the full codes+vectors trees every save, an
+  * O(history) cost per increment at the exact cadence the store exists
+  * for; reference analog: the incremental-update redesign rationale,
+  * `changes.txt:211-215`):
   *
   * {{{
-  *   CURRENT                        "gen=<k>"
+  *   CURRENT                        "gen=<k>"   (atomically replaced)
   *   gen=<k>/meta.txt               "flat" | "twolevel <stride>"
   *   gen=<k>/model.txt              "m ksub subDim" + codebook rows
   *   gen=<k>/quantizer/centroids/   (flat)      cent_id, cent_vec
   *   gen=<k>/quantizer/coarse/      (twolevel)  cent_id, cent_vec
   *   gen=<k>/quantizer/fine/        (twolevel)  coarse_id, fine_id, cent_vec
-  *   gen=<k>/codes/                 c_id, cent_id, c_code, c_xsqn
-  *   gen=<k>/vectors/               c_id, c_vec
+  *   gen=<k>/manifest.txt           one live fragment dir name per line
+  *                                  (written LAST — it seals the gen)
+  *   frag=<n>/codes/                cent_bucket=<id>/... (partitioned!)
+  *   frag=<n>/vectors/              c_id, c_vec
   * }}}
+  *
+  * Fragments are immutable once written and live OUTSIDE generations:
+  * [[save]] (a full save — the initial build, or an explicit
+  * [[compact]]) writes everything as ONE new fragment, while
+  * [[appendSave]] writes ONLY the increment's encoded rows as a new
+  * fragment and seals a new generation whose manifest lists the old
+  * fragments plus the new one — the quantizer/model tree (KBs–MBs,
+  * [[graft.similarity.Similarity.maxCentroids]]-bounded) is byte-copied
+  * forward, so an increment save costs I/O proportional to the
+  * INCREMENT, not the history (SemStoreScaleMain measures the ladder).
+  * [[load]] unions the manifest's fragments.
+  *
+  * Codes are written `partitionBy(cent_bucket)` (the bucket id
+  * duplicated into a partition column so `cent_id` keeps its type in
+  * the data files — `sim_ivfpq_pruned`'s layout): [[prunedCodes]] cuts
+  * a search to its probed cells as a PARTITION filter the scan resolves
+  * at planning time, reading only the probed buckets' files (PlanSpec
+  * pins the pruned scan on a load()ed index) — the IVF 100 TB contract.
+  *
+  * Commit protocol (single writer at a time — the deployment's
+  * between-increments cadence): a generation is COMMITTED iff `CURRENT`
+  * names it; `CURRENT` is replaced by writing a temp file, hsync-ing it
+  * (a power loss cannot surface a truncated pointer), and an ATOMIC
+  * rename-with-overwrite through `FileContext` — readers see either the
+  * old complete generation or the new complete one, never a mix. A
+  * crash mid-save leaves an unsealed gen tree and/or an unreferenced
+  * fragment; both are invisible to [[load]] (which reads only the
+  * committed manifest) and swept by the next save — every `gen=*`
+  * other than the committed one and every `frag=*` the committed
+  * manifest does not list is debris by definition (crash-window pins in
+  * ExtensionsSpec). This also makes the in-place grow cycle
+  * `load(dir)` -> encode increment -> `appendSave(dir)` safe: the old
+  * fragments stay untouched (they are still live in the new manifest),
+  * and even a full [[save]] of a loaded index only deletes the old
+  * fragments AFTER the flip — after a save, the RELOADED handle is the
+  * live one (standard checkpoint semantics).
+  *
+  * ALL artifacts — including `CURRENT` and the text files — go through
+  * the Hadoop `FileSystem` resolved from `dir`, so the index lands on
+  * whatever filesystem the path names (the r12 form wrote the pointer
+  * via `java.nio` — always the LOCAL fs — while frames went to the
+  * Hadoop default fs: on any non-local deployment the index silently
+  * split across two filesystems).
   *
   * Everything that matters for classification parity is either parquet
   * (binary-exact doubles/floats) or the exact text round-trip, so
   * `load(save(idx))` classifies bit-identically — pinned in
   * ExtensionsSpec for both quantizer shapes, including the full grown
-  * in-place cycle. At 100 TB the codes dir is the one large artifact;
-  * write it partitioned by bucket (sim_ivfpq_pruned's layout) and pass
-  * the read-back frame through [[Dedup.SemanticIndex.copy]] if
-  * probe-side partition pruning is wanted — this writer keeps the
-  * plain layout.
+  * in-place cycle and the append-only delta cycle.
   */
 object SemanticIndexIO {
 
   private val CurrentFile = "CURRENT"
 
-  /** The generation `CURRENT` points at, or -1 when the dir holds no
-    * committed index yet.
-    */
-  private def currentGen(d: java.nio.file.Path): Long = {
-    val cur = d.resolve(CurrentFile)
-    if (!java.nio.file.Files.exists(cur)) -1L
-    else new String(java.nio.file.Files.readAllBytes(cur), "UTF-8")
-      .trim.stripPrefix("gen=").toLong
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    (fs, fs.makeQualified(p))
   }
 
-  def save(index: Dedup.SemanticIndex, dir: String): Unit = {
-    val d = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(d)
-    val oldGen = currentGen(d)
-    val gen = oldGen + 1
-    val g = d.resolve(s"gen=$gen")
-    // a partial gen tree from a crashed save is swept before reuse
-    Tables.deleteTree(g)
-    java.nio.file.Files.createDirectories(g)
-    val model = index.model
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def writeText(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The generation `CURRENT` points at; -1 when the dir holds no
+    * committed index yet; an UNPARSABLE pointer fails loudly with a
+    * repair hint (it cannot occur through this writer — the temp file
+    * is hsync-ed before the atomic move — so it means outside
+    * interference, and silently guessing a generation could resurrect
+    * a stale index).
+    */
+  private def currentGen(fs: FileSystem, d: Path): Long = {
+    val cur = new Path(d, CurrentFile)
+    if (!fs.exists(cur)) -1L
+    else {
+      val raw = readText(fs, cur).trim
+      try {
+        require(raw.startsWith("gen="))
+        raw.stripPrefix("gen=").toLong
+      } catch {
+        case _: Exception =>
+          val sealedHere = sealedGens(fs, d)
+          throw new IllegalStateException(
+            s"corrupt $CurrentFile under $d: '$raw' — repair by writing " +
+              "'gen=<k>' for a sealed generation (sealed here: " +
+              s"${sealedHere.mkString(", ")}) or by deleting the " +
+              "directory and rebuilding the index")
+      }
+    }
+  }
+
+  /** gen numbers whose tree contains a manifest (the seal — written
+    * last); used only for the repair hint. */
+  private def sealedGens(fs: FileSystem, d: Path): Seq[Long] =
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong)
+      .filter(g => fs.exists(new Path(d, s"gen=$g/manifest.txt")))
+      .sorted
+
+  private def manifest(fs: FileSystem, d: Path, gen: Long): Seq[String] =
+    readText(fs, new Path(d, s"gen=$gen/manifest.txt"))
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Delete every `gen=*` other than `keepGen`, every `frag=*` not in
+    * `keepFrags`, and stray pointer temp files — all debris by the
+    * commit protocol. Runs at save START (clears crashed partials so
+    * fragment ids don't collide with orphans) and after the flip
+    * (clears the superseded generation and, on compaction, the folded
+    * fragments).
+    */
+  private def sweep(fs: FileSystem, d: Path, keepGen: Long,
+                    keepFrags: Set[String]): Unit =
+    fs.listStatus(d).foreach { st =>
+      val name = st.getPath.getName
+      val dead =
+        (name.startsWith("gen=") &&
+          name.stripPrefix("gen=").toLongOption.exists(_ != keepGen)) ||
+        (name.startsWith("frag=") && !keepFrags.contains(name)) ||
+        (name.startsWith("_current") && name.endsWith(".tmp"))
+      if (dead) fs.delete(st.getPath, true)
+    }
+
+  private def nextFragId(fs: FileSystem, d: Path): Long = {
+    val existing = fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("frag="))
+      .flatMap(_.stripPrefix("frag=").toLongOption)
+    if (existing.isEmpty) 0L else existing.max + 1L
+  }
+
+  /** Write one immutable data fragment: vectors plain, codes
+    * partitioned by cent_bucket (duplicated from cent_id). `shared` is
+    * the plan fragment BOTH writes contain (the vectors frame on a
+    * fresh full save — the codes plan embeds it; the whole encoded
+    * increment on an append): persisted for the duration so the common
+    * lineage runs once, unless the CALLER already cached it
+    * (persist-then-unpersist here would evict their cache).
+    */
+  private def writeFragment(dirStr: String, frag: String,
+                            codes: DataFrame, vectors: DataFrame,
+                            shared: DataFrame): Unit = {
+    val callerCached =
+      shared.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!callerCached) shared.persist()
+    try {
+      vectors.select(col("c_id"), col("c_vec"))
+        .write.parquet(s"$dirStr/$frag/vectors")
+      codes
+        .withColumn("cent_bucket", col("cent_id"))
+        .repartition(col("cent_bucket"))
+        .write.partitionBy("cent_bucket")
+        .parquet(s"$dirStr/$frag/codes")
+    } finally if (!callerCached) shared.unpersist()
+  }
+
+  /** Write the generation tree for `gen` (model, meta, quantizer) and
+    * SEAL it with the manifest — the manifest write is last, so a gen
+    * without one is a crashed partial by construction.
+    */
+  private def writeGenTree(fs: FileSystem, d: Path, gen: Long,
+                           model: Pq.PqModel,
+                           quantizer: Similarity.CoarseQuantizer,
+                           frags: Seq[String]): Unit = {
+    val g = new Path(d, s"gen=$gen")
+    fs.mkdirs(g)
     val modelTxt = new StringBuilder()
       .append(s"${model.m} ${model.ksub} ${model.subDim}\n")
     model.codebooks.foreach { row =>
       modelTxt.append(row.map(java.lang.Double.toString).mkString(" "))
         .append('\n')
     }
-    java.nio.file.Files.write(g.resolve("model.txt"),
-      modelTxt.toString.getBytes("UTF-8"))
+    writeText(fs, new Path(g, "model.txt"), modelTxt.toString)
     val gs = g.toString
-    index.quantizer match {
+    quantizer match {
       case Similarity.FlatQuantizer(centroids) =>
-        java.nio.file.Files.write(g.resolve("meta.txt"),
-          "flat".getBytes("UTF-8"))
+        writeText(fs, new Path(g, "meta.txt"), "flat")
         centroids.write.parquet(s"$gs/quantizer/centroids")
       case Similarity.TwoLevelCoarse(tl) =>
-        java.nio.file.Files.write(g.resolve("meta.txt"),
-          s"twolevel ${tl.fineK}".getBytes("UTF-8"))
+        writeText(fs, new Path(g, "meta.txt"), s"twolevel ${tl.fineK}")
         tl.coarse.write.parquet(s"$gs/quantizer/coarse")
         tl.fine.write.parquet(s"$gs/quantizer/fine")
     }
-    // On a FRESHLY BUILT index codes and vectors share the full-history
-    // tokenize+embed lineage (semanticIndex releases its build cache
-    // before returning) — persist vectors for the duration of the two
-    // writes so that pass runs once: the codes plan contains the
-    // vectors plan as a fragment, which the cache manager substitutes.
-    // Respect a cache the CALLER already owns (persist-then-unpersist
-    // here would silently evict it). On a GROWN index the union legs
-    // share only the increment's encode fragment (map-only over the
-    // small increment — runs twice, minor), not the vectors plan.
-    val callerCached =
-      index.vectors.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val vec = if (callerCached) index.vectors else index.vectors.persist()
+    writeText(fs, new Path(g, "manifest.txt"), frags.mkString("\n"))
+  }
+
+  /** The COMMIT point: one atomic pointer replacement. The temp file is
+    * hsync-ed (fsync on local fs; best-effort hflush where the stream
+    * does not support sync) before the move, so a power loss cannot
+    * surface an empty/truncated CURRENT.
+    */
+  private def flipCurrent(fs: FileSystem, d: Path, gen: Long): Unit = {
+    val tmp = new Path(d, s"_current_g$gen.tmp")
+    val out = fs.create(tmp, true)
     try {
-      vec.write.parquet(s"$gs/vectors")
-      index.codes.write.parquet(s"$gs/codes")
-    } finally if (!callerCached) vec.unpersist()
-    // the COMMIT point: one atomic pointer move — readers see either
-    // the old complete generation or the new complete one, never a mix
-    val tmp = java.nio.file.Files.createTempFile(d, "_current", ".tmp")
-    java.nio.file.Files.write(tmp, s"gen=$gen".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, d.resolve(CurrentFile),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // old generations are dead after the flip; best-effort cleanup
-    if (oldGen >= 0) Tables.deleteTree(d.resolve(s"gen=$oldGen"))
+      out.write(s"gen=$gen".getBytes("UTF-8"))
+      try out.hsync()
+      catch { case _: UnsupportedOperationException => out.hflush() }
+    } finally out.close()
+    val fc = FileContext.getFileContext(d.toUri,
+      fs.getConf)
+    fc.rename(tmp, new Path(d, CurrentFile), Options.Rename.OVERWRITE)
+  }
+
+  /** Full save: the complete index lands as ONE new fragment under a
+    * new sealed generation — the initial-build entry point and the
+    * compaction target. For increment cycles use [[appendSave]]: a full
+    * save of a grown index re-reads and rewrites the entire history.
+    */
+  def save(index: Dedup.SemanticIndex, dir: String): Unit = {
+    val spark = index.vectors.sparkSession
+    val (fs, d) = fsOf(spark, dir)
+    fs.mkdirs(d)
+    val oldGen = currentGen(fs, d)
+    val oldFrags =
+      if (oldGen >= 0) manifest(fs, d, oldGen).toSet else Set.empty[String]
+    // crashed partials from an earlier save are swept before reuse
+    sweep(fs, d, oldGen, oldFrags)
+    val gen = oldGen + 1
+    val frag = s"frag=${nextFragId(fs, d)}"
+    // On a FRESHLY BUILT index codes and vectors share the full-history
+    // tokenize+embed lineage (the codes plan contains the vectors plan
+    // as a fragment) — persisting the vectors side for the duration of
+    // the two writes runs that pass once: the cache manager substitutes
+    // the cached fragment inside the codes plan. (On a loaded index
+    // both sides are cheap parquet scans of the old fragments, which
+    // stay on disk until the post-flip sweep.)
+    writeFragment(d.toString, frag, index.codes, index.vectors,
+      shared = index.vectors)
+    writeGenTree(fs, d, gen, index.model, index.quantizer, Seq(frag))
+    flipCurrent(fs, d, gen)
+    // old generations and superseded fragments are dead after the flip
+    sweep(fs, d, gen, Set(frag))
+  }
+
+  /** Append-only increment save: write ONLY `encoded` — an increment's
+    * [[Dedup.semanticEncode]] rows `(c_id, cent_id, c_code, c_vec,
+    * c_xsqn)` — as a new fragment, and seal a new generation whose
+    * manifest is the old fragment list plus the new one (quantizer and
+    * model byte-copied forward: they are trained once per index
+    * lifetime — [[Dedup.semanticAppend]]'s contract). Cost is
+    * proportional to the INCREMENT. The deployment cycle:
+    * `load(dir)` -> classify -> `appendSave(dir,
+    * semanticEncode(idx, kept, ...))` -> next increment loads the grown
+    * index. Run [[compact]] at a slow cadence to bound fragment count.
+    */
+  def appendSave(spark: SparkSession, dir: String,
+                 encoded: DataFrame): Unit = {
+    val (fs, d) = fsOf(spark, dir)
+    val gen0 = currentGen(fs, d)
+    require(gen0 >= 0,
+      s"appendSave grows a COMMITTED index but $dir holds none — " +
+        "save() the initial build first")
+    val oldFrags = manifest(fs, d, gen0)
+    sweep(fs, d, gen0, oldFrags.toSet)
+    val gen = gen0 + 1
+    val frag = s"frag=${nextFragId(fs, d)}"
+    // both writes are projections of the encoded increment — persist it
+    // so the increment's embed+encode chain runs once
+    writeFragment(d.toString, frag,
+      codes = encoded.drop("c_vec"),
+      vectors = encoded.select(col("c_id"), col("c_vec")),
+      shared = encoded)
+    // byte-copy the (small, centroid-capped) quantizer/model tree, then
+    // seal with the extended manifest
+    val g0 = new Path(d, s"gen=$gen0")
+    val g = new Path(d, s"gen=$gen")
+    fs.mkdirs(g)
+    Seq("meta.txt", "model.txt", "quantizer").foreach { name =>
+      val src = new Path(g0, name)
+      if (fs.exists(src))
+        FileUtil.copy(fs, src, fs, new Path(g, name),
+          false, fs.getConf)
+    }
+    writeText(fs, new Path(g, "manifest.txt"),
+      (oldFrags :+ frag).mkString("\n"))
+    flipCurrent(fs, d, gen)
+    sweep(fs, d, gen, oldFrags.toSet + frag)
+  }
+
+  /** Fold all fragments into one: load + full [[save]] (which reads the
+    * old fragments, writes a single new one, flips, and sweeps the old
+    * ones). Bounds [[load]]'s per-read fragment unions on a
+    * long-running increment cycle.
+    */
+  def compact(spark: SparkSession, dir: String): Unit =
+    save(load(spark, dir), dir)
+
+  /** Number of live fragments in the committed generation — the
+    * compaction trigger a deployment polls.
+    */
+  def fragmentCount(spark: SparkSession, dir: String): Int = {
+    val (fs, d) = fsOf(spark, dir)
+    val gen = currentGen(fs, d)
+    require(gen >= 0, s"no committed semantic index under $dir")
+    manifest(fs, d, gen).size
   }
 
   def load(spark: SparkSession, dir: String): Dedup.SemanticIndex = {
-    val d = java.nio.file.Paths.get(dir)
-    val gen = currentGen(d)
+    val (fs, d) = fsOf(spark, dir)
+    val gen = currentGen(fs, d)
     require(gen >= 0, s"no committed semantic index under $dir " +
       s"(missing $CurrentFile — was save() ever completed here?)")
-    val g = d.resolve(s"gen=$gen")
+    val g = new Path(d, s"gen=$gen")
     val gs = g.toString
-    val modelLines = new String(java.nio.file.Files
-      .readAllBytes(g.resolve("model.txt")), "UTF-8").split("\n")
+    val modelLines = readText(fs, new Path(g, "model.txt")).split("\n")
     val Array(m, ksub, subDim) = modelLines.head.trim.split(" ").map(_.toInt)
     val codebooks = modelLines.tail.filter(_.nonEmpty).map(
       _.trim.split(" ").map(java.lang.Double.parseDouble))
@@ -136,8 +359,7 @@ object SemanticIndexIO {
       s"corrupt model.txt under $gs: ${codebooks.length} rows for " +
         s"m=$m ksub=$ksub subDim=$subDim")
     val model = Pq.PqModel(m, ksub, subDim, codebooks)
-    val meta = new String(java.nio.file.Files
-      .readAllBytes(g.resolve("meta.txt")), "UTF-8").trim.split(" ")
+    val meta = readText(fs, new Path(g, "meta.txt")).trim.split(" ")
     val quantizer = meta(0) match {
       case "flat" =>
         Similarity.FlatQuantizer(
@@ -151,8 +373,34 @@ object SemanticIndexIO {
         throw new IllegalArgumentException(
           s"unknown quantizer kind '$other' in $gs/meta.txt")
     }
-    Dedup.SemanticIndex(model, quantizer,
-      spark.read.parquet(s"$gs/codes"),
-      spark.read.parquet(s"$gs/vectors"))
+    val frags = manifest(fs, d, gen)
+    val codes = frags.map { f =>
+      spark.read.parquet(s"$d/$f/codes")
+        .select(col("c_id"), col("cent_id"), col("c_code"), col("c_xsqn"))
+    }.reduce(_.unionByName(_))
+    val vectors = frags.map(f => spark.read.parquet(s"$d/$f/vectors"))
+      .reduce(_.unionByName(_))
+    Dedup.SemanticIndex(model, quantizer, codes, vectors)
+  }
+
+  /** The committed code table CUT to `cells` at the SCAN: the filter on
+    * the cent_bucket partition column resolves to a partition (file)
+    * prune at planning time, so a probe reads only its buckets' files —
+    * the search-side payoff of the partitioned layout (PlanSpec pins
+    * the pruned file count on a load()ed index). Same rows as filtering
+    * the loaded codes on cent_id; swap into a loaded index via
+    * `idx.copy(codes = prunedCodes(...))` when the probe cells are
+    * known up front ([[Dedup.semanticProbeCells]]).
+    */
+  def prunedCodes(spark: SparkSession, dir: String,
+                  cells: Seq[Long]): DataFrame = {
+    val (fs, d) = fsOf(spark, dir)
+    val gen = currentGen(fs, d)
+    require(gen >= 0, s"no committed semantic index under $dir")
+    manifest(fs, d, gen).map { f =>
+      spark.read.parquet(s"$d/$f/codes")
+        .filter(col("cent_bucket").isin(cells: _*))
+        .select(col("c_id"), col("cent_id"), col("c_code"), col("c_xsqn"))
+    }.reduce(_.unionByName(_))
   }
 }

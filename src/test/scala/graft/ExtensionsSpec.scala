@@ -901,6 +901,75 @@ class ExtensionsSpec extends SparkSpec {
     assert(dflt(0).feature.toSeq === Multimodal.stubDecode(riff).toSeq)
     assert(dflt(1).feature.toSeq === got(1).feature.toSeq)
   }
+
+  test("append-only delta save: appendSave writes only the increment, " +
+      "load unions fragments, compact folds them — classification " +
+      "parity throughout, debris swept") {
+    import graft.dedup.SemanticIndexIO
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val inc = docs.filter(pmod($"doc_id", lit(3)) === 0).limit(40)
+      .select(($"doc_id" + 500000).as("doc_id"), $"text")
+    val batch = docs.filter(pmod($"doc_id", lit(5)) === 0)
+      .select(($"doc_id" + 900000).as("doc_id"), $"text")
+    def rows(idx: Dedup.SemanticIndex): Set[Seq[Any]] =
+      Dedup.semanticStatus(batch, idx, "doc_id", "text")
+        .select($"doc_id", $"status", $"match_id", $"best_sim")
+        .collect().map(_.toSeq).toSet
+    // two-level shape: the richer quantizer tree + own-cell probes
+    val idx = Dedup.semanticIndex(hist, "doc_id", "text", hierThreshold = 0L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semio_delta").toString
+    try {
+      SemanticIndexIO.save(idx, dir)
+      val loaded = SemanticIndexIO.load(spark, dir)
+      // in-memory truth: the grown index a non-stored deployment holds
+      val encoded = Dedup.semanticEncode(loaded, inc, "doc_id", "text")
+      val grownMem = Dedup.semanticAppendEncoded(loaded, encoded)
+      val grownRows = rows(grownMem)
+      val grownN = grownMem.codes.count()
+      // the DELTA cycle: only the increment's rows hit disk
+      SemanticIndexIO.appendSave(spark, dir, encoded)
+      assert(SemanticIndexIO.fragmentCount(spark, dir) === 2)
+      val reloaded = SemanticIndexIO.load(spark, dir)
+      assert(reloaded.codes.count() === grownN)
+      assert(rows(reloaded) === grownRows)
+      // stored-pruned classification: bit-identical to the full scan
+      val prunedRows = Dedup.semanticStatusStored(spark, dir, batch,
+          "doc_id", "text")
+        .select($"doc_id", $"status", $"match_id", $"best_sim")
+        .collect().map(_.toSeq).toSet
+      assert(prunedRows === grownRows)
+      // debris: an orphan fragment and a stale SEALED generation (the
+      // crash-after-flip leak) are invisible to load and swept by the
+      // next save — every gen != committed and every unreferenced frag
+      // is debris by the commit protocol
+      val orphanFrag = java.nio.file.Paths.get(dir, "frag=99", "codes")
+      java.nio.file.Files.createDirectories(orphanFrag)
+      java.nio.file.Files.write(orphanFrag.resolve("junk.parquet"),
+        Array[Byte](9))
+      val staleGen = java.nio.file.Paths.get(dir, "gen=7")
+      java.nio.file.Files.createDirectories(staleGen)
+      java.nio.file.Files.write(staleGen.resolve("manifest.txt"),
+        "frag=99".getBytes("UTF-8"))
+      assert(rows(SemanticIndexIO.load(spark, dir)) === grownRows)
+      SemanticIndexIO.appendSave(spark, dir,
+        Dedup.semanticEncode(reloaded, inc.limit(3)
+          .select(($"doc_id" + 1000000).as("doc_id"), $"text"),
+          "doc_id", "text"))
+      assert(!java.nio.file.Files.exists(orphanFrag.getParent),
+        "orphan fragment survived the sweep")
+      assert(!java.nio.file.Files.exists(staleGen),
+        "stale sealed generation survived the sweep")
+      assert(SemanticIndexIO.fragmentCount(spark, dir) === 3)
+      // compaction folds the fragments into one; classification holds
+      val beforeCompact = rows(SemanticIndexIO.load(spark, dir))
+      SemanticIndexIO.compact(spark, dir)
+      assert(SemanticIndexIO.fragmentCount(spark, dir) === 1)
+      assert(rows(SemanticIndexIO.load(spark, dir)) === beforeCompact)
+    } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
 }
 
 /** Fixture codec for the injection spec: claims RIFF-magic audio

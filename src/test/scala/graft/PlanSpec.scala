@@ -230,6 +230,54 @@ class PlanSpec extends SparkSpec {
     } finally Tables.deleteTree(tmpPath)
   }
 
+  test("a load()ed stored semantic index prunes probe scans to the " +
+      "probed buckets' files (r13 partitioned fragment layout)") {
+    import graft.dedup.{Dedup, SemanticIndexIO}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val idx = Dedup.semanticIndex(hist, "doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_plan_semio").toString
+    try {
+      SemanticIndexIO.save(idx, dir)
+      // grow once so the pruned scan unions TWO fragments — the pin
+      // must hold across the union, not just a single-root read
+      val loaded0 = SemanticIndexIO.load(spark, dir)
+      val inc = docs.filter(pmod($"doc_id", lit(3)) === 0).limit(20)
+        .select(($"doc_id" + 700000).as("doc_id"), $"text")
+      SemanticIndexIO.appendSave(spark, dir,
+        Dedup.semanticEncode(loaded0, inc, "doc_id", "text"))
+      val loaded = SemanticIndexIO.load(spark, dir)
+      val batch = docs.filter(pmod($"doc_id", lit(7)) === 0).limit(3)
+        .select(($"doc_id" + 800000).as("doc_id"), $"text")
+      val cells = Dedup.semanticProbeCells(batch, loaded, "doc_id", "text",
+          nProbe = 2).collect().map(_.getLong(0)).toSeq
+      val totalBuckets = loaded.codes.select($"cent_id").distinct().count()
+      assert(cells.length.toLong < totalBuckets,
+        s"vacuous: ${cells.length} probe cells cover all $totalBuckets buckets")
+      val pruned = SemanticIndexIO.prunedCodes(spark, dir, cells)
+      val p = pruned.queryExecution.executedPlan.toString
+      assert(p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+          l.contains("cent_bucket")),
+        "probe-cell partition filter missing from the stored scan:\n" +
+          p.take(2000))
+      // file-level proof across the fragment union: each fragment's
+      // scan lists only its probed buckets' files
+      val filesRead = SemanticIndexIO.prunedCodes(spark, dir, cells)
+        .select(input_file_name().as("f")).distinct().count()
+      // <= cells per fragment (2 fragments; a bucket may be absent
+      // from a fragment)
+      assert(filesRead <= 2L * cells.length,
+        s"scan read $filesRead files for ${cells.length} probed buckets " +
+          "across 2 fragments")
+      // row parity with the unpruned filter
+      val expect = loaded.codes.filter($"cent_id".isInCollection(cells))
+        .select($"c_id").collect().map(_.getLong(0)).toSet
+      val got = pruned.select($"c_id").collect().map(_.getLong(0)).toSet
+      assert(got === expect)
+    } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("signature expressions evaluate once per row (no generator filter blowup)") {
     // the inferred size>0 filter of a plain explode inlines the full
     // signature expression through the projection — once per band

@@ -208,7 +208,8 @@ object SemanticIndexIO {
   private def writeGenTree(fs: FileSystem, d: Path, gen: Long,
                            model: Pq.PqModel,
                            quantizer: Similarity.CoarseQuantizer,
-                           frags: Seq[String]): Unit = {
+                           frags: Seq[String],
+                           note: String): Unit = {
     val g = new Path(d, s"gen=$gen")
     fs.mkdirs(g)
     val modelTxt = new StringBuilder()
@@ -228,6 +229,7 @@ object SemanticIndexIO {
         tl.coarse.write.parquet(s"$gs/quantizer/coarse")
         tl.fine.write.parquet(s"$gs/quantizer/fine")
     }
+    if (note.nonEmpty) writeText(fs, new Path(g, "note.txt"), note)
     writeText(fs, new Path(g, "manifest.txt"), frags.mkString("\n"))
   }
 
@@ -254,7 +256,8 @@ object SemanticIndexIO {
     * compaction target. For increment cycles use [[appendSave]]: a full
     * save of a grown index re-reads and rewrites the entire history.
     */
-  def save(index: Dedup.SemanticIndex, dir: String): Unit = {
+  def save(index: Dedup.SemanticIndex, dir: String,
+           note: String = ""): Unit = {
     val spark = index.vectors.sparkSession
     val (fs, d) = fsOf(spark, dir)
     fs.mkdirs(d)
@@ -274,7 +277,7 @@ object SemanticIndexIO {
     // stay on disk until the post-flip sweep.)
     writeFragment(d.toString, frag, index.codes, index.vectors,
       shared = index.vectors)
-    writeGenTree(fs, d, gen, index.model, index.quantizer, Seq(frag))
+    writeGenTree(fs, d, gen, index.model, index.quantizer, Seq(frag), note)
     flipCurrent(fs, d, gen)
     // old generations and superseded fragments are dead after the flip
     sweep(fs, d, gen, Set(frag))
@@ -292,7 +295,7 @@ object SemanticIndexIO {
     * index. Run [[compact]] at a slow cadence to bound fragment count.
     */
   def appendSave(spark: SparkSession, dir: String,
-                 encoded: DataFrame): Unit = {
+                 encoded: DataFrame, note: String = ""): Unit = {
     val (fs, d) = fsOf(spark, dir)
     val gen0 = currentGen(fs, d)
     require(gen0 >= 0,
@@ -319,6 +322,7 @@ object SemanticIndexIO {
         FileUtil.copy(fs, src, fs, new Path(g, name),
           false, fs.getConf)
     }
+    if (note.nonEmpty) writeText(fs, new Path(g, "note.txt"), note)
     writeText(fs, new Path(g, "manifest.txt"),
       (oldFrags :+ frag).mkString("\n"))
     flipCurrent(fs, d, gen)
@@ -331,7 +335,27 @@ object SemanticIndexIO {
     * long-running increment cycle.
     */
   def compact(spark: SparkSession, dir: String): Unit =
-    save(load(spark, dir), dir)
+    save(load(spark, dir), dir, note = note(spark, dir))
+
+  /** True iff `dir` holds a committed index (a CURRENT pointer). */
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val (fs, d) = fsOf(spark, dir)
+    currentGen(fs, d) >= 0
+  }
+
+  /** The committed generation's NOTE — an opaque caller string carried
+    * inside the atomically-committed generation tree (written before
+    * the manifest seal), so a watermark and the data it describes
+    * commit together. Empty when the generation carries none. The
+    * streaming compaction hook stores its covered-batch bound here.
+    */
+  def note(spark: SparkSession, dir: String): String = {
+    val (fs, d) = fsOf(spark, dir)
+    val gen = currentGen(fs, d)
+    require(gen >= 0, s"no committed semantic index under $dir")
+    val p = new Path(d, s"gen=$gen/note.txt")
+    if (fs.exists(p)) readText(fs, p) else ""
+  }
 
   /** Number of live fragments in the committed generation — the
     * compaction trigger a deployment polls.

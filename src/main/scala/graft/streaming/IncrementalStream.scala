@@ -362,12 +362,51 @@ object IncrementalStream {
     * never mutated; within-batch near-dups are the batch ops' job, as
     * with every increment leg.
     */
+  /** The stream's cumulative status/kept-corpus output: the compacted
+    * `statuslog/upto=*` archives (bounded by the committed store's
+    * covered watermark — a wider `upto` is a crashed fold's debris and
+    * is excluded) unioned with the live `status/inc=*` tail. With
+    * compaction off this is simply every inc dir. Readers use this
+    * instead of globbing the dirs so compaction stays invisible to
+    * them.
+    */
+  def semanticDedupOutput(spark: org.apache.spark.sql.SparkSession,
+                          outDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val storeDir = s"$outDir/indexstore"
+    val covered =
+      if (graft.dedup.SemanticIndexIO.exists(spark, storeDir))
+        graft.dedup.SemanticIndexIO.note(spark, storeDir).toLong
+      else -1L
+    def subdirs(root: String, prefix: String): Seq[(Long, String)] = {
+      val r = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(r)) Seq.empty
+      else fs.listStatus(r).toSeq.map(_.getPath)
+        .flatMap { p =>
+          p.getName.stripPrefix(prefix) match {
+            case rest if p.getName.startsWith(prefix) =>
+              rest.toLongOption.map(_ -> p.toString)
+            case _ => None
+          }
+        }
+    }
+    val logs = subdirs(s"$outDir/statuslog", "upto=")
+      .filter(_._1 <= covered).map(_._2)
+    val tail = subdirs(s"$outDir/status", "inc=")
+      .filter(_._1 > covered).map(_._2)
+    val dirs = (logs ++ tail).sorted
+    require(dirs.nonEmpty, s"no semantic dedup output under $outDir")
+    dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
   def semanticDedupEachBatch(incoming: DataFrame,
                              index0: graft.dedup.Dedup.SemanticIndex,
                              idCol: String, textCol: String, outDir: String,
                              threshold: Double = 0.995,
                              nProbe: Int = 3, rFactor: Int = 20,
-                             broadcastProbes: Boolean = true)
+                             broadcastProbes: Boolean = true,
+                             compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     incoming.writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -375,24 +414,94 @@ object IncrementalStream {
         val statusRoot = new org.apache.hadoop.fs.Path(s"$outDir/status")
         val fs = statusRoot.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        val priorDirs =
-          if (!fs.exists(statusRoot)) Array.empty[String]
+        val storeDir = s"$outDir/indexstore"
+        // the committed store covers incs <= covered (its generation
+        // note — committed ATOMICALLY with the code rows it describes)
+        def coveredBound: Long =
+          if (compactEvery > 0 &&
+              graft.dedup.SemanticIndexIO.exists(spark, storeDir))
+            graft.dedup.SemanticIndexIO.note(spark, storeDir).toLongOption
+              .getOrElse(sys.error(
+                s"stored index at $storeDir carries no covered watermark " +
+                  "— was it written outside the streaming hook?"))
+          else -1L
+        var covered = coveredBound
+        def tailDirs(bound: Long): Array[(Long, org.apache.hadoop.fs.Path)] =
+          if (!fs.exists(statusRoot)) Array.empty
           else fs.listStatus(statusRoot).map(_.getPath)
-            .filter { p =>
+            .flatMap { p =>
               val n = p.getName
-              n.startsWith("inc=") && n.drop(4).toLongOption
-                .exists(_ < batchId)
-            }.map(_.toString).sorted
+              if (!n.startsWith("inc=")) None
+              else n.drop(4).toLongOption
+                .filter(id => id > covered && id < bound).map(_ -> p)
+            }.sortBy(_._1)
+        def encodedOf(df: DataFrame): DataFrame = df
+          // kept rows carry their encoded entry; cent_id is null on
+          // dup rows and on kept-but-empty-text docs (excluded from
+          // the index by semanticEncode's zero-vector filter)
+          .filter(col("cent_id").isNotNull)
+          .select(col(idCol).as("c_id"), col("cent_id"),
+            col("c_code"), col("c_vec"), col("c_xsqn"))
+        // FOLD at batch start once the tail is compactEvery dirs long:
+        // archive the tail's status rows as ONE statuslog dir, commit
+        // the tail's code rows into the generational store (the atomic
+        // flip carries the new covered bound), then delete the folded
+        // inc dirs — per-batch derivation and output listing stay
+        // bounded by compactEvery instead of growing with stream life.
+        // Crash-safe by the store's commit protocol: a fold that dies
+        // before the flip leaves the store on the old bound (its
+        // statuslog dir is debris — excluded by readers, overwritten or
+        // swept on refold); one that dies after the flip leaves stale
+        // inc dirs <= covered, deleted on the next fold pass.
+        val tail0 = tailDirs(batchId)
+        if (compactEvery > 0 && tail0.length >= compactEvery) {
+          val upTo = tail0.map(_._1).max
+          // refold debris: statuslog dirs claiming coverage past the
+          // committed bound are crashed folds
+          val logRoot = new org.apache.hadoop.fs.Path(s"$outDir/statuslog")
+          if (fs.exists(logRoot)) fs.listStatus(logRoot).foreach { st =>
+            val up = st.getPath.getName.stripPrefix("upto=").toLongOption
+            if (up.exists(_ > covered)) fs.delete(st.getPath, true)
+          }
+          val rows = spark.read
+            .parquet(tail0.map(_._2.toString): _*).persist()
+          try {
+            rows.write.mode("overwrite")
+              .parquet(s"$outDir/statuslog/upto=$upTo")
+            if (covered < 0)
+              graft.dedup.SemanticIndexIO.save(
+                graft.dedup.Dedup.semanticAppendEncoded(index0,
+                  encodedOf(rows)),
+                storeDir, note = upTo.toString)
+            else
+              graft.dedup.SemanticIndexIO.appendSave(spark, storeDir,
+                encodedOf(rows), note = upTo.toString)
+          } finally rows.unpersist()
+          // the store gains one fragment per fold; fold the FRAGMENTS
+          // too once they pile up (parquet-to-parquet, watermark
+          // preserved) so a years-long stream's per-batch load unions a
+          // bounded fragment list
+          if (graft.dedup.SemanticIndexIO
+              .fragmentCount(spark, storeDir) > 16)
+            graft.dedup.SemanticIndexIO.compact(spark, storeDir)
+          covered = upTo
+          // the folded incs (and any stale ones a crashed fold left)
+          // are now duplicated by the store + statuslog — delete
+          if (fs.exists(statusRoot))
+            fs.listStatus(statusRoot).foreach { st =>
+              val id = st.getPath.getName.stripPrefix("inc=").toLongOption
+              if (id.exists(_ <= covered)) fs.delete(st.getPath, true)
+            }
+        }
+        val base =
+          if (covered >= 0)
+            graft.dedup.SemanticIndexIO.load(spark, storeDir)
+          else index0
+        val priorDirs = tailDirs(batchId).map(_._2.toString)
         val idx =
-          if (priorDirs.isEmpty) index0
-          else graft.dedup.Dedup.semanticAppendEncoded(index0,
-            spark.read.parquet(priorDirs: _*)
-              // kept rows carry their encoded entry; cent_id is null on
-              // dup rows and on kept-but-empty-text docs (excluded from
-              // the index by semanticEncode's zero-vector filter)
-              .filter(col("cent_id").isNotNull)
-              .select(col(idCol).as("c_id"), col("cent_id"),
-                col("c_code"), col("c_vec"), col("c_xsqn")))
+          if (priorDirs.isEmpty) base
+          else graft.dedup.Dedup.semanticAppendEncoded(base,
+            encodedOf(spark.read.parquet(priorDirs: _*)))
         // status consumed twice (the write's left side + the kept slice
         // the encode reads) — persist so classify runs once per batch
         val status = graft.dedup.Dedup.semanticStatus(

@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
   * in batch count (the index itself grows, but probe work is bucket-
   * sized, not batch-count-sized).
   *
-  * Usage: SemStreamScaleMain [sfDir] [nBatches]
+  * Usage: SemStreamScaleMain [sfDir] [nBatches] [compactEvery=0]
+  * r13: pass compactEvery>0 to exercise the statuslog/indexstore fold —
+  * per-batch wall should stay flat AND the live inc-dir count bounded
+  * by compactEvery over an arbitrarily long stream.
   */
 object SemStreamScaleMain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = if (args.length > 1) args(1).toInt else 6
+    val compactEvery = if (args.length > 2) args(2).toInt else 0
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -53,7 +57,8 @@ object SemStreamScaleMain {
       .MemoryStream[(Long, String)]
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = graft.streaming.IncrementalStream.semanticDedupEachBatch(
-        input.toDF().toDF("doc_id", "text"), idx0, "doc_id", "text", outDir)
+        input.toDF().toDF("doc_id", "text"), idx0, "doc_id", "text", outDir,
+        compactEvery = compactEvery)
       .start()
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try {
@@ -62,11 +67,15 @@ object SemStreamScaleMain {
         input.addData(rows)
         q.processAllAvailable()
         val dt = (System.nanoTime() - t0) / 1e9
+        val statusP = java.nio.file.Paths.get(outDir, "status")
+        val dirs = if (java.nio.file.Files.exists(statusP))
+          java.nio.file.Files.list(statusP).count() else 0L
         println(f"SEMSTREAM sf=$sfDir batch=${i + 1} rows=${rows.size} " +
-          f"secs=$dt%.2f")
+          f"secs=$dt%.2f inc_dirs=$dirs")
       }
     } finally q.stop()
-    val statuses = spark.read.parquet(s"$outDir/status")
+    val statuses = graft.streaming.IncrementalStream
+      .semanticDedupOutput(spark, outDir)
       .groupBy($"status").count().collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(",")
     println(s"SEMSTREAM totals $statuses")

@@ -299,6 +299,65 @@ class StreamingSpec extends SparkSpec {
     } finally graft.Tables.deleteTree(java.nio.file.Paths.get(outDir))
   }
 
+  test("semantic streaming compaction: statuses identical to the " +
+      "uncompacted stream, tail bounded, crashed-fold debris excluded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(5)) === 0)
+    val idx0 = graft.dedup.Dedup.semanticIndex(hist, "doc_id", "text")
+    val incs = (1 to 4).map { i =>
+      docs.filter(pmod($"doc_id", lit(5)) === i)
+        .select($"doc_id", $"text").orderBy($"doc_id")
+        .as[(Long, String)].collect().toSeq
+    }
+    def run(compactEvery: Int): (String, Set[Seq[Any]]) = {
+      val outDir = java.nio.file.Files
+        .createTempDirectory(s"graft_sem_compact_$compactEvery").toString
+      val input = MemoryStream[(Long, String)]
+      val q = IncrementalStream.semanticDedupEachBatch(
+          input.toDF().toDF("doc_id", "text"), idx0, "doc_id", "text",
+          outDir, compactEvery = compactEvery)
+        .start()
+      try {
+        incs.foreach { rows => input.addData(rows); q.processAllAvailable() }
+      } finally q.stop()
+      val res = IncrementalStream.semanticDedupOutput(spark, outDir)
+        .select($"doc_id", $"increment", $"status")
+        .collect().map(_.toSeq).toSet
+      (outDir, res)
+    }
+    val (plainDir, plain) = run(0)
+    val (compDir, compacted) = run(2)
+    try {
+      assert(compacted === plain)
+      // fold cadence at compactEvery=2 over 4 batches: fold at batch 2
+      // (covers incs 0,1) — the live tail is incs 2,3 only
+      val statusRoot = java.nio.file.Paths.get(compDir, "status")
+      val tail = java.nio.file.Files.list(statusRoot).toArray.map(_.toString)
+        .filter(_.contains("inc=")).sorted
+      assert(tail.length === 2, s"tail not bounded: ${tail.mkString(",")}")
+      val store = s"$compDir/indexstore"
+      assert(graft.dedup.SemanticIndexIO.exists(spark, store))
+      assert(graft.dedup.SemanticIndexIO.note(spark, store) === "1")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(compDir, "statuslog", "upto=1")))
+      // a crashed fold's statuslog dir claims coverage PAST the
+      // committed watermark — readers must exclude it
+      val bogus = Seq((999999L, 9L, "BOGUS"))
+        .toDF("doc_id", "increment", "status")
+      bogus.write.parquet(s"$compDir/statuslog/upto=999")
+      val after = IncrementalStream.semanticDedupOutput(spark, compDir)
+        .select($"doc_id", $"increment", $"status")
+        .collect().map(_.toSeq).toSet
+      assert(after === plain, "crashed-fold debris leaked into the output")
+    } finally {
+      graft.Tables.deleteTree(java.nio.file.Paths.get(plainDir))
+      graft.Tables.deleteTree(java.nio.file.Paths.get(compDir))
+    }
+  }
+
   test("sessionizeStream batch parity: sessions = Sessionize.byGap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -178,6 +178,58 @@ object DedupQueries extends QueryPack {
           c2.select($"doc_id", lit(2).as("increment"), $"status"))
     }),
 
+    // the STORED form of the semantic evolution loop — the deployment
+    // cycle as it actually runs between crawls (r13): the history index
+    // persisted via SemanticIndexIO.save, increment 1 classified
+    // against the STORE with the probe-side partition prune
+    // (semanticStatusStored reads only the probed cent_bucket files —
+    // PlanSpec pins the pruned scan), inc1's kept docs appended as an
+    // append-only fragment (appendSave — I/O proportional to the
+    // increment, not the history), increment 2 classified against the
+    // grown store and its re-crawls of inc1 pages must read sem_hist
+    // off it. Statuses bit-equal the in-memory fold loop's by the
+    // storage round-trip parity pins (ExtensionsSpec). No SQL oracle
+    // (codebooks/ADC) — digest-pinned.
+    "dedup_semantic_stored" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val inc1 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+          pmod($"doc_id", lit(2)) === 0)
+        .select($"doc_id", $"text")
+      val inc2 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+          pmod($"doc_id", lit(2)) === 1)
+        .select($"doc_id", $"text")
+        .unionByName(inc1.filter(pmod($"doc_id", lit(4)) === 0)
+          .select(($"doc_id" + 200000).as("doc_id"), $"text"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sem_stored").toString
+      try {
+        graft.dedup.SemanticIndexIO.save(Fixtures.histSemanticIdx(s, d), dir)
+        // c1 is consumed AFTER appendSave replaces the generation its
+        // lazy plan reads (the old quantizer tree is swept post-flip) —
+        // localize it first; bounded by the increment
+        val c1Lazy = graft.dedup.Dedup.semanticStatusStored(s, dir, inc1,
+          "doc_id", "text")
+        val c1 = s.createDataFrame(
+          java.util.Arrays.asList(c1Lazy.collect(): _*), c1Lazy.schema)
+        val kept1 = c1.filter($"status" === "kept")
+          .select($"doc_id", $"text")
+        graft.dedup.SemanticIndexIO.appendSave(s, dir,
+          graft.dedup.Dedup.semanticEncode(
+            graft.dedup.SemanticIndexIO.load(s, dir), kept1,
+            "doc_id", "text"))
+        val c2 = graft.dedup.Dedup.semanticStatusStored(s, dir, inc2,
+          "doc_id", "text")
+        val out = c1.select($"doc_id", lit(1).as("increment"), $"status")
+          .unionByName(
+            c2.select($"doc_id", lit(2).as("increment"), $"status"))
+        // bounded result copied out so the temp store can be deleted
+        // before returning (a lazy frame would pin the files)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
+    }),
+
     // the full text->vector->near-dup path over RAW documents: hashed
     // set-of-words embeddings (no shipped vectors needed) feed the same
     // blocked cosine pairing the embeddings table uses; oracle-checked

@@ -211,13 +211,27 @@ object Pq {
     * factor-50 probe: 13/334 re-crawls lost exactly this coin toss).
     * The extension is bounded by the tie group at the boundary — codes
     * quantize to m·ksub levels, so byte-equal (= score-equal) groups
-    * are the common case the cut must not split. EXCEPT the exact-0.0
-    * class: 0.0 is the guard value every zero-denominator pair scores
-    * (zero query norm, zero reconstruction), an unboundedly large class
-    * on indexes that contain zero vectors — those rows get only their
-    * row_number slots, never the tie extension, so the re-rank join
-    * stays O(width) per query when real candidates run out.
+    * are the common case the cut must not split. Two bounds keep the
+    * extension from degenerating (the re-rank join must stay O(width)
+    * per query, not O(|tie class|)):
+    *
+    *  - the exact-0.0 class: 0.0 is the guard value every
+    *    zero-denominator pair scores (zero query norm, zero
+    *    reconstruction), an unboundedly large class on indexes that
+    *    contain zero vectors — those rows get only their row_number
+    *    slots, never the tie extension;
+    *  - every OTHER tie class is admitted up to [[TieCapFactor]]·width
+    *    rows (r13): on replica-heavy corpora a byte-equal code class
+    *    can hold millions of rows, and an uncapped extension made the
+    *    re-rank input O(|class|). The cap bounds the input at the cost
+    *    of recall WITHIN a tie class larger than the cap — the
+    *    standard ANN trade; the committed factor-100 re-crawl probe
+    *    (replica classes ≈ 100 ≤ 8·20) is unaffected, and exact
+    *    re-crawl containment holds whenever the twin's id-ordered slot
+    *    in its class is inside the cap.
     */
+  private val TieCapFactor = 8
+
   private def adcCandidates(scored: DataFrame, width: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc)
     val wRn = Window.partitionBy(col("q_id"))
@@ -229,7 +243,8 @@ object Pq {
       .withColumn("_rn", row_number().over(wRn))
       .withColumn("_r", rank().over(w))
       .filter(col("_rn") <= width ||
-        (col("_r") <= width && col("sim") =!= 0.0))
+        (col("_r") <= width && col("sim") =!= 0.0 &&
+          col("_rn") <= width * TieCapFactor))
       .select(col("q_id"), col("c_id"))
   }
 

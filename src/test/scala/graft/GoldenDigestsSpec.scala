@@ -78,6 +78,10 @@ class GoldenDigestsSpec extends SparkSpec {
   // (encoded with the existing quantizers), inc2's re-crawls of them
   // must read sem_hist off the grown index; contracts in ExtensionsSpec
   check("dedup_incremental_semantic_fold", 209L, "5764935742945909182")
+  // EQUALS the in-memory fold loop's digest by construction: the stored
+  // cycle (save -> statusStored w/ partition prune -> appendSave ->
+  // statusStored) round-trips bit-exactly (r13; GoldenMain run twice)
+  check("dedup_semantic_stored", 209L, "5764935742945909182")
   // r11: the same loop as a STREAM — foreachBatch classify + grow-from-
   // written-parquet; one addData block per increment makes the batch
   // boundary (= the semantics) deterministic. Streaming-equals-batch

@@ -210,4 +210,31 @@ class PqSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(full === brute)
   }
+
+  test("capped tie extension: a byte-equal code class far past the cap " +
+      "still surfaces the right neighbor (min-id tie inside the cap)") {
+    import spark.implicits._
+    // 120 corpus rows share ONE vector (one byte-equal code class —
+    // the replica-heavy shape the r13 cap bounds); a single distinct
+    // distractor keeps training non-degenerate
+    val base = Seq.tabulate(16)(i => 0.1 * (i % 5) + 0.05)
+    val corpus = ((1L to 120L).map(id => (id, base)) :+
+      (500L, base.map(-_))).toDF("c_id", "c_vec")
+    val model = Pq.train(corpus, "c_id", "c_vec", m = 4, ksub = 2,
+      iterations = 1)
+    val encoded = Pq.encode(corpus, model)
+    val queries = Seq((9000L, base.map(_ * 1.000001)))
+      .toDF("q_id", "q_vec")
+    val got = Pq.topKRefined(queries, encoded, corpus, model,
+      k = 1, rFactor = 1).collect()
+    assert(got.length === 1)
+    // all class members re-rank to the same exact cosine; the c_id
+    // tiebreak picks the smallest id, whose id-ordered slot is inside
+    // the cap by construction — identical to uncapped behavior here
+    assert(got.head.getLong(1) === 1L)
+    val brute = Similarity.bruteForceTopK(queries, corpus, k = 1).collect()
+    assert(got.head.getLong(1) === brute.head.getLong(1))
+    assert(got.head.getDouble(2) === brute.head.getDouble(2))
+  }
+
 }

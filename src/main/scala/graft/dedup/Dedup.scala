@@ -737,32 +737,6 @@ object Dedup {
       vectors = index.vectors.unionByName(
         encoded.select(col("c_id"), col("c_vec"))))
 
-  /** Classify a crawl increment against the semantic history index:
-    * embed each new doc, probe its nProbe nearest coarse buckets,
-    * ADC-retrieve the closest history candidates from those buckets'
-    * codes, exact-rerank the top one, and mark the doc `sem_hist` when
-    * its best cosine clears `threshold` (re-crawled and near-rewritten
-    * pages), else `kept`. Output adds the best match id and its rounded
-    * score for audit. A re-crawl embeds identically to its history
-    * page, so its first probe IS that page's bucket — exact re-crawls
-    * can't escape the probe (spec-pinned); near-rewrites are caught at
-    * the probe fraction's recall, the standard ANN-dedup trade.
-    *
-    * Returns the caller's frame plus (match_id, best_sim, status) —
-    * the same keep-my-columns contract as [[incrementalStatus]] and
-    * `BloomIndex.classify`, so `filter(kept).select(id, text)` feeds
-    * [[semanticAppend]] directly. A doc whose probed buckets hold no
-    * history codes (possible: Lloyd keeps empty clusters at their seed
-    * positions) has nothing to match — `best_sim` reads 0.0 and
-    * `match_id` NULL, the same "no neighbor" surface a zero-vector doc
-    * gets.
-    *
-    * Id spaces must be disjoint between increment and history (crawl
-    * ids are): a colliding id would silently exclude its own history
-    * row from candidacy (the ranker's self-pair filter). Docs embedding
-    * to the zero vector score 0 everywhere and stay `kept` — gate empty
-    * docs with the qc filters, not similarity.
-    */
   /** The DISTINCT index cells classifying `newDocs` will probe: the
     * flat top-nProbe cells per query PLUS (two-level quantizers) each
     * query's own assignment cell — exactly [[semanticStatus]]'s probe
@@ -815,6 +789,32 @@ object Dedup {
       nProbe, rFactor, broadcastProbes)
   }
 
+  /** Classify a crawl increment against the semantic history index:
+    * embed each new doc, probe its nProbe nearest coarse buckets,
+    * ADC-retrieve the closest history candidates from those buckets'
+    * codes, exact-rerank the top one, and mark the doc `sem_hist` when
+    * its best cosine clears `threshold` (re-crawled and near-rewritten
+    * pages), else `kept`. Output adds the best match id and its rounded
+    * score for audit. A re-crawl embeds identically to its history
+    * page, so its first probe IS that page's bucket — exact re-crawls
+    * can't escape the probe (spec-pinned); near-rewrites are caught at
+    * the probe fraction's recall, the standard ANN-dedup trade.
+    *
+    * Returns the caller's frame plus (match_id, best_sim, status) —
+    * the same keep-my-columns contract as [[incrementalStatus]] and
+    * `BloomIndex.classify`, so `filter(kept).select(id, text)` feeds
+    * [[semanticAppend]] directly. A doc whose probed buckets hold no
+    * history codes (possible: Lloyd keeps empty clusters at their seed
+    * positions) has nothing to match — `best_sim` reads 0.0 and
+    * `match_id` NULL, the same "no neighbor" surface a zero-vector doc
+    * gets.
+    *
+    * Id spaces must be disjoint between increment and history (crawl
+    * ids are): a colliding id would silently exclude its own history
+    * row from candidacy (the ranker's self-pair filter). Docs embedding
+    * to the zero vector score 0 everywhere and stay `kept` — gate empty
+    * docs with the qc filters, not similarity.
+    */
   def semanticStatus(newDocs: DataFrame, index: SemanticIndex,
                      idCol: String, textCol: String,
                      threshold: Double = 0.995,

@@ -104,9 +104,18 @@ object SemanticIndexIO {
     } finally in.close()
   }
 
+  /** All text artifacts are hsync-ed: the manifest a CURRENT flip makes
+    * live must be durable BEFORE the flip is, or a power loss could
+    * commit a generation whose manifest is truncated — the same
+    * rationale as the pointer's own sync (r13 review finding #2).
+    */
   private def writeText(fs: FileSystem, p: Path, s: String): Unit = {
     val out = fs.create(p, true)
-    try out.write(s.getBytes("UTF-8")) finally out.close()
+    try {
+      out.write(s.getBytes("UTF-8"))
+      try out.hsync()
+      catch { case _: UnsupportedOperationException => out.hflush() }
+    } finally out.close()
   }
 
   /** The generation `CURRENT` points at; -1 when the dir holds no

@@ -201,8 +201,12 @@ object DedupQueries extends QueryPack {
         .select($"doc_id", $"text")
         .unionByName(inc1.filter(pmod($"doc_id", lit(4)) === 0)
           .select(($"doc_id" + 200000).as("doc_id"), $"text"))
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_sem_stored").toString
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sem_stored")
+      // explicit file:// URI: SemanticIndexIO resolves scheme-less paths
+      // against the Hadoop DEFAULT fs, which on a real deployment is not
+      // the local fs this temp dir (and its finally-delete) lives on
+      val dir = tmp.toUri.toString
       try {
         graft.dedup.SemanticIndexIO.save(Fixtures.histSemanticIdx(s, d), dir)
         // c1 is consumed AFTER appendSave replaces the generation its
@@ -227,7 +231,7 @@ object DedupQueries extends QueryPack {
         // before returning (a lazy frame would pin the files)
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-      } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
+      } finally Tables.deleteTree(tmp)
     }),
 
     // the full text->vector->near-dup path over RAW documents: hashed

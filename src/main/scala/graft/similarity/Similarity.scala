@@ -240,6 +240,15 @@ object Similarity {
     def flat: DataFrame = fine.select(
       (col("coarse_id") * lit(fineK.toLong) + col("fine_id")).as("cent_id"),
       col("cent_vec"))
+
+    /** The fine frame decoded for the literal assignment expression —
+      * memoized PER QUANTIZER instance: every assign() call shares one
+      * driver collect instead of re-running a Spark job per call (a
+      * stored-index classify invokes assign 2-3 times; r13 review
+      * finding #4).
+      */
+    @transient lazy val cellsMap: Map[Long, Seq[(Long, Seq[Double])]] =
+      collectFineCellsMap(fine)
   }
 
   /** A coarse quantizer in either shape, with its assignment strategy —
@@ -325,8 +334,7 @@ object Similarity {
       .withColumn("cent_id",
         col("coarse_id") * lit(tl.fineK.toLong) +
           graft.functions.NearestInCellsLitExpr.nearest_in_cells_lit(
-            col("v_vec"), col("coarse_id"),
-            collectFineCellsMap(tl.fine)))
+            col("v_vec"), col("coarse_id"), tl.cellsMap))
       .select(col("v_id"), col("v_vec"), col("cent_id"))
 
   /** Train a two-level quantizer: Lloyd the coarse level exactly like
@@ -418,11 +426,13 @@ object Similarity {
     // fineLitBytes guards the driver heap at extreme geometry
     // (kTot*dim*8; 65536 cents at dim 768 = 400 MB) — past it, use
     // [[semDedupHier]]'s self-contained distributed hierarchy instead.
-    var fineLocal: Array[(Long, Long, Seq[Double])] =
-      tt("tl_fine_seed_collect")(seedFrame.collect())
-        .map(r => (r.getLong(0), r.getLong(1),
-          r.getSeq[Double](2)))
-    val dim = fineLocal.headOption.map(_._3.length).getOrElse(0)
+    // budget check BEFORE the collect it guards (dim probed from one
+    // row — withCoarse is checkpointed). The estimate is the raw
+    // payload (kTot*dim*8); the boxed driver representation is a few x
+    // that, which the default budget's headroom absorbs — at the
+    // 65536-centroid cap and dim 768 the raw payload alone (400 MB)
+    // refuses loudly here instead of OOM-ing mid-collect.
+    val dim = withCoarse.select(size(col("v_vec"))).head.getInt(0)
     require(kTot * dim * 8 <= fineLitBytes,
       s"two-level fine quantizer (kTot=$kTot, dim=$dim) exceeds the " +
         s"driver-literal budget $fineLitBytes bytes; the two-level " +
@@ -430,6 +440,10 @@ object Similarity {
         "analog centroidLit has the same bound) — raise fineLitBytes " +
         "with the driver heap, shrink the geometry, or use " +
         "semDedupHier's distributed hierarchy")
+    var fineLocal: Array[(Long, Long, Seq[Double])] =
+      tt("tl_fine_seed_collect")(seedFrame.collect())
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Double](2)))
     (1 to iterations).foreach { _ =>
       val cellsMap: Map[Long, Seq[(Long, Seq[Double])]] = fineLocal.toSeq
         .groupBy(_._1)

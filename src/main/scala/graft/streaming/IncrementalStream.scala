@@ -377,7 +377,10 @@ object IncrementalStream {
     val storeDir = s"$outDir/indexstore"
     val covered =
       if (graft.dedup.SemanticIndexIO.exists(spark, storeDir))
-        graft.dedup.SemanticIndexIO.note(spark, storeDir).toLong
+        graft.dedup.SemanticIndexIO.note(spark, storeDir).toLongOption
+          .getOrElse(sys.error(
+            s"stored index at $storeDir carries no covered watermark " +
+              "— was it written outside the streaming hook?"))
       else -1L
     def subdirs(root: String, prefix: String): Seq[(Long, String)] = {
       val r = new org.apache.hadoop.fs.Path(root)
@@ -416,10 +419,13 @@ object IncrementalStream {
           spark.sparkContext.hadoopConfiguration)
         val storeDir = s"$outDir/indexstore"
         // the committed store covers incs <= covered (its generation
-        // note — committed ATOMICALLY with the code rows it describes)
+        // note — committed ATOMICALLY with the code rows it describes).
+        // Consulted UNCONDITIONALLY: a stream restarted with a different
+        // compactEvery (including 0) must still classify against the
+        // folded history — the store's existence, not the compaction
+        // flag, decides (r13 review finding #1)
         def coveredBound: Long =
-          if (compactEvery > 0 &&
-              graft.dedup.SemanticIndexIO.exists(spark, storeDir))
+          if (graft.dedup.SemanticIndexIO.exists(spark, storeDir))
             graft.dedup.SemanticIndexIO.note(spark, storeDir).toLongOption
               .getOrElse(sys.error(
                 s"stored index at $storeDir carries no covered watermark " +

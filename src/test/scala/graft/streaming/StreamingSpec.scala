@@ -352,6 +352,26 @@ class StreamingSpec extends SparkSpec {
         .select($"doc_id", $"increment", $"status")
         .collect().map(_.toSeq).toSet
       assert(after === plain, "crashed-fold debris leaked into the output")
+      // r13 review finding #1: a stream RESTARTED over a folded dir
+      // with compactEvery left at its default 0 must still consult the
+      // store — re-crawls of folded-batch docs must read sem_hist, not
+      // leak as kept because the gate read the compaction flag
+      val folded = incs(0).filter(r => r._2 != null && r._2.nonEmpty)
+        .take(3).map { case (id, t) => (id + 400000L, t) }
+      val reIn = MemoryStream[(Long, String)]
+      val q3 = IncrementalStream.semanticDedupEachBatch(
+          reIn.toDF().toDF("doc_id", "text"), idx0, "doc_id", "text",
+          compDir)
+        .start()
+      try { reIn.addData(folded); q3.processAllAvailable() }
+      finally q3.stop()
+      val re = spark.read.parquet(s"$compDir/status/inc=0")
+        .select($"doc_id", $"status").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      folded.foreach { case (id, _) =>
+        assert(re(id) === "sem_hist",
+          s"folded-history re-crawl $id leaked as '${re(id)}'")
+      }
     } finally {
       graft.Tables.deleteTree(java.nio.file.Paths.get(plainDir))
       graft.Tables.deleteTree(java.nio.file.Paths.get(compDir))

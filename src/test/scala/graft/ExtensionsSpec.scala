@@ -226,6 +226,24 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("two-level trainer refuses geometry past the driver-literal " +
+      "budget BEFORE collecting (fineLitBytes guard)") {
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    // kTot*dim*8 for this fixture's dim comfortably exceeds 1 KB — the
+    // guard must refuse up front (a loud require, not an OOM mid-train)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.trainTwoLevelCentroids(emb, coarseK = 4, fineK = 4,
+        iterations = 1, fineLitBytes = 1L << 10)
+    }
+    assert(ex.getMessage.contains("driver-literal budget"),
+      s"wrong refusal: ${ex.getMessage}")
+    // and the same geometry trains fine under the default budget
+    val tl = Similarity.trainTwoLevelCentroids(emb, coarseK = 4, fineK = 4,
+      iterations = 1)
+    assert(tl.fine.count() > 0)
+  }
+
   test("semanticIndex hier path (forced): re-crawls still caught at 1.0, " +
       "threshold partition holds, statuses match the flat path") {
     val docs = Tables.documents(spark, sf)

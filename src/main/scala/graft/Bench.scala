@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   *     a timed pass exceeds ~2x those, the whole pass re-runs once and
   *     the faster pass is reported, with "throttled" set from the
   *     calibrations around the pass that was kept.
+  *   - QUIET-START gate (round 13): before the warm pass, while the
+  *     spin calibration or the 1-min loadavg reads contended, sleep and
+  *     re-probe (bounded at 10 min, then proceed regardless). The r12
+  *     driver artifact started at loadavg 5.78: its warm pass — every
+  *     row's guard baseline — absorbed the contention, inflating one
+  *     committed row 14x while blinding the warm-relative guard. No
+  *     in-pass machinery can repair a contaminated baseline; the only
+  *     fix is to not start yet. "quiet_wait_sec" in the JSON shows the
+  *     self-delay.
   *   - PER-QUERY trust guard (round 7): the whole-pass brackets above
   *     cannot see a MID-pass contention episode (round-6's driver
   *     artifact carried unflagged 16x outliers with nominal brackets).
@@ -113,6 +122,13 @@ object Bench {
   // row (~13 rows on the sf0.1 surface).
   private val BigRowSec = 2.0
   private val BigRatioMax = 1.5
+
+  // quiet-start gate bounds: a 1-min loadavg above ~1/8 of the worker
+  // threads means something else is running (this JVM hasn't started
+  // work yet when the gate probes); cap the wait so a persistently
+  // busy host degrades to the old start-immediately behavior
+  private val QuietLoadMax = 4.0
+  private val QuietWaitMaxSec = 600.0
 
   /** Forces the COMPLETE plan: digest-aggregates every output column (so
     * pruning can't drop payload work). `useForeach` is precomputed in the
@@ -216,6 +232,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Quiet-start gate (r13): the r12 driver artifact began at loadavg
+    // 5.78 and its WARM pass — every row's throttle-guard baseline —
+    // absorbed the contention, which both inflated committed walls
+    // (one row read 14x its quiet value) and blinded the warm-relative
+    // retry guard. No in-pass guard can repair a contaminated baseline,
+    // so don't start until the host looks quiet: while the spin
+    // calibration or 1-min loadavg reads contended, sleep and re-probe,
+    // up to a hard bound (then proceed regardless — a busy host must
+    // degrade to the old behavior, never block the driver). The wait is
+    // emitted as quiet_wait_sec so a reader can see the run self-delayed.
+    val quietWaitSec = {
+      spin() // JIT warm-up: a cold first spin must not read as contention
+      val t0 = System.nanoTime()
+      def elapsed = (System.nanoTime() - t0) / 1e9
+      var cal = calibrate()
+      var la = try loadavg().split(",")(0).toDouble catch
+        { case _: Throwable => 0.0 }
+      while ((suspect(cal) || la > QuietLoadMax) &&
+             elapsed < QuietWaitMaxSec) {
+        Thread.sleep(20000)
+        cal = calibrate()
+        la = try loadavg().split(",")(0).toDouble catch
+          { case _: Throwable => 0.0 }
+      }
+      elapsed
+    }
     val loadStart = loadavg()
 
     // warm pass: touch every table, then run each query once so the timed
@@ -461,6 +504,7 @@ object Bench {
         s""""calib_1t_pre":${fmt(calPre._1)},"calib_32t_pre":${fmt(calPre._2)},""" +
         s""""calib_1t_post":${fmt(calPost._1)},"calib_32t_post":${fmt(calPost._2)},""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+        s""""quiet_wait_sec":${fmt(quietWaitSec)},""" +
         s""""passes":$passes,"throttled":$throttled}"""
     }
     // full per-query detail goes to a file (the driver's stdout capture

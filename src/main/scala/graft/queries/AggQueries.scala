@@ -177,6 +177,27 @@ object AggQueries extends QueryPack {
           sum($"value".cast("decimal(20,6)")).cast("double").as("sum_value"))
     }),
 
+    // Semi-structured metadata extraction: events.props is a JSON string
+    // sidecar (the shape crawl/event pipelines carry per-record metadata
+    // in at 100 TB). Schema-on-read with the codegen'd get_json_object —
+    // no UDF, no whole-document parse materialized — extract one typed
+    // field, count parse failures instead of throwing (a malformed
+    // sidecar must not kill a 1000-executor pass), aggregate. The
+    // extraction is a map-side scalar so the only shuffle is the
+    // groupBy's, and column pruning still reaches the scan (props +
+    // event_type only).
+    "ev_props_extract" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("cnt"),
+          count($"k").as("parsed"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"))
+    }),
+
     // Streaming first-occurrence dedup, batch form (the deterministic
     // row_number shape of IncrementalStream.dedupStream; streaming
     // parity on MemoryStream is asserted in StreamingSpec)
@@ -531,6 +552,14 @@ object AggQueries extends QueryPack {
         |  event_type, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev_props_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  count(TRY_CAST(props->>'$.k' AS BIGINT)) AS parsed,
+        |  CAST(sum(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(TRY_CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(TRY_CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
 
     "ev_dedup_first" ->
       """SELECT event_id, user_id, event_type FROM (

@@ -747,11 +747,24 @@ object Dedup {
     */
   def semanticProbeCells(newDocs: DataFrame, index: SemanticIndex,
                          idCol: String, textCol: String,
-                         nProbe: Int = 3): DataFrame = {
-    import graft.similarity.Similarity
-    val q = TextAnalysis
+                         nProbe: Int = 3): DataFrame =
+    probeCellsOf(semanticQueries(newDocs, index, idCol, textCol),
+      index, nProbe)
+
+  /** The increment embedded as PQ query rows `(q_id, q_vec)` — the
+    * frame [[semanticStatus]] and [[semanticProbeCells]] both derive;
+    * factored out so [[semanticStatusStored]] can compute it ONCE for
+    * its two consumers.
+    */
+  private def semanticQueries(newDocs: DataFrame, index: SemanticIndex,
+                              idCol: String, textCol: String): DataFrame =
+    TextAnalysis
       .hashedEmbeddings(newDocs, idCol, textCol, index.model.dim)
       .select(col(idCol).as("q_id"), col("embedding").as("q_vec"))
+
+  private def probeCellsOf(q: DataFrame, index: SemanticIndex,
+                           nProbe: Int): DataFrame = {
+    import graft.similarity.Similarity
     val flat = Similarity.probeCells(q, index.centroids, nProbe)
     index.quantizer.ownCellProbe match {
       case None => flat
@@ -781,11 +794,15 @@ object Dedup {
                            nProbe: Int = 3, rFactor: Int = 20,
                            broadcastProbes: Boolean = true): DataFrame = {
     val idx = SemanticIndexIO.load(spark, dir)
-    val cells = semanticProbeCells(newDocs, idx, idCol, textCol, nProbe)
+    // embed the increment ONCE for both consumers (the probe-cells
+    // collect and the classify plan); localCheckpoint is eager and
+    // increment-bounded, and its blocks free with the handle
+    val q = semanticQueries(newDocs, idx, idCol, textCol).localCheckpoint()
+    val cells = probeCellsOf(q, idx, nProbe)
       .collect().map(_.getLong(0)).toSeq
     val pruned = idx.copy(
       codes = SemanticIndexIO.prunedCodes(spark, dir, cells))
-    semanticStatus(newDocs, pruned, idCol, textCol, threshold,
+    semanticStatusOf(newDocs, q, pruned, idCol, threshold,
       nProbe, rFactor, broadcastProbes)
   }
 
@@ -819,10 +836,16 @@ object Dedup {
                      idCol: String, textCol: String,
                      threshold: Double = 0.995,
                      nProbe: Int = 3, rFactor: Int = 20,
-                     broadcastProbes: Boolean = true): DataFrame = {
-    val q = TextAnalysis
-      .hashedEmbeddings(newDocs, idCol, textCol, index.model.dim)
-      .select(col(idCol).as("q_id"), col("embedding").as("q_vec"))
+                     broadcastProbes: Boolean = true): DataFrame =
+    semanticStatusOf(newDocs,
+      semanticQueries(newDocs, index, idCol, textCol),
+      index, idCol, threshold, nProbe, rFactor, broadcastProbes)
+
+  private def semanticStatusOf(newDocs: DataFrame, q: DataFrame,
+                               index: SemanticIndex, idCol: String,
+                               threshold: Double,
+                               nProbe: Int, rFactor: Int,
+                               broadcastProbes: Boolean): DataFrame = {
     val best = graft.similarity.Pq
       .ivfPqTopK(q, index.codes, index.centroids, index.vectors,
         index.model, k = 1, nProbe = nProbe, rFactor = rFactor,

@@ -313,13 +313,31 @@ object SemanticIndexIO {
     val oldFrags = manifest(fs, d, gen0)
     sweep(fs, d, gen0, oldFrags.toSet)
     val gen = gen0 + 1
-    val frag = s"frag=${nextFragId(fs, d)}"
-    // both writes are projections of the encoded increment — persist it
-    // so the increment's embed+encode chain runs once
-    writeFragment(d.toString, frag,
-      codes = encoded.drop("c_vec"),
-      vectors = encoded.select(col("c_id"), col("c_vec")),
-      shared = encoded)
+    // persist the increment here (not in writeFragment) so the
+    // emptiness probe and both fragment writes share one run of the
+    // embed+encode chain
+    val callerCached =
+      encoded.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!callerCached) encoded.persist()
+    val frags = try {
+      // An EMPTY increment (every doc a dup / empty-text — a
+      // re-crawl-heavy stretch is normal) must NOT write a fragment: an
+      // empty partitionBy write produces a dir with no parquet files,
+      // and a committed manifest referencing it would brick every
+      // subsequent load with UNABLE_TO_INFER_SCHEMA (spec-pinned). The
+      // generation still commits — callers ride watermarks on `note`,
+      // and skipping the commit would strand their already-archived
+      // side outputs behind an unadvanced bound.
+      if (encoded.isEmpty) oldFrags
+      else {
+        val frag = s"frag=${nextFragId(fs, d)}"
+        writeFragment(d.toString, frag,
+          codes = encoded.drop("c_vec"),
+          vectors = encoded.select(col("c_id"), col("c_vec")),
+          shared = encoded)
+        oldFrags :+ frag
+      }
+    } finally if (!callerCached) encoded.unpersist()
     // byte-copy the (small, centroid-capped) quantizer/model tree, then
     // seal with the extended manifest
     val g0 = new Path(d, s"gen=$gen0")
@@ -332,10 +350,9 @@ object SemanticIndexIO {
           false, fs.getConf)
     }
     if (note.nonEmpty) writeText(fs, new Path(g, "note.txt"), note)
-    writeText(fs, new Path(g, "manifest.txt"),
-      (oldFrags :+ frag).mkString("\n"))
+    writeText(fs, new Path(g, "manifest.txt"), frags.mkString("\n"))
     flipCurrent(fs, d, gen)
-    sweep(fs, d, gen, oldFrags.toSet + frag)
+    sweep(fs, d, gen, frags.toSet)
   }
 
   /** Fold all fragments into one: load + full [[save]] (which reads the
@@ -365,6 +382,18 @@ object SemanticIndexIO {
     val p = new Path(d, s"gen=$gen/note.txt")
     if (fs.exists(p)) readText(fs, p) else ""
   }
+
+  /** The committed covered-batch watermark the streaming hook rides on
+    * [[note]], or -1 when `dir` holds no committed index. One rule for
+    * every reader and the writer: a committed store whose note is not a
+    * bare long was written outside the streaming hook — fail loudly
+    * rather than guess coverage.
+    */
+  def coveredWatermark(spark: SparkSession, dir: String): Long =
+    if (!exists(spark, dir)) -1L
+    else note(spark, dir).toLongOption.getOrElse(sys.error(
+      s"stored index at $dir carries no covered watermark " +
+        "— was it written outside the streaming hook?"))
 
   /** Number of live fragments in the committed generation — the
     * compaction trigger a deployment polls.

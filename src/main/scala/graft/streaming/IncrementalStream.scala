@@ -376,12 +376,7 @@ object IncrementalStream {
       spark.sparkContext.hadoopConfiguration)
     val storeDir = s"$outDir/indexstore"
     val covered =
-      if (graft.dedup.SemanticIndexIO.exists(spark, storeDir))
-        graft.dedup.SemanticIndexIO.note(spark, storeDir).toLongOption
-          .getOrElse(sys.error(
-            s"stored index at $storeDir carries no covered watermark " +
-              "— was it written outside the streaming hook?"))
-      else -1L
+      graft.dedup.SemanticIndexIO.coveredWatermark(spark, storeDir)
     def subdirs(root: String, prefix: String): Seq[(Long, String)] = {
       val r = new org.apache.hadoop.fs.Path(root)
       if (!fs.exists(r)) Seq.empty
@@ -424,14 +419,21 @@ object IncrementalStream {
         // compactEvery (including 0) must still classify against the
         // folded history — the store's existence, not the compaction
         // flag, decides (r13 review finding #1)
-        def coveredBound: Long =
-          if (graft.dedup.SemanticIndexIO.exists(spark, storeDir))
-            graft.dedup.SemanticIndexIO.note(spark, storeDir).toLongOption
-              .getOrElse(sys.error(
-                s"stored index at $storeDir carries no covered watermark " +
-                  "— was it written outside the streaming hook?"))
-          else -1L
-        var covered = coveredBound
+        var covered =
+          graft.dedup.SemanticIndexIO.coveredWatermark(spark, storeDir)
+        // A batch id AT OR BELOW the folded watermark means the query
+        // restarted with a FRESH checkpoint over an outDir that already
+        // carries folded history (checkpointed restarts resume at the
+        // next id; retries re-run an id > covered — the fold never
+        // covers its own batch). Writing would be silent corruption:
+        // inc dirs numbered <= covered are invisible to readers and to
+        // later batches' index derivation, and the next fold DELETES
+        // them unarchived. Fail loudly instead (r13 review finding).
+        require(batchId > covered,
+          s"batch $batchId is not past the folded watermark $covered of " +
+            s"$storeDir — this stream restarted with a fresh checkpoint " +
+            "over an outDir carrying folded history; resume from the " +
+            "original checkpoint or use a new outDir")
         def tailDirs(bound: Long): Array[(Long, org.apache.hadoop.fs.Path)] =
           if (!fs.exists(statusRoot)) Array.empty
           else fs.listStatus(statusRoot).map(_.getPath)
@@ -503,7 +505,14 @@ object IncrementalStream {
           if (covered >= 0)
             graft.dedup.SemanticIndexIO.load(spark, storeDir)
           else index0
-        val priorDirs = tailDirs(batchId).map(_._2.toString)
+        // a fold empties the tail by construction (it archives every
+        // inc < batchId and advances `covered` to their max); without
+        // one, tail0's listing is still the dir set — don't pay a
+        // second remote LIST per batch (r13 review finding)
+        val priorDirs =
+          if (covered >= 0 && tail0.nonEmpty && tail0.map(_._1).max <= covered)
+            Array.empty[String]
+          else tail0.map(_._2.toString)
         val idx =
           if (priorDirs.isEmpty) base
           else graft.dedup.Dedup.semanticAppendEncoded(base,

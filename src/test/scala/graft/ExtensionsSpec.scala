@@ -358,6 +358,46 @@ class ExtensionsSpec extends SparkSpec {
     } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("appendSave with an EMPTY increment commits a watermark-only " +
+      "generation: no unreadable fragment, store still loads and grows") {
+    // an all-dup / all-empty-text folded tail is a normal stretch of a
+    // re-crawl-heavy stream; an empty partitionBy write leaves a dir
+    // with no parquet files, and a committed manifest referencing it
+    // would brick every later load (r13 review finding)
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+      .select($"doc_id", $"text")
+    val idx = Dedup.semanticIndex(hist, "doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semio_emptyinc").toString
+    try {
+      graft.dedup.SemanticIndexIO.save(idx, dir, note = "0")
+      val loaded = graft.dedup.SemanticIndexIO.load(spark, dir)
+      val n0 = loaded.codes.count()
+      val frags0 = graft.dedup.SemanticIndexIO.fragmentCount(spark, dir)
+      val emptyInc = docs.filter(lit(false)).select($"doc_id", $"text")
+      graft.dedup.SemanticIndexIO.appendSave(spark, dir,
+        Dedup.semanticEncode(loaded, emptyInc, "doc_id", "text"),
+        note = "1")
+      // the generation committed (watermark advanced) but added no
+      // fragment — and the store is still fully readable
+      assert(graft.dedup.SemanticIndexIO.note(spark, dir) === "1")
+      assert(graft.dedup.SemanticIndexIO.fragmentCount(spark, dir)
+        === frags0)
+      val re = graft.dedup.SemanticIndexIO.load(spark, dir)
+      assert(re.codes.count() === n0)
+      // a real append on top still works
+      val inc = docs.filter(pmod($"doc_id", lit(3)) === 0).limit(20)
+        .select(($"doc_id" + 700000L).as("doc_id"), $"text")
+      graft.dedup.SemanticIndexIO.appendSave(spark, dir,
+        Dedup.semanticEncode(re, inc, "doc_id", "text"), note = "2")
+      assert(graft.dedup.SemanticIndexIO.fragmentCount(spark, dir)
+        === frags0 + 1)
+      assert(graft.dedup.SemanticIndexIO.load(spark, dir).codes.count()
+        > n0)
+    } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("composed increment order: identity legs catch byte-dup re-crawls " +
       "BEFORE the semantic leg sees them") {
     // The production crawl loop runs exact fp/band keys -> Bloom ->

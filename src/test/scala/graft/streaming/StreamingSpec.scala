@@ -312,13 +312,18 @@ class StreamingSpec extends SparkSpec {
         .select($"doc_id", $"text").orderBy($"doc_id")
         .as[(Long, String)].collect().toSeq
     }
-    def run(compactEvery: Int): (String, Set[Seq[Any]]) = {
+    def run(compactEvery: Int)
+        : (String, Set[Seq[Any]], MemoryStream[(Long, String)]) = {
       val outDir = java.nio.file.Files
         .createTempDirectory(s"graft_sem_compact_$compactEvery").toString
       val input = MemoryStream[(Long, String)]
+      // explicit checkpoint so the compacted query can be RESUMED below
+      // (the deployment restart shape: same checkpoint, batch ids
+      // continue past the folded watermark)
       val q = IncrementalStream.semanticDedupEachBatch(
           input.toDF().toDF("doc_id", "text"), idx0, "doc_id", "text",
           outDir, compactEvery = compactEvery)
+        .option("checkpointLocation", s"$outDir/ckpt")
         .start()
       try {
         incs.foreach { rows => input.addData(rows); q.processAllAvailable() }
@@ -326,10 +331,10 @@ class StreamingSpec extends SparkSpec {
       val res = IncrementalStream.semanticDedupOutput(spark, outDir)
         .select($"doc_id", $"increment", $"status")
         .collect().map(_.toSeq).toSet
-      (outDir, res)
+      (outDir, res, input)
     }
-    val (plainDir, plain) = run(0)
-    val (compDir, compacted) = run(2)
+    val (plainDir, plain, _) = run(0)
+    val (compDir, compacted, compIn) = run(2)
     try {
       assert(compacted === plain)
       // fold cadence at compactEvery=2 over 4 batches: fold at batch 2
@@ -355,23 +360,44 @@ class StreamingSpec extends SparkSpec {
       // r13 review finding #1: a stream RESTARTED over a folded dir
       // with compactEvery left at its default 0 must still consult the
       // store — re-crawls of folded-batch docs must read sem_hist, not
-      // leak as kept because the gate read the compaction flag
+      // leak as kept because the gate read the compaction flag. The
+      // restart is the real deployment shape: SAME checkpoint, so batch
+      // ids continue past the folded watermark (inc=4 here).
       val folded = incs(0).filter(r => r._2 != null && r._2.nonEmpty)
         .take(3).map { case (id, t) => (id + 400000L, t) }
-      val reIn = MemoryStream[(Long, String)]
       val q3 = IncrementalStream.semanticDedupEachBatch(
-          reIn.toDF().toDF("doc_id", "text"), idx0, "doc_id", "text",
+          compIn.toDF().toDF("doc_id", "text"), idx0, "doc_id", "text",
           compDir)
+        .option("checkpointLocation", s"$compDir/ckpt")
         .start()
-      try { reIn.addData(folded); q3.processAllAvailable() }
+      try { compIn.addData(folded); q3.processAllAvailable() }
       finally q3.stop()
-      val re = spark.read.parquet(s"$compDir/status/inc=0")
+      val re = spark.read.parquet(s"$compDir/status/inc=4")
         .select($"doc_id", $"status").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       folded.foreach { case (id, _) =>
         assert(re(id) === "sem_hist",
           s"folded-history re-crawl $id leaked as '${re(id)}'")
       }
+      // and the corruption shape the restart guard exists for: a FRESH
+      // checkpoint over the same folded outDir restarts batch ids at 0,
+      // at or below the covered watermark — ids the store already owns.
+      // Writing would be silent data loss (invisible to readers,
+      // deleted unarchived by the next fold) — the batch must refuse.
+      val freshIn = MemoryStream[(Long, String)]
+      val q4 = IncrementalStream.semanticDedupEachBatch(
+          freshIn.toDF().toDF("doc_id", "text"), idx0, "doc_id", "text",
+          compDir)
+        .start()
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        try { freshIn.addData(folded); q4.processAllAvailable() }
+        finally q4.stop()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(ex).exists(c =>
+          Option(c.getMessage).exists(_.contains("folded watermark"))),
+        s"fresh-checkpoint restart over a folded dir did not refuse: $ex")
     } finally {
       graft.Tables.deleteTree(java.nio.file.Paths.get(plainDir))
       graft.Tables.deleteTree(java.nio.file.Paths.get(compDir))

@@ -28,11 +28,17 @@ import graft.similarity.{Pq, Similarity}
   *   gen=<k>/quantizer/centroids/   (flat)      cent_id, cent_vec
   *   gen=<k>/quantizer/coarse/      (twolevel)  cent_id, cent_vec
   *   gen=<k>/quantizer/fine/        (twolevel)  coarse_id, fine_id, cent_vec
-  *   gen=<k>/manifest.txt           one live fragment dir name per line
+  *   gen=<k>/manifest.txt           one live fragment name per line
   *                                  (written LAST — it seals the gen)
-  *   frag=<n>/codes/                cent_bucket=<id>/... (partitioned!)
-  *   frag=<n>/vectors/              c_id, c_vec
+  *   codesroot/frag=<n>/            cent_bucket=<id>/... (partitioned!)
+  *   vecroot/frag=<n>/              c_id, c_vec
   * }}}
+  *
+  * Fragments live under SHARED roots where every level is a key=value
+  * partition dir, so [[load]]/[[prunedCodes]] read ALL live fragments
+  * as ONE parquet scan (the manifest's dirs as roots + the shared root
+  * as `basePath`) — read cost flat in fragment count, and partition
+  * pruning on `cent_bucket` still applies across fragments.
   *
   * Fragments are immutable once written and live OUTSIDE generations:
   * [[save]] (a full save — the initial build, or an explicit
@@ -167,31 +173,52 @@ object SemanticIndexIO {
     * fragments).
     */
   private def sweep(fs: FileSystem, d: Path, keepGen: Long,
-                    keepFrags: Set[String]): Unit =
+                    keepFrags: Set[String]): Unit = {
     fs.listStatus(d).foreach { st =>
       val name = st.getPath.getName
       val dead =
         (name.startsWith("gen=") &&
           name.stripPrefix("gen=").toLongOption.exists(_ != keepGen)) ||
-        (name.startsWith("frag=") && !keepFrags.contains(name)) ||
         (name.startsWith("_current") && name.endsWith(".tmp"))
       if (dead) fs.delete(st.getPath, true)
     }
+    Seq(CodesRoot, VecRoot).foreach { root =>
+      val r = new Path(d, root)
+      if (fs.exists(r)) fs.listStatus(r).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("frag=") && !keepFrags.contains(name))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  private val CodesRoot = "codesroot"
+  private val VecRoot = "vecroot"
 
   private def nextFragId(fs: FileSystem, d: Path): Long = {
-    val existing = fs.listStatus(d).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("frag="))
-      .flatMap(_.stripPrefix("frag=").toLongOption)
+    val existing = Seq(CodesRoot, VecRoot).flatMap { root =>
+      val r = new Path(d, root)
+      if (!fs.exists(r)) Seq.empty[Long]
+      else fs.listStatus(r).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("frag="))
+        .flatMap(_.stripPrefix("frag=").toLongOption)
+    }
     if (existing.isEmpty) 0L else existing.max + 1L
   }
 
   /** Write one immutable data fragment: vectors plain, codes
-    * partitioned by cent_bucket (duplicated from cent_id). `shared` is
-    * the plan fragment BOTH writes contain (the vectors frame on a
-    * fresh full save — the codes plan embeds it; the whole encoded
-    * increment on an append): persisted for the duration so the common
-    * lineage runs once, unless the CALLER already cached it
-    * (persist-then-unpersist here would evict their cache).
+    * partitioned by cent_bucket (duplicated from cent_id). Fragments
+    * live under SHARED roots (`codesroot/frag=<n>/cent_bucket=<id>`,
+    * `vecroot/frag=<n>`) so every key=value level is a partition dir:
+    * a reader hands the live fragment dirs plus the root as `basePath`
+    * to ONE parquet scan — flat in fragment count — instead of a union
+    * of per-fragment scans (whose fixed per-scan cost SemFragScaleMain
+    * measured growing ~linearly). `shared` is the plan fragment BOTH
+    * writes contain (the vectors frame on a fresh full save — the
+    * codes plan embeds it; the whole encoded increment on an append):
+    * persisted for the duration so the common lineage runs once,
+    * unless the CALLER already cached it (persist-then-unpersist here
+    * would evict their cache).
     */
   private def writeFragment(dirStr: String, frag: String,
                             codes: DataFrame, vectors: DataFrame,
@@ -201,12 +228,12 @@ object SemanticIndexIO {
     if (!callerCached) shared.persist()
     try {
       vectors.select(col("c_id"), col("c_vec"))
-        .write.parquet(s"$dirStr/$frag/vectors")
+        .write.parquet(s"$dirStr/$VecRoot/$frag")
       codes
         .withColumn("cent_bucket", col("cent_id"))
         .repartition(col("cent_bucket"))
         .write.partitionBy("cent_bucket")
-        .parquet(s"$dirStr/$frag/codes")
+        .parquet(s"$dirStr/$CodesRoot/$frag")
     } finally if (!callerCached) shared.unpersist()
   }
 
@@ -436,12 +463,19 @@ object SemanticIndexIO {
           s"unknown quantizer kind '$other' in $gs/meta.txt")
     }
     val frags = manifest(fs, d, gen)
-    val codes = frags.map { f =>
-      spark.read.parquet(s"$d/$f/codes")
-        .select(col("c_id"), col("cent_id"), col("c_code"), col("c_xsqn"))
-    }.reduce(_.unionByName(_))
-    val vectors = frags.map(f => spark.read.parquet(s"$d/$f/vectors"))
-      .reduce(_.unionByName(_))
+    // ONE basePath scan over the live fragment dirs, not a union of N
+    // per-fragment scans: every level under the shared root is a
+    // key=value partition dir, so discovery unifies and the plan
+    // carries a single FileScan whose cost is flat in fragment count
+    // (SemFragScaleMain measured the union form growing ~linearly —
+    // fixed per-scan overhead times N). Dead/unreferenced fragments
+    // are never listed — only the manifest's dirs are roots.
+    val codes = spark.read.option("basePath", s"$d/$CodesRoot")
+      .parquet(frags.map(f => s"$d/$CodesRoot/$f"): _*)
+      .select(col("c_id"), col("cent_id"), col("c_code"), col("c_xsqn"))
+    val vectors = spark.read.option("basePath", s"$d/$VecRoot")
+      .parquet(frags.map(f => s"$d/$VecRoot/$f"): _*)
+      .select(col("c_id"), col("c_vec"))
     Dedup.SemanticIndex(model, quantizer, codes, vectors)
   }
 
@@ -459,10 +493,9 @@ object SemanticIndexIO {
     val (fs, d) = fsOf(spark, dir)
     val gen = currentGen(fs, d)
     require(gen >= 0, s"no committed semantic index under $dir")
-    manifest(fs, d, gen).map { f =>
-      spark.read.parquet(s"$d/$f/codes")
-        .filter(col("cent_bucket").isin(cells: _*))
-        .select(col("c_id"), col("cent_id"), col("c_code"), col("c_xsqn"))
-    }.reduce(_.unionByName(_))
+    spark.read.option("basePath", s"$d/$CodesRoot")
+      .parquet(manifest(fs, d, gen).map(f => s"$d/$CodesRoot/$f"): _*)
+      .filter(col("cent_bucket").isin(cells: _*))
+      .select(col("c_id"), col("cent_id"), col("c_code"), col("c_xsqn"))
   }
 }

@@ -395,7 +395,8 @@ object IncrementalStream {
       .filter(_._1 > covered).map(_._2)
     val dirs = (logs ++ tail).sorted
     require(dirs.nonEmpty, s"no semantic dedup output under $outDir")
-    dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    // one multi-root scan (shared schema by construction), not N scans
+    spark.read.parquet(dirs: _*)
   }
 
   def semanticDedupEachBatch(incoming: DataFrame,

@@ -1002,7 +1002,7 @@ class ExtensionsSpec extends SparkSpec {
       // crash-after-flip leak) are invisible to load and swept by the
       // next save — every gen != committed and every unreferenced frag
       // is debris by the commit protocol
-      val orphanFrag = java.nio.file.Paths.get(dir, "frag=99", "codes")
+      val orphanFrag = java.nio.file.Paths.get(dir, "codesroot", "frag=99")
       java.nio.file.Files.createDirectories(orphanFrag)
       java.nio.file.Files.write(orphanFrag.resolve("junk.parquet"),
         Array[Byte](9))
@@ -1015,7 +1015,7 @@ class ExtensionsSpec extends SparkSpec {
         Dedup.semanticEncode(reloaded, inc.limit(3)
           .select(($"doc_id" + 1000000).as("doc_id"), $"text"),
           "doc_id", "text"))
-      assert(!java.nio.file.Files.exists(orphanFrag.getParent),
+      assert(!java.nio.file.Files.exists(orphanFrag),
         "orphan fragment survived the sweep")
       assert(!java.nio.file.Files.exists(staleGen),
         "stale sealed generation survived the sweep")

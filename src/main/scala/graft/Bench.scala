@@ -245,19 +245,24 @@ object Bench {
     // emitted as quiet_wait_sec so a reader can see the run self-delayed.
     val quietWaitSec = {
       spin() // JIT warm-up: a cold first spin must not read as contention
-      val t0 = System.nanoTime()
-      def elapsed = (System.nanoTime() - t0) / 1e9
-      var cal = calibrate()
-      var la = try loadavg().split(",")(0).toDouble catch
-        { case _: Throwable => 0.0 }
-      while ((suspect(cal) || la > QuietLoadMax) &&
-             elapsed < QuietWaitMaxSec) {
-        Thread.sleep(20000)
-        cal = calibrate()
-        la = try loadavg().split(",")(0).toDouble catch
+      // loadavg is sampled BEFORE each calibration burst: the 33-spin
+      // probe itself adds to the 1-min average, and sampling after it
+      // would let the gate re-trigger on its own load near the
+      // threshold. Only slept time is reported — probe cost isn't wait.
+      def probe(): (Double, (Double, Double)) = {
+        val la = try loadavg().split(",")(0).toDouble catch
           { case _: Throwable => 0.0 }
+        (la, calibrate())
       }
-      elapsed
+      var slept = 0.0
+      var (la, cal) = probe()
+      while ((suspect(cal) || la > QuietLoadMax) &&
+             slept < QuietWaitMaxSec) {
+        Thread.sleep(20000)
+        slept += 20.0
+        val p = probe(); la = p._1; cal = p._2
+      }
+      slept
     }
     val loadStart = loadavg()
 

@@ -795,9 +795,11 @@ object Dedup {
                            broadcastProbes: Boolean = true): DataFrame = {
     val idx = SemanticIndexIO.load(spark, dir)
     // embed the increment ONCE for both consumers (the probe-cells
-    // collect and the classify plan); localCheckpoint is eager and
-    // increment-bounded, and its blocks free with the handle
-    val q = semanticQueries(newDocs, idx, idCol, textCol).localCheckpoint()
+    // collect and the classify plan): persist, which the collect below
+    // forces — NOT localCheckpoint, whose lineage truncation would make
+    // the returned classify frame unrecoverable after executor loss
+    // (blocks free with the handle either way)
+    val q = semanticQueries(newDocs, idx, idCol, textCol).persist()
     val cells = probeCellsOf(q, idx, nProbe)
       .collect().map(_.getLong(0)).toSeq
     val pruned = idx.copy(

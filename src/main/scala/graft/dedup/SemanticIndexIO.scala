@@ -93,6 +93,14 @@ object SemanticIndexIO {
 
   private val CurrentFile = "CURRENT"
 
+  // store layout version, bumped on any on-disk incompatibility (2 =
+  // the shared-root one-scan fragment layout). Written by every save
+  // and checked wherever a committed pointer is read, so a store from
+  // a different layout generation refuses with its version named
+  // instead of surfacing a raw path/schema error deep in a scan.
+  private val FormatFile = "FORMAT"
+  private val FormatVersion = "2"
+
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -135,6 +143,12 @@ object SemanticIndexIO {
     val cur = new Path(d, CurrentFile)
     if (!fs.exists(cur)) -1L
     else {
+      val fmtP = new Path(d, FormatFile)
+      val fmt = if (fs.exists(fmtP)) readText(fs, fmtP).trim else "(none)"
+      if (fmt != FormatVersion) throw new IllegalStateException(
+        s"semantic index store at $d has layout version $fmt but this " +
+          s"build reads version $FormatVersion — rebuild the index (or " +
+          "compact it with the binary that wrote it, then rebuild)")
       val raw = readText(fs, cur).trim
       try {
         require(raw.startsWith("gen="))
@@ -314,6 +328,7 @@ object SemanticIndexIO {
     writeFragment(d.toString, frag, index.codes, index.vectors,
       shared = index.vectors)
     writeGenTree(fs, d, gen, index.model, index.quantizer, Seq(frag), note)
+    writeText(fs, new Path(d, FormatFile), FormatVersion)
     flipCurrent(fs, d, gen)
     // old generations and superseded fragments are dead after the flip
     sweep(fs, d, gen, Set(frag))
@@ -378,6 +393,7 @@ object SemanticIndexIO {
     }
     if (note.nonEmpty) writeText(fs, new Path(g, "note.txt"), note)
     writeText(fs, new Path(g, "manifest.txt"), frags.mkString("\n"))
+    writeText(fs, new Path(d, FormatFile), FormatVersion)
     flipCurrent(fs, d, gen)
     sweep(fs, d, gen, frags.toSet)
   }

@@ -189,7 +189,11 @@ object AggQueries extends QueryPack {
     "ev_props_extract" -> ((s, d) => {
       import s.implicits._
       Tables.events(s, d)
-        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        // try_cast, not cast: under ANSI (Spark 4's default) a
+        // non-integral k would otherwise throw instead of counting as
+        // a parse failure — and the oracle's TRY_CAST is null-on-bad
+        .withColumn("k",
+          expr("try_cast(get_json_object(props, '$.k') as long)"))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("cnt"),
           count($"k").as("parsed"),

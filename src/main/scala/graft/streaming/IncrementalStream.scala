@@ -435,15 +435,28 @@ object IncrementalStream {
             s"$storeDir — this stream restarted with a fresh checkpoint " +
             "over an outDir carrying folded history; resume from the " +
             "original checkpoint or use a new outDir")
-        def tailDirs(bound: Long): Array[(Long, org.apache.hadoop.fs.Path)] =
+        // ONE status listing per batch, every derived view filters it
+        val allIncs: Array[(Long, org.apache.hadoop.fs.Path)] =
           if (!fs.exists(statusRoot)) Array.empty
           else fs.listStatus(statusRoot).map(_.getPath)
             .flatMap { p =>
               val n = p.getName
               if (!n.startsWith("inc=")) None
-              else n.drop(4).toLongOption
-                .filter(id => id > covered && id < bound).map(_ -> p)
+              else n.drop(4).toLongOption.map(_ -> p)
             }.sortBy(_._1)
+        // the never-folded form of the same restart hazard: inc dirs
+        // NUMBERED PAST this batch can only come from a previous run
+        // of the stream (a retry sees at most its own id; batch ids are
+        // sequential within a run) — writing would silently overwrite
+        // and interleave the dead run's output. A folded store makes
+        // the earlier require fire first; this one covers covered=-1.
+        allIncs.lastOption.foreach { case (maxId, _) =>
+          require(maxId <= batchId,
+            s"batch $batchId but $statusRoot already holds inc=$maxId — " +
+              "this stream restarted with a fresh checkpoint over an " +
+              "outDir carrying a previous run's output; resume from the " +
+              "original checkpoint or use a new outDir")
+        }
         def encodedOf(df: DataFrame): DataFrame = df
           // kept rows carry their encoded entry; cent_id is null on
           // dup rows and on kept-but-empty-text docs (excluded from
@@ -462,7 +475,9 @@ object IncrementalStream {
         // statuslog dir is debris — excluded by readers, overwritten or
         // swept on refold); one that dies after the flip leaves stale
         // inc dirs <= covered, deleted on the next fold pass.
-        val tail0 = tailDirs(batchId)
+        val tail0 = allIncs.filter { case (id, _) =>
+          id > covered && id < batchId }
+        var folded = false
         if (compactEvery > 0 && tail0.length >= compactEvery) {
           val upTo = tail0.map(_._1).max
           // refold debris: statuslog dirs claiming coverage past the
@@ -494,13 +509,12 @@ object IncrementalStream {
               .fragmentCount(spark, storeDir) > 16)
             graft.dedup.SemanticIndexIO.compact(spark, storeDir)
           covered = upTo
+          folded = true
           // the folded incs (and any stale ones a crashed fold left)
           // are now duplicated by the store + statuslog — delete
-          if (fs.exists(statusRoot))
-            fs.listStatus(statusRoot).foreach { st =>
-              val id = st.getPath.getName.stripPrefix("inc=").toLongOption
-              if (id.exists(_ <= covered)) fs.delete(st.getPath, true)
-            }
+          allIncs.foreach { case (id, p) =>
+            if (id <= covered) fs.delete(p, true)
+          }
         }
         val base =
           if (covered >= 0)
@@ -508,12 +522,9 @@ object IncrementalStream {
           else index0
         // a fold empties the tail by construction (it archives every
         // inc < batchId and advances `covered` to their max); without
-        // one, tail0's listing is still the dir set — don't pay a
-        // second remote LIST per batch (r13 review finding)
+        // one, tail0 is still the dir set — no second LIST per batch
         val priorDirs =
-          if (covered >= 0 && tail0.nonEmpty && tail0.map(_._1).max <= covered)
-            Array.empty[String]
-          else tail0.map(_._2.toString)
+          if (folded) Array.empty[String] else tail0.map(_._2.toString)
         val idx =
           if (priorDirs.isEmpty) base
           else graft.dedup.Dedup.semanticAppendEncoded(base,

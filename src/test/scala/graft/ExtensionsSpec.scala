@@ -395,6 +395,19 @@ class ExtensionsSpec extends SparkSpec {
         === frags0 + 1)
       assert(graft.dedup.SemanticIndexIO.load(spark, dir).codes.count()
         > n0)
+      // layout version guard: a store written by a different layout
+      // generation refuses with the versions named, not a raw
+      // path/schema error deep in a scan
+      // raw overwrite outside the Hadoop fs: drop its checksum sidecar
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, ".FORMAT.crc"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "FORMAT"),
+        "1".getBytes("UTF-8"))
+      val exFmt = intercept[IllegalStateException] {
+        graft.dedup.SemanticIndexIO.load(spark, dir)
+      }
+      assert(exFmt.getMessage.contains("layout version 1"),
+        s"wrong refusal: ${exFmt.getMessage}")
     } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
   }
 

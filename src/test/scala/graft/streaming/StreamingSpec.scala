@@ -398,6 +398,21 @@ class StreamingSpec extends SparkSpec {
       assert(causes(ex).exists(c =>
           Option(c.getMessage).exists(_.contains("folded watermark"))),
         s"fresh-checkpoint restart over a folded dir did not refuse: $ex")
+      // same hazard, NEVER-FOLDED form (no store, covered=-1): existing
+      // inc dirs numbered past the restarted batch can only be a dead
+      // run's output — overwriting would silently interleave runs
+      val freshIn2 = MemoryStream[(Long, String)]
+      val q5 = IncrementalStream.semanticDedupEachBatch(
+          freshIn2.toDF().toDF("doc_id", "text"), idx0, "doc_id", "text",
+          plainDir)
+        .start()
+      val ex2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        try { freshIn2.addData(folded); q5.processAllAvailable() }
+        finally q5.stop()
+      }
+      assert(causes(ex2).exists(c =>
+          Option(c.getMessage).exists(_.contains("already holds inc="))),
+        s"fresh restart over a never-folded dir did not refuse: $ex2")
     } finally {
       graft.Tables.deleteTree(java.nio.file.Paths.get(plainDir))
       graft.Tables.deleteTree(java.nio.file.Paths.get(compDir))

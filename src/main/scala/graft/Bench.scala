@@ -123,11 +123,15 @@ object Bench {
   private val BigRowSec = 2.0
   private val BigRatioMax = 1.5
 
-  // quiet-start gate bounds: a 1-min loadavg above ~1/8 of the worker
-  // threads means something else is running (this JVM hasn't started
-  // work yet when the gate probes); cap the wait so a persistently
-  // busy host degrades to the old start-immediately behavior
-  private val QuietLoadMax = 4.0
+  // quiet-start gate bounds: the 1-min loadavg is read before this JVM
+  // does any work, so anything substantially above idle is OTHER load.
+  // Empirical (r13): a start at loadavg 3.67 passed a 4.0 threshold
+  // with clean spin calibs yet inflated the whole pass ~30% — sustained
+  // background load hurts through memory bandwidth long before it
+  // starves the spin probe. 2.5 catches that class; the wait cap keeps
+  // a persistently busy host degrading to the old start-immediately
+  // behavior instead of blocking the driver.
+  private val QuietLoadMax = 2.5
   private val QuietWaitMaxSec = 600.0
 
   /** Forces the COMPLETE plan: digest-aggregates every output column (so

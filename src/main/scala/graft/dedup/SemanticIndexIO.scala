@@ -49,7 +49,7 @@ import graft.similarity.{Pq, Similarity}
   * [[graft.similarity.Similarity.maxCentroids]]-bounded) is byte-copied
   * forward, so an increment save costs I/O proportional to the
   * INCREMENT, not the history (SemStoreScaleMain measures the ladder).
-  * [[load]] unions the manifest's fragments.
+  * [[load]] reads the manifest's fragments as one scan.
   *
   * Codes are written `partitionBy(cent_bucket)` (the bucket id
   * duplicated into a partition column so `cent_id` keeps its type in

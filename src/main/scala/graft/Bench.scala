@@ -38,6 +38,20 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   *     in-pass machinery can repair a contaminated baseline; the only
   *     fix is to not start yet. "quiet_wait_sec" in the JSON shows the
   *     self-delay.
+  *   - MID-PASS contention arrival (round 14): every timed attempt is
+  *     stamped with the average FOREIGN CPU cores burned during its
+  *     window (`/proc/stat` busy minus `/proc/self/stat`) — the one
+  *     mid-pass discriminator our own local[32] work cannot pollute
+  *     (raw loadavg reads 4-19 during a clean pass from self-load
+  *     alone). At end of pass, every successful non-trivial row whose
+  *     kept window exceeded FgnCoresMax foreign cores is re-rolled
+  *     after a bounded wait for the foreign load to drain:
+  *     keep-faster, traced in "reroll_trace", re-stamped; a row that
+  *     could not be adjudicated in a quiet window stays suspect. This
+  *     closes the r13 hole where contention arriving AFTER the quiet
+  *     start inflated tail rows 2-6x while the warm-relative guard
+  *     (warm and timed sharing the weather) stayed silent. The detail
+  *     JSON carries per-row "fgn_queries" / "la_queries" maps.
   *   - PER-QUERY trust guard (round 7): the whole-pass brackets above
   *     cannot see a MID-pass contention episode (round-6's driver
   *     artifact carried unflagged 16x outliers with nominal brackets).
@@ -97,6 +111,52 @@ object Bench {
       .trim.split("\\s+").take(3).mkString(",")
     catch { case _: Throwable => "" }
 
+  /** (total busy jiffies across all CPUs, this process's jiffies).
+    * The difference of deltas over a window is CPU burned by OTHER
+    * processes — the only mid-pass foreign-load discriminator that
+    * works here, because our own local[32] work drives the 1-min
+    * loadavg to 4-19 all by itself (measured r14: a quiet-host QT run
+    * ended at loadavg 19.1), so a raw loadavg threshold would flag
+    * every busy row of a clean pass. Busy includes user+nice+system+
+    * irq+softirq+steal (steal: hypervisor-level contention is foreign
+    * too); idle and iowait are excluded. Self = utime+stime of the
+    * whole JVM (all Spark threads — local mode is one process).
+    */
+  private[graft] def cpuSample(): (Long, Long) = {
+    try {
+      val stat = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+      // cpu user nice system idle iowait irq softirq steal ...
+      val v = stat.drop(1).map(_.toLong)
+      val busy = v(0) + v(1) + v(2) + v(5) + v(6) +
+        (if (v.length > 7) v(7) else 0L)
+      val self = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
+      // fields 14,15 (1-based) are utime,stime; field 2 is "(comm)"
+      // which may contain spaces — split after the closing paren
+      val after = self.substring(self.lastIndexOf(')') + 2).split("\\s+")
+      (busy, after(11).toLong + after(12).toLong)
+    } catch { case _: Throwable => (0L, 0L) }
+  }
+
+  /** Average CPU cores consumed by other processes over the window
+    * between two cpuSample()s of wallSec seconds. USER_HZ is 100 on
+    * Linux (getconf CLK_TCK). Clamped at 0 (sampling skew can make
+    * the self delta read past the busy delta on an idle host).
+    */
+  private[graft] def foreignCores(before: (Long, Long),
+      after: (Long, Long), wallSec: Double): Double = {
+    if (wallSec <= 0 || (before._1 == 0L && before._2 == 0L)) return 0.0
+    val fgn = (after._1 - before._1) - (after._2 - before._2)
+    math.max(0.0, fgn / 100.0 / wallSec)
+  }
+
+  /** Foreign cores right now, over a short dedicated window. */
+  private def foreignNow(windowMs: Long = 1000): Double = {
+    val a = cpuSample(); Thread.sleep(windowMs); val b = cpuSample()
+    foreignCores(a, b, windowMs / 1000.0)
+  }
+
   // quiet-host baselines x2 (see scaladoc); either exceeding its bound
   // marks the surrounding pass as suspect
   private val Calib1tMax = 0.25
@@ -134,6 +194,17 @@ object Bench {
   private val QuietLoadMax = 2.5
   private val QuietWaitMaxSec = 600.0
 
+  // mid-pass foreign-load threshold (average foreign CORES over a
+  // row's window, from /proc/stat minus /proc/self — see cpuSample):
+  // a quiet host's daemons+kworkers read < ~0.5; the r13 contended
+  // window's foreign processes would have read well above 2. Rows
+  // whose kept window exceeded this are re-rolled at end of pass.
+  private val FgnCoresMax = 2.0
+  // bound on waiting for the host to go quiet before the end-of-pass
+  // re-roll block (then re-roll anyway — keep-faster is harmless and
+  // the re-roll window's own stamp tells the reader what it saw)
+  private val RerollWaitMaxSec = 180.0
+
   /** Forces the COMPLETE plan: digest-aggregates every output column (so
     * pruning can't drop payload work). `useForeach` is precomputed in the
     * warm pass for outputs xxhash64 can't hash (e.g. map columns).
@@ -145,8 +216,13 @@ object Bench {
 
   private def fmt(v: Double): String = f"$v%.3f"
 
+  /** fgn / la stamp the KEPT attempt's window: average foreign cores
+    * (the discriminator) and 1-min loadavg at row end (context only —
+    * conflated with our own work's contribution).
+    */
   private final case class QRes(name: String, sec: Double,
-                                reran: Boolean, suspect: Boolean)
+                                reran: Boolean, suspect: Boolean,
+                                fgn: Double = 0.0, la: Double = 0.0)
 
   /** Same-session DuckDB wall over the oracle SQL set: (total seconds,
     * failed-query count). None when the script/python/duckdb is
@@ -247,24 +323,35 @@ object Bench {
     // up to a hard bound (then proceed regardless — a busy host must
     // degrade to the old behavior, never block the driver). The wait is
     // emitted as quiet_wait_sec so a reader can see the run self-delayed.
+    // r14 (advice): the wait cap is overridable so a deliberately
+    // contended probe run doesn't block 10 min at start (0 disables
+    // the gate; the probe exercises the MID-pass machinery instead)
+    val quietWaitMax = sys.env.get("SPARK_GRAFT_QUIET_WAIT_MAX")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(QuietWaitMaxSec)
     val quietWaitSec = {
       spin() // JIT warm-up: a cold first spin must not read as contention
       // loadavg is sampled BEFORE each calibration burst: the 33-spin
       // probe itself adds to the 1-min average, and sampling after it
       // would let the gate re-trigger on its own load near the
       // threshold. Only slept time is reported — probe cost isn't wait.
+      // r14 (advice): the burst is SKIPPED while loadavg alone reads
+      // loud — each burst adds ~1-2 to the 1-min EMA still present at
+      // the next sample, so a host hovering just under the threshold
+      // could self-sustain the gate to the full cap on its own probes.
+      def la(): Double = try loadavg().split(",")(0).toDouble catch
+        { case _: Throwable => 0.0 }
       def probe(): (Double, (Double, Double)) = {
-        val la = try loadavg().split(",")(0).toDouble catch
-          { case _: Throwable => 0.0 }
-        (la, calibrate())
+        val l = la()
+        (l, if (l > QuietLoadMax) (0.0, 0.0) else calibrate())
       }
       var slept = 0.0
-      var (la, cal) = probe()
-      while ((suspect(cal) || la > QuietLoadMax) &&
-             slept < QuietWaitMaxSec) {
+      var (lav, cal) = probe()
+      while ((suspect(cal) || lav > QuietLoadMax) &&
+             slept < quietWaitMax) {
         Thread.sleep(20000)
         slept += 20.0
-        val p = probe(); la = p._1; cal = p._2
+        val p = probe(); lav = p._1; cal = p._2
       }
       slept
     }
@@ -286,9 +373,14 @@ object Bench {
     // writeback can't contaminate neighboring query timings.
     val opsDumps = Set("a7_counter_dump", "ev_merge_replay",
       "ev_dedup_incremental", "pack_shard_roundtrip")
-    val sorted = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
-      (if (opsDumps(n)) 1 else 0, n)
-    }
+    // optional surface filter (r14): a comma list of query names for
+    // scoped harness probes (the contention probe runs a 12-query
+    // surface). Unset = the full registered surface, as always.
+    val onlyQueries = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val sorted = SparkEntry.queries.toSeq
+      .filter { case (n, _) => onlyQueries.forall(_.contains(n)) }
+      .sortBy { case (n, _) => (if (opsDumps(n)) 1 else 0, n) }
     val warmInfo = sorted.map { case (name, fn) =>
       // Some(useForeach) on success; None when both actions throw. Only
       // the SUCCESSFUL action is timed: a digest attempt that throws
@@ -309,25 +401,43 @@ object Bench {
     // run measures the time-to-throw)
     val warm = warmInfo.collect { case (n, Some((_, t))) => n -> t }.toMap
 
+    // harness-probe hook (r14): when SPARK_GRAFT_PHASE_FILE is set,
+    // mark the warm pass's end so BenchContentionMain can align its
+    // injected foreign load with the timed pass. No-op in driver runs.
+    sys.env.get("SPARK_GRAFT_PHASE_FILE").foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        "timed_start".getBytes("UTF-8"))
+      catch { case _: Throwable => }
+    }
+
     // a FAILED query reports its elapsed-until-throw time NEGATED, so a
     // broken query can't masquerade as a fast one and deflate the total
     // (failures are additionally listed in the JSON's "failed" field)
+    // one attempt of one query, stamped with its window's foreign-core
+    // average (see cpuSample scaladoc — the only discriminator our own
+    // 32-thread work can't pollute)
+    def attempt(name: String): (Double, Boolean, Double) = {
+      val s0 = cpuSample()
+      val t0 = System.nanoTime()
+      val ok =
+        try { consume(SparkEntry.queries(name)(spark, sfDir),
+          useForeach(name)); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      (dt, ok, foreignCores(s0, cpuSample(), dt))
+    }
+    def la1(): Double = try loadavg().split(",")(0).toDouble catch
+      { case _: Throwable => 0.0 }
+
     def timedPass(): (Seq[QRes], List[String]) = {
       val trace = scala.collection.mutable.ListBuffer[String]()
-      val rs = sorted.map { case (name, fn) =>
-        def once(): (Double, Boolean) = {
-          val t0 = System.nanoTime()
-          val ok =
-            try { consume(fn(spark, sfDir), useForeach(name)); true }
-            catch { case _: Throwable => false }
-          ((System.nanoTime() - t0) / 1e9, ok)
-        }
+      val rs = sorted.map { case (name, _) =>
         val w = warm.getOrElse(name, 0.0)
         val isBig = w >= BigRowSec
         // big rows get a pre-row spin so the retry trigger doesn't
         // depend on a warm baseline that may itself be contended
         val cPre = if (isBig) spin() else 0.0
-        var (dt, ok) = once()
+        var (dt, ok, fgn) = attempt(name)
         var reran = false
         var susp = false
         val ratioMax = if (isBig) BigRatioMax else WarmRatioMax
@@ -342,20 +452,20 @@ object Bench {
           // outlier vs the query's OWN warm time: spin-check the host,
           // retry once, spin-check again; keep the faster attempt
           val c1 = spin()
-          val (dt2, ok2) = once()
+          val (dt2, ok2, fgn2) = attempt(name)
           val c2 = spin()
           reran = true
           val pre = if (isBig) s""""calib0":${fmt(cPre)},""" else ""
           trace += s"""{"q":"$name","warm":${fmt(w)},$pre"t1":${fmt(dt)},""" +
             s""""calib1":${fmt(c1)},"t2":${fmt(if (ok2) dt2 else -dt2)},""" +
-            s""""calib2":${fmt(c2)}}"""
-          if (ok2 && dt2 < dt) dt = dt2
+            s""""calib2":${fmt(c2)},"fgn1":${fmt(fgn)},"fgn2":${fmt(fgn2)}}"""
+          if (ok2 && dt2 < dt) { dt = dt2; fgn = fgn2 }
           // still an outlier AND the host was provably not granting CPU
           // around it -> the number is weather, not engine
           susp = dt > ratioMax * w &&
             (cPre > Calib1tMax || c1 > Calib1tMax || c2 > Calib1tMax)
         }
-        QRes(name, if (ok) dt else -dt, reran, susp)
+        QRes(name, if (ok) dt else -dt, reran, susp, fgn, la1())
       }
       (rs, trace.toList)
     }
@@ -378,6 +488,43 @@ object Bench {
       if (Ordering[(Int, Double)].lt(passKey(pass2), passKey(pass))) {
         calPre = calPre2; pass = pass2; calPost = calPost2; trace = trace2
       }
+    }
+
+    // END-OF-PASS loud-window re-roll (r14): the per-query trust guard
+    // is warm-RELATIVE — when warm and timed share the same weather
+    // (contention arriving early and persisting, the r13 artifact) it
+    // never fires, and the quiet-START gate can't see contention that
+    // arrives mid-run (r13 started at loadavg 2.41 and ended at 9.42
+    // with rows 2-6x their clean values). The foreign-core stamp is
+    // ABSOLUTE: any successful non-trivial row whose kept window burned
+    // more than FgnCoresMax foreign cores is re-rolled here, after a
+    // bounded wait for the foreign load to drain; keep-faster, stamped,
+    // traced. A row whose re-roll window was ALSO loud and that kept a
+    // loud-window value is marked suspect — the number is weather and
+    // the JSON says so.
+    var rerollWaitSec = 0.0
+    val loud = pass.filter(r => r.sec > MinGuardSec && r.fgn > FgnCoresMax)
+    val rerollTrace = scala.collection.mutable.ListBuffer[String]()
+    if (loud.nonEmpty) {
+      while (foreignNow() > FgnCoresMax && rerollWaitSec < RerollWaitMaxSec) {
+        Thread.sleep(10000)
+        rerollWaitSec += 11.0 // 10 s sleep + ~1 s probe window
+      }
+      val redone = loud.map { r =>
+        val (dt2, ok2, fgn2) = attempt(r.name)
+        rerollTrace += s"""{"q":"${r.name}","t1":${fmt(r.sec)},""" +
+          s""""fgn1":${fmt(r.fgn)},"t2":${fmt(if (ok2) dt2 else -dt2)},""" +
+          s""""fgn2":${fmt(fgn2)}}"""
+        if (ok2 && dt2 < r.sec)
+          r.copy(sec = dt2, reran = true, fgn = fgn2, la = la1(),
+            suspect = fgn2 > FgnCoresMax)
+        else
+          // a QUIET re-roll that came back no faster CONFIRMS the
+          // original value (the loud window didn't inflate it); only a
+          // loud or failed re-roll leaves the row unadjudicated
+          r.copy(reran = true, suspect = !ok2 || fgn2 > FgnCoresMax)
+      }.map(r => r.name -> r).toMap
+      pass = pass.map(r => redone.getOrElse(r.name, r))
     }
     val passResults = pass
 
@@ -498,13 +645,22 @@ object Bench {
         if (!withWarm) ""
         else rs.map(r => "\"" + r.name + "\":" +
           fmt(warm.getOrElse(r.name, 0.0)))
-          .mkString(""""warm_queries":{""", ",", "},")
+          .mkString(""""warm_queries":{""", ",", "},") +
+          // per-row window stamps (detail only): fgn = avg foreign
+          // cores over the kept attempt's window (the discriminator);
+          // la = 1-min loadavg at row end (context — self-conflated)
+          rs.map(r => "\"" + r.name + "\":" + fmt(r.fgn))
+            .mkString(""""fgn_queries":{""", ",", "},") +
+          rs.map(r => "\"" + r.name + "\":" + fmt(r.la))
+            .mkString(""""la_queries":{""", ",", "},")
       val duck = duckWall.fold(
         """"duckdb_wall":null,"duckdb_failed":null""") { case (t, f, _) =>
         s""""duckdb_wall":${fmt(t)},"duckdb_failed":$f""" }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""action":"digest","failed":$fs,"suspect":$ss,""" +
         s""""reruns":${results.count(_.reran)},"calib_trace":$tr,""" +
+        s""""reroll_trace":${rerollTrace.mkString("[", ",", "]")},""" +
+        s""""reroll_wait_sec":${fmt(rerollWaitSec)},""" +
         s""""ratio_trace":$ratioTrace,"ratio_rows_medianized":$mixedMedians,""" +
         s""""spark_oracle_subset":${fmt(sparkOracleSubset)},$duck,""" +
         s""""pairing_worst":$pairingWorst,""" +

@@ -253,8 +253,16 @@ object Bench {
             kv.drop(i + 1).trim.toDouble).toOption
       }.toMap
 
+  /** Fourth tuple slot (r14): average foreign cores over the DuckDB
+    * window, with the duck child's own CPU subtracted (via
+    * ProcessHandle.Info.totalCpuDuration) — the duck wall was the one
+    * UNGUARDED measurement window (it runs after the pass with no
+    * trust guard), and the r12->r13 pairing "creep" turned out to be
+    * exactly this window's weather: r12's denominator read 124 s where
+    * every quiet re-measurement lands 84-95 s (BASELINE.md r14).
+    */
   private def duckdbWall(sfDir: String, cpus: String)
-      : Option[(Double, Int, Map[String, Double])] = {
+      : Option[(Double, Int, Map[String, Double], Double)] = {
     val script = java.nio.file.Paths.get("tools/duckdb_wall.py")
     if (!java.nio.file.Files.exists(script)) return None
     val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
@@ -266,9 +274,21 @@ object Bench {
         sfDir, tmp.toString, cpus)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       pb.redirectOutput(outFile.toFile)
+      val s0 = cpuSample()
+      val t0 = System.nanoTime()
       val p = pb.start()
       try {
         val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+        val duckCpuSec = try {
+          p.info().totalCpuDuration()
+            .map[Double](d => d.toMillis / 1e3).orElse(0.0)
+        } catch { case _: Throwable => 0.0 }
+        val wallSec = (System.nanoTime() - t0) / 1e9
+        val s1 = cpuSample()
+        // foreignCores counts the child as foreign (it's not /proc/self);
+        // subtract its cores to isolate third-party load in the window
+        val fgn = math.max(0.0,
+          foreignCores(s0, s1, wallSec) - duckCpuSec / wallSec)
         if (!done) { p.destroyForcibly(); None }
         else if (p.exitValue() != 0) None
         else {
@@ -279,8 +299,9 @@ object Bench {
             .map(l => parsePerQuery(l.drop(5)))
             .getOrElse(Map.empty[String, Double])
           lines.lastOption.map(_.split("\\s+")).collect {
-            case Array(total, failed) => (total.toDouble, failed.toInt, perq)
-            case Array(total) => (total.toDouble, 0, perq)
+            case Array(total, failed) =>
+              (total.toDouble, failed.toInt, perq, fgn)
+            case Array(total) => (total.toDouble, 0, perq, fgn)
           }
         }
       } finally if (p.isAlive) p.destroyForcibly()
@@ -654,8 +675,10 @@ object Bench {
           rs.map(r => "\"" + r.name + "\":" + fmt(r.la))
             .mkString(""""la_queries":{""", ",", "},")
       val duck = duckWall.fold(
-        """"duckdb_wall":null,"duckdb_failed":null""") { case (t, f, _) =>
-        s""""duckdb_wall":${fmt(t)},"duckdb_failed":$f""" }
+        """"duckdb_wall":null,"duckdb_failed":null,"duck_fgn":null""") {
+        case (t, f, _, fg) =>
+          s""""duckdb_wall":${fmt(t)},"duckdb_failed":$f,""" +
+            s""""duck_fgn":${fmt(fg)}""" }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""action":"digest","failed":$fs,"suspect":$ss,""" +
         s""""reruns":${results.count(_.reran)},"calib_trace":$tr,""" +

@@ -787,6 +787,28 @@ object Dedup {
     * (PlanSpec pins the file count), which is the IVF 100 TB contract:
     * classify cost scales with the probed fraction, not the history.
     */
+  /** Persisted query-embedding frames from PRIOR [[semanticStatusStored]]
+    * calls, awaiting unpersist (see the persist note there). */
+  private val pendingClassifyCache =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def drainStoredClassifyCache(): Unit = {
+    var df = pendingClassifyCache.poll()
+    while (df != null) {
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      df = pendingClassifyCache.poll()
+    }
+  }
+
+  /** Unpersist the query-embedding cache the most recent
+    * [[semanticStatusStored]] left behind. Optional: the next stored
+    * classify drains it automatically; call this when the increment
+    * cycle is over and the driver should hold zero cache residue.
+    * Unpersisting never breaks a still-held frame — Spark recomputes
+    * from lineage if it is acted on again.
+    */
+  def releaseStoredClassifyCache(): Unit = drainStoredClassifyCache()
+
   def semanticStatusStored(spark: org.apache.spark.sql.SparkSession,
                            dir: String, newDocs: DataFrame,
                            idCol: String, textCol: String,
@@ -798,8 +820,17 @@ object Dedup {
     // collect and the classify plan): persist, which the collect below
     // forces — NOT localCheckpoint, whose lineage truncation would make
     // the returned classify frame unrecoverable after executor loss
-    // (blocks free with the handle either way)
+    // (blocks free with the handle either way). The cached blocks stay
+    // referenced by the RETURNED classify frame, so they cannot be
+    // unpersisted here; instead each call drains the PREVIOUS call's
+    // cache (by which point its increment cycle is over), bounding a
+    // long-lived driver's residue at ONE increment's embed blocks
+    // instead of accumulating across the whole crawl — callers wanting
+    // zero residue call [[releaseStoredClassifyCache]] after their
+    // cycle's last action.
+    drainStoredClassifyCache()
     val q = semanticQueries(newDocs, idx, idCol, textCol).persist()
+    pendingClassifyCache.add(q)
     val cells = probeCellsOf(q, idx, nProbe)
       .collect().map(_.getLong(0)).toSeq
     val pruned = idx.copy(
@@ -864,5 +895,70 @@ object Dedup {
       .withColumn("best_sim", coalesce(col("best_sim"), lit(0.0)))
       .withColumn("status",
         when(col("best_sim") >= threshold, "sem_hist").otherwise("kept"))
+  }
+
+  /** Quantizer-drift probe for an increment (r14). `meanAssignCos` is
+    * the mean cosine between each increment doc's embedding and its
+    * ASSIGNED centroid (how well the trained centroids still represent
+    * incoming data — falls as the corpus drifts away from the training
+    * distribution); `topShare` is the fraction of increment rows
+    * landing in the top ceil(topPct*k) most-hit cells (rises under
+    * drift: content the quantizer never saw crowds into the few cells
+    * that fit it least badly, which is also what degrades classify
+    * recall — probes concentrate where candidates are a poor fit).
+    * One bounded pass: map-side assign + broadcast-centroid cosine,
+    * then a per-cell count/sum collect bounded by the centroid cap.
+    */
+  final case class DriftStats(rows: Long, meanAssignCos: Double,
+                              topShare: Double, topCells: Int,
+                              cellsHit: Long, cells: Long)
+
+  /** REBUILD TRIGGER (the [[BloomIndex]] saturation guard's analog —
+    * rebuild via [[semanticIndex]] is the documented recovery boundary
+    * for a drifted corpus): record a BASELINE DriftStats at deployment
+    * start (the first increment, or a history sample), then probe each
+    * increment before folding it in ([[SemanticIndexIO.appendSave]]
+    * cadence). Rebuild when `meanAssignCos` falls below ~90% of the
+    * baseline's, or `topShare` exceeds ~3x the baseline's — at those
+    * readings SemDriftProbeMain measures classify recall over
+    * near-duplicates already degrading (BASELINE.md r14), and
+    * classification cost skews with the crowded cells. Between the
+    * thresholds, prefer watching the trend across increments to
+    * reacting to one reading — a single topical crawl batch can spike
+    * topShare without drift.
+    */
+  def semanticDrift(index: SemanticIndex, newDocs: DataFrame,
+                    idCol: String, textCol: String,
+                    topPct: Double = 0.05): DriftStats = {
+    import graft.similarity.Similarity
+    val emb = TextAnalysis
+      .hashedEmbeddings(
+        newDocs.filter(size(tokens(coalesce(col(textCol), lit("")))) > 0),
+        idCol, textCol, index.model.dim)
+      .select(col(idCol).as("v_id"), col("embedding").as("v_vec"))
+    val perCell = index.quantizer.assign(emb)
+      .join(broadcast(index.centroids), Seq("cent_id"))
+      .select(col("cent_id"),
+        // zero-norm docs are pre-filtered; a zero-norm (dead-seed)
+        // centroid scores 0, not NaN
+        when(Similarity.norm(col("cent_vec")) > 0,
+          Similarity.dot(col("v_vec"), col("cent_vec")) /
+            (Similarity.norm(col("v_vec")) *
+              Similarity.norm(col("cent_vec"))))
+          .otherwise(lit(0.0)).as("_cos"))
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n"), sum(col("_cos")).as("s"))
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    val k = index.centroids.count()
+    val topCells = math.max(1, math.ceil(topPct * k).toInt)
+    val n = perCell.map(_._1).sum
+    if (n == 0L)
+      DriftStats(0L, 0.0, 0.0, topCells, 0L, k)
+    else DriftStats(n,
+      perCell.map(_._2).sum / n,
+      perCell.map(_._1).sorted(Ordering[Long].reverse).take(topCells)
+        .sum.toDouble / n,
+      topCells, perCell.length.toLong, k)
   }
 }

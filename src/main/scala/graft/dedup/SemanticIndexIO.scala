@@ -93,6 +93,64 @@ object SemanticIndexIO {
 
   private val CurrentFile = "CURRENT"
 
+  /** Exclusive-writer lease (r14): the commit protocol is documented
+    * single-writer, but nothing ENFORCED it — two simultaneous
+    * appendSaves both read gen k, both write gen k+1's tree, and the
+    * loser's fragment is swept while its manifest may have been read:
+    * silent corruption instead of a loud refusal. Every writer
+    * ([[save]], [[appendSave]], and [[compact]] through save) now takes
+    * an exclusive-create lease file before reading the current
+    * generation and releases it after its post-flip sweep; a second
+    * writer refuses loudly with the holder named. A writer that DIED
+    * holding the lease leaves it behind by design (a TTL auto-break
+    * would re-open the exact two-writer window this closes): the
+    * refusal message carries the holder's host/pid/timestamp and the
+    * recovery step — confirm the writer is dead, then [[breakLease]].
+    */
+  private val LeaseFile = "_writer.lease"
+
+  private def acquireLease(fs: FileSystem, d: Path): Path = {
+    val p = new Path(d, LeaseFile)
+    val info = s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+      s"pid=${ProcessHandle.current().pid()} " +
+      s"since=${java.time.Instant.now()}"
+    try {
+      // overwrite=false — atomic exclusive create on local and HDFS
+      val out = fs.create(p, false)
+      try {
+        out.write(info.getBytes("UTF-8"))
+        try out.hsync()
+        catch { case _: UnsupportedOperationException => out.hflush() }
+      } finally out.close()
+      p
+    } catch {
+      case e: java.io.IOException =>
+        val holder =
+          try readText(fs, p).trim catch { case _: Throwable => "(unreadable)" }
+        throw new IllegalStateException(
+          s"semantic index store at $d is locked by another writer " +
+            s"[$holder] — concurrent writes would corrupt the store " +
+            "(both would commit the same next generation). Wait for it " +
+            "to finish; if it crashed, confirm it is dead and call " +
+            s"SemanticIndexIO.breakLease on this dir (lease file: $p)", e)
+    }
+  }
+
+  private def releaseLease(fs: FileSystem, p: Path): Unit =
+    try fs.delete(p, false) catch { case _: Throwable => () }
+
+  /** Remove a lease left by a writer that died mid-save. OPERATOR
+    * action: only call after confirming the holder process (named in
+    * the refusal message) is dead — breaking a LIVE writer's lease
+    * re-opens the concurrent-commit corruption window the lease exists
+    * to close. The dead writer's partial generation/fragment debris is
+    * swept by the next save, as for any crash.
+    */
+  def breakLease(spark: SparkSession, dir: String): Unit = {
+    val (fs, d) = fsOf(spark, dir)
+    releaseLease(fs, new Path(d, LeaseFile))
+  }
+
   // store layout version, bumped on any on-disk incompatibility (2 =
   // the shared-root one-scan fragment layout). Written by every save
   // and checked wherever a committed pointer is read, so a store from
@@ -311,27 +369,62 @@ object SemanticIndexIO {
     val spark = index.vectors.sparkSession
     val (fs, d) = fsOf(spark, dir)
     fs.mkdirs(d)
-    val oldGen = currentGen(fs, d)
-    val oldFrags =
-      if (oldGen >= 0) manifest(fs, d, oldGen).toSet else Set.empty[String]
-    // crashed partials from an earlier save are swept before reuse
-    sweep(fs, d, oldGen, oldFrags)
-    val gen = oldGen + 1
-    val frag = s"frag=${nextFragId(fs, d)}"
-    // On a FRESHLY BUILT index codes and vectors share the full-history
-    // tokenize+embed lineage (the codes plan contains the vectors plan
-    // as a fragment) — persisting the vectors side for the duration of
-    // the two writes runs that pass once: the cache manager substitutes
-    // the cached fragment inside the codes plan. (On a loaded index
-    // both sides are cheap parquet scans of the old fragments, which
-    // stay on disk until the post-flip sweep.)
-    writeFragment(d.toString, frag, index.codes, index.vectors,
-      shared = index.vectors)
-    writeGenTree(fs, d, gen, index.model, index.quantizer, Seq(frag), note)
-    writeText(fs, new Path(d, FormatFile), FormatVersion)
-    flipCurrent(fs, d, gen)
-    // old generations and superseded fragments are dead after the flip
-    sweep(fs, d, gen, Set(frag))
+    val lease = acquireLease(fs, d)
+    try saveLocked(fs, d, index, note)
+    finally releaseLease(fs, lease)
+  }
+
+  /** [[save]]'s body with the writer lease already HELD — shared by
+    * save and [[compact]] (which must hold the lease across its
+    * load-then-save, or an increment committed between the two would be
+    * silently folded away by the post-flip sweep).
+    */
+  private def saveLocked(fs: FileSystem, d: Path,
+                         index: Dedup.SemanticIndex,
+                         note: String): Unit = {
+    {
+      val oldGen = currentGen(fs, d)
+      val oldFrags =
+        if (oldGen >= 0) manifest(fs, d, oldGen).toSet else Set.empty[String]
+      // crashed partials from an earlier save are swept before reuse
+      sweep(fs, d, oldGen, oldFrags)
+      val gen = oldGen + 1
+      // An EMPTY index (zero code rows — an all-dup/empty-text history,
+      // reachable through the streaming fold when the initial state is
+      // empty, or a direct save of an empty build) must NOT write a
+      // fragment: the empty partitionBy dir would brick every later
+      // load with UNABLE_TO_INFER_SCHEMA. Commit a DATA-LESS generation
+      // instead (empty manifest) — the same guard appendSave has for
+      // empty increments; [[load]] reconstructs empty frames from the
+      // schema sidecar written below.
+      val frags =
+        if (index.codes.isEmpty) Seq.empty[String]
+        else {
+          val frag = s"frag=${nextFragId(fs, d)}"
+          // On a FRESHLY BUILT index codes and vectors share the
+          // full-history tokenize+embed lineage (the codes plan contains
+          // the vectors plan as a fragment) — persisting the vectors side
+          // for the duration of the two writes runs that pass once: the
+          // cache manager substitutes the cached fragment inside the
+          // codes plan. (On a loaded index both sides are cheap parquet
+          // scans of the old fragments, which stay on disk until the
+          // post-flip sweep.)
+          writeFragment(d.toString, frag, index.codes, index.vectors,
+            shared = index.vectors)
+          Seq(frag)
+        }
+      writeGenTree(fs, d, gen, index.model, index.quantizer, frags, note)
+      // schema sidecar: lets a data-less generation load back as EMPTY
+      // frames of the exact row types instead of failing in a scan
+      writeText(fs, new Path(d, s"gen=$gen/schema.txt"),
+        index.codes.select(col("c_id"), col("cent_id"), col("c_code"),
+          col("c_xsqn")).schema.json + "\n" +
+          index.vectors.select(col("c_id"), col("c_vec")).schema.json)
+      writeText(fs, new Path(d, FormatFile), FormatVersion)
+      flipCurrent(fs, d, gen)
+      // old generations and superseded fragments are dead after the flip
+      sweep(fs, d, gen, frags.toSet)
+    }
   }
 
   /** Append-only increment save: write ONLY `encoded` — an increment's
@@ -345,57 +438,76 @@ object SemanticIndexIO {
     * semanticEncode(idx, kept, ...))` -> next increment loads the grown
     * index. Run [[compact]] at a slow cadence to bound fragment count.
     */
+  /** `compactPastFragments` (r14, opt-in): when > 0 and the sealed
+    * manifest exceeds it, [[compact]] runs immediately after the
+    * commit — the streaming hook's fold-past-N cadence generalized to
+    * the batch deployment loop, so a cycle that forgets to poll
+    * [[fragmentCount]] still gets bounded fragment counts.
+    * Classification is bit-identical across the fold (compact is
+    * load+save of the same rows; spec-pinned). 0 (default) = off.
+    */
   def appendSave(spark: SparkSession, dir: String,
-                 encoded: DataFrame, note: String = ""): Unit = {
+                 encoded: DataFrame, note: String = "",
+                 compactPastFragments: Int = 0): Unit = {
     val (fs, d) = fsOf(spark, dir)
-    val gen0 = currentGen(fs, d)
-    require(gen0 >= 0,
-      s"appendSave grows a COMMITTED index but $dir holds none — " +
-        "save() the initial build first")
-    val oldFrags = manifest(fs, d, gen0)
-    sweep(fs, d, gen0, oldFrags.toSet)
-    val gen = gen0 + 1
-    // persist the increment here (not in writeFragment) so the
-    // emptiness probe and both fragment writes share one run of the
-    // embed+encode chain
-    val callerCached =
-      encoded.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    if (!callerCached) encoded.persist()
+    val lease = acquireLease(fs, d)
     val frags = try {
-      // An EMPTY increment (every doc a dup / empty-text — a
-      // re-crawl-heavy stretch is normal) must NOT write a fragment: an
-      // empty partitionBy write produces a dir with no parquet files,
-      // and a committed manifest referencing it would brick every
-      // subsequent load with UNABLE_TO_INFER_SCHEMA (spec-pinned). The
-      // generation still commits — callers ride watermarks on `note`,
-      // and skipping the commit would strand their already-archived
-      // side outputs behind an unadvanced bound.
-      if (encoded.isEmpty) oldFrags
-      else {
-        val frag = s"frag=${nextFragId(fs, d)}"
-        writeFragment(d.toString, frag,
-          codes = encoded.drop("c_vec"),
-          vectors = encoded.select(col("c_id"), col("c_vec")),
-          shared = encoded)
-        oldFrags :+ frag
+      val gen0 = currentGen(fs, d)
+      require(gen0 >= 0,
+        s"appendSave grows a COMMITTED index but $dir holds none — " +
+          "save() the initial build first")
+      val oldFrags = manifest(fs, d, gen0)
+      sweep(fs, d, gen0, oldFrags.toSet)
+      val gen = gen0 + 1
+      // persist the increment here (not in writeFragment) so the
+      // emptiness probe and both fragment writes share one run of the
+      // embed+encode chain
+      val callerCached =
+        encoded.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      if (!callerCached) encoded.persist()
+      val frags = try {
+        // An EMPTY increment (every doc a dup / empty-text — a
+        // re-crawl-heavy stretch is normal) must NOT write a fragment: an
+        // empty partitionBy write produces a dir with no parquet files,
+        // and a committed manifest referencing it would brick every
+        // subsequent load with UNABLE_TO_INFER_SCHEMA (spec-pinned). The
+        // generation still commits — callers ride watermarks on `note`,
+        // and skipping the commit would strand their already-archived
+        // side outputs behind an unadvanced bound.
+        if (encoded.isEmpty) oldFrags
+        else {
+          val frag = s"frag=${nextFragId(fs, d)}"
+          writeFragment(d.toString, frag,
+            codes = encoded.drop("c_vec"),
+            vectors = encoded.select(col("c_id"), col("c_vec")),
+            shared = encoded)
+          oldFrags :+ frag
+        }
+      } finally if (!callerCached) encoded.unpersist()
+      // byte-copy the (small, centroid-capped) quantizer/model tree plus
+      // the schema sidecar, then seal with the extended manifest
+      val g0 = new Path(d, s"gen=$gen0")
+      val g = new Path(d, s"gen=$gen")
+      fs.mkdirs(g)
+      Seq("meta.txt", "model.txt", "schema.txt", "quantizer").foreach {
+        name =>
+          val src = new Path(g0, name)
+          if (fs.exists(src))
+            FileUtil.copy(fs, src, fs, new Path(g, name),
+              false, fs.getConf)
       }
-    } finally if (!callerCached) encoded.unpersist()
-    // byte-copy the (small, centroid-capped) quantizer/model tree, then
-    // seal with the extended manifest
-    val g0 = new Path(d, s"gen=$gen0")
-    val g = new Path(d, s"gen=$gen")
-    fs.mkdirs(g)
-    Seq("meta.txt", "model.txt", "quantizer").foreach { name =>
-      val src = new Path(g0, name)
-      if (fs.exists(src))
-        FileUtil.copy(fs, src, fs, new Path(g, name),
-          false, fs.getConf)
-    }
-    if (note.nonEmpty) writeText(fs, new Path(g, "note.txt"), note)
-    writeText(fs, new Path(g, "manifest.txt"), frags.mkString("\n"))
-    writeText(fs, new Path(d, FormatFile), FormatVersion)
-    flipCurrent(fs, d, gen)
-    sweep(fs, d, gen, frags.toSet)
+      if (note.nonEmpty) writeText(fs, new Path(g, "note.txt"), note)
+      writeText(fs, new Path(g, "manifest.txt"), frags.mkString("\n"))
+      writeText(fs, new Path(d, FormatFile), FormatVersion)
+      flipCurrent(fs, d, gen)
+      sweep(fs, d, gen, frags.toSet)
+      frags
+    } finally releaseLease(fs, lease)
+    // opt-in auto-compact AFTER the lease release (compact re-acquires
+    // through save): the increment's commit is already durable, so a
+    // crash inside the fold loses nothing
+    if (compactPastFragments > 0 && frags.size > compactPastFragments)
+      compact(spark, dir)
   }
 
   /** Fold all fragments into one: load + full [[save]] (which reads the
@@ -403,8 +515,12 @@ object SemanticIndexIO {
     * ones). Bounds [[load]]'s per-read fragment unions on a
     * long-running increment cycle.
     */
-  def compact(spark: SparkSession, dir: String): Unit =
-    save(load(spark, dir), dir, note = note(spark, dir))
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val (fs, d) = fsOf(spark, dir)
+    val lease = acquireLease(fs, d)
+    try saveLocked(fs, d, load(spark, dir), note(spark, dir))
+    finally releaseLease(fs, lease)
+  }
 
   /** True iff `dir` holds a committed index (a CURRENT pointer). */
   def exists(spark: SparkSession, dir: String): Boolean = {
@@ -448,6 +564,51 @@ object SemanticIndexIO {
     manifest(fs, d, gen).size
   }
 
+  /** One-call operational snapshot of a committed store — the
+    * dashboard primitive a deployment loop polls instead of
+    * hand-rolling listings ([[fragmentCount]] + per-fragment row
+    * counts + the cell-occupancy shape + the watermark note in one
+    * manifest-scoped scan of the code table's partition metadata +
+    * counts; vectors are 1:1 with codes by construction).
+    * `maxCellRows`/`meanCellRows` feed the skew read a rebuild
+    * decision wants alongside [[graft.dedup.Dedup.semanticDrift]].
+    */
+  final case class StoreStats(gen: Long, fragments: Int, rows: Long,
+                              rowsPerFragment: Map[Long, Long],
+                              cells: Long, maxCellRows: Long,
+                              meanCellRows: Double, note: String)
+
+  def stats(spark: SparkSession, dir: String): StoreStats = {
+    val (fs, d) = fsOf(spark, dir)
+    val gen = currentGen(fs, d)
+    require(gen >= 0, s"no committed semantic index under $dir")
+    val frags = manifest(fs, d, gen)
+    val noteP = new Path(d, s"gen=$gen/note.txt")
+    val noteS = if (fs.exists(noteP)) readText(fs, noteP) else ""
+    if (frags.isEmpty)
+      return StoreStats(gen, 0, 0L, Map.empty, 0L, 0L, 0.0, noteS)
+    // ONE scan, grouped on the two PARTITION columns (frag,
+    // cent_bucket): the aggregate reads only partition values + row
+    // counts, and the result is bounded by fragments x maxCentroids
+    val perCell = spark.read.option("basePath", s"$d/$CodesRoot")
+      .parquet(frags.map(f => s"$d/$CodesRoot/$f"): _*)
+      // partition-column discovery may infer int or long for the
+      // key=value levels depending on the values present — pin long
+      .groupBy(col("frag").cast("long").as("frag"),
+        col("cent_bucket").cast("long").as("cent_bucket")).count()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rowsPerFrag = perCell.groupBy(_._1)
+      .map { case (f, rs) => f -> rs.map(_._3).sum }
+    val cellRows = perCell.groupBy(_._2)
+      .map { case (_, rs) => rs.map(_._3).sum }
+    val total = rowsPerFrag.values.sum
+    StoreStats(gen, frags.size, total, rowsPerFrag,
+      cellRows.size.toLong, if (cellRows.isEmpty) 0L else cellRows.max,
+      if (cellRows.isEmpty) 0.0 else total.toDouble / cellRows.size,
+      noteS)
+  }
+
   def load(spark: SparkSession, dir: String): Dedup.SemanticIndex = {
     val (fs, d) = fsOf(spark, dir)
     val gen = currentGen(fs, d)
@@ -479,20 +640,51 @@ object SemanticIndexIO {
           s"unknown quantizer kind '$other' in $gs/meta.txt")
     }
     val frags = manifest(fs, d, gen)
-    // ONE basePath scan over the live fragment dirs, not a union of N
-    // per-fragment scans: every level under the shared root is a
-    // key=value partition dir, so discovery unifies and the plan
-    // carries a single FileScan whose cost is flat in fragment count
-    // (SemFragScaleMain measured the union form growing ~linearly —
-    // fixed per-scan overhead times N). Dead/unreferenced fragments
-    // are never listed — only the manifest's dirs are roots.
-    val codes = spark.read.option("basePath", s"$d/$CodesRoot")
-      .parquet(frags.map(f => s"$d/$CodesRoot/$f"): _*)
-      .select(col("c_id"), col("cent_id"), col("c_code"), col("c_xsqn"))
-    val vectors = spark.read.option("basePath", s"$d/$VecRoot")
-      .parquet(frags.map(f => s"$d/$VecRoot/$f"): _*)
-      .select(col("c_id"), col("c_vec"))
-    Dedup.SemanticIndex(model, quantizer, codes, vectors)
+    // a DATA-LESS generation (empty save / empty-increment appends all
+    // the way down) loads as EMPTY frames of the exact stored row types
+    // — classification against it keeps everything, and the first
+    // non-empty appendSave starts the fragment history
+    if (frags.isEmpty) {
+      val (codesSchema, vecSchema) = storedSchemas(fs, d, gen)
+      Dedup.SemanticIndex(model, quantizer,
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), codesSchema),
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), vecSchema))
+    } else {
+      // ONE basePath scan over the live fragment dirs, not a union of N
+      // per-fragment scans: every level under the shared root is a
+      // key=value partition dir, so discovery unifies and the plan
+      // carries a single FileScan whose cost is flat in fragment count
+      // (SemFragScaleMain measured the union form growing ~linearly —
+      // fixed per-scan overhead times N). Dead/unreferenced fragments
+      // are never listed — only the manifest's dirs are roots.
+      val codes = spark.read.option("basePath", s"$d/$CodesRoot")
+        .parquet(frags.map(f => s"$d/$CodesRoot/$f"): _*)
+        .select(col("c_id"), col("cent_id"), col("c_code"), col("c_xsqn"))
+      val vectors = spark.read.option("basePath", s"$d/$VecRoot")
+        .parquet(frags.map(f => s"$d/$VecRoot/$f"): _*)
+        .select(col("c_id"), col("c_vec"))
+      Dedup.SemanticIndex(model, quantizer, codes, vectors)
+    }
+  }
+
+  /** The schema sidecar of generation `gen` as (codes, vectors) row
+    * types — written by every r14+ save; only REQUIRED when the
+    * generation is data-less (any healthy pre-r14 store has data
+    * fragments and never reads it).
+    */
+  private def storedSchemas(fs: FileSystem, d: Path, gen: Long)
+      : (org.apache.spark.sql.types.StructType,
+         org.apache.spark.sql.types.StructType) = {
+    val p = new Path(d, s"gen=$gen/schema.txt")
+    require(fs.exists(p),
+      s"generation $gen under $d is data-less but carries no schema " +
+        "sidecar — was it written by a pre-r14 binary?")
+    val lines = readText(fs, p).split("\n").map(_.trim).filter(_.nonEmpty)
+    def parse(s: String) = org.apache.spark.sql.types.DataType.fromJson(s)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    (parse(lines(0)), parse(lines(1)))
   }
 
   /** The committed code table CUT to `cells` at the SCAN: the filter on
@@ -509,8 +701,13 @@ object SemanticIndexIO {
     val (fs, d) = fsOf(spark, dir)
     val gen = currentGen(fs, d)
     require(gen >= 0, s"no committed semantic index under $dir")
-    spark.read.option("basePath", s"$d/$CodesRoot")
-      .parquet(manifest(fs, d, gen).map(f => s"$d/$CodesRoot/$f"): _*)
+    val frags = manifest(fs, d, gen)
+    if (frags.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        storedSchemas(fs, d, gen)._1)
+    else spark.read.option("basePath", s"$d/$CodesRoot")
+      .parquet(frags.map(f => s"$d/$CodesRoot/$f"): _*)
       .filter(col("cent_bucket").isin(cells: _*))
       .select(col("c_id"), col("cent_id"), col("c_code"), col("c_xsqn"))
   }

@@ -411,6 +411,175 @@ class ExtensionsSpec extends SparkSpec {
     } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("stored-index writer lease: a second writer refuses loudly with " +
+      "the holder named; breakLease recovers; clean cycles leave no lease") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0).limit(60)
+    val idx = Dedup.semanticIndex(hist, "doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semio_lease").toString
+    try {
+      graft.dedup.SemanticIndexIO.save(idx, dir)
+      // a successful writer releases: no lease file after the cycle
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_writer.lease")))
+      // simulate a concurrent (or crashed) writer holding the lease
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_writer.lease"),
+        "host=otherhost pid=4242 since=test".getBytes("UTF-8"))
+      val inc = docs.filter(pmod($"doc_id", lit(3)) === 0).limit(10)
+      val enc = Dedup.semanticEncode(idx, inc, "doc_id", "text")
+      Seq[() => Unit](
+        () => graft.dedup.SemanticIndexIO.save(idx, dir),
+        () => graft.dedup.SemanticIndexIO.appendSave(spark, dir, enc),
+        () => graft.dedup.SemanticIndexIO.compact(spark, dir),
+      ).foreach { w =>
+        val ex = intercept[IllegalStateException](w())
+        assert(ex.getMessage.contains("pid=4242"),
+          s"refusal must name the holder: ${ex.getMessage}")
+        assert(ex.getMessage.contains("breakLease"))
+      }
+      // the refusals committed nothing: still one generation, one frag
+      assert(graft.dedup.SemanticIndexIO.fragmentCount(spark, dir) === 1)
+      graft.dedup.SemanticIndexIO.breakLease(spark, dir)
+      graft.dedup.SemanticIndexIO.appendSave(spark, dir, enc)
+      assert(graft.dedup.SemanticIndexIO.fragmentCount(spark, dir) === 2)
+    } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("save of an EMPTY index commits a data-less generation: loads as " +
+      "empty frames, classifies everything kept, and grows from there") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0).limit(60)
+    val idx = Dedup.semanticIndex(hist, "doc_id", "text")
+    val empty = idx.copy(codes = idx.codes.filter(lit(false)),
+      vectors = idx.vectors.filter(lit(false)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semio_empty").toString
+    try {
+      graft.dedup.SemanticIndexIO.save(empty, dir, note = "w0")
+      assert(graft.dedup.SemanticIndexIO.fragmentCount(spark, dir) === 0)
+      val loaded = graft.dedup.SemanticIndexIO.load(spark, dir)
+      assert(loaded.codes.count() === 0L)
+      assert(loaded.vectors.count() === 0L)
+      // classification against nothing keeps everything
+      val batch = docs.filter(pmod($"doc_id", lit(3)) === 0).limit(10)
+      val st = Dedup.semanticStatus(batch, loaded, "doc_id", "text")
+        .select($"status").distinct().collect().map(_.getString(0))
+      assert(st.toSet === Set("kept"))
+      // the stored-classify path handles the data-less store too
+      val st2 = Dedup.semanticStatusStored(spark, dir, batch,
+        "doc_id", "text").select($"status").distinct()
+        .collect().map(_.getString(0))
+      assert(st2.toSet === Set("kept"))
+      // and the first non-empty append starts the fragment history
+      val enc = Dedup.semanticEncode(idx, batch, "doc_id", "text")
+      graft.dedup.SemanticIndexIO.appendSave(spark, dir, enc, note = "w1")
+      assert(graft.dedup.SemanticIndexIO.fragmentCount(spark, dir) === 1)
+      assert(graft.dedup.SemanticIndexIO.load(spark, dir).codes.count()
+        === enc.count())
+    } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("appendSave auto-compact: crossing compactPastFragments folds to " +
+      "one fragment with bit-identical classification and the note kept") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0).limit(80)
+    val idx = Dedup.semanticIndex(hist, "doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semio_autocompact").toString
+    try {
+      graft.dedup.SemanticIndexIO.save(idx, dir, note = "b")
+      val incs = docs.filter(pmod($"doc_id", lit(3)) === 0).limit(20)
+        .collect().grouped(10).toSeq
+      val inc1 = spark.createDataFrame(
+        spark.sparkContext.parallelize(incs(0).toSeq), incs(0).head.schema)
+      val inc2 = spark.createDataFrame(
+        spark.sparkContext.parallelize(incs(1).toSeq), incs(1).head.schema)
+      // 1 -> 2 fragments: at the threshold, no fold
+      graft.dedup.SemanticIndexIO.appendSave(spark, dir,
+        Dedup.semanticEncode(idx, inc1, "doc_id", "text"),
+        note = "n1", compactPastFragments = 2)
+      assert(graft.dedup.SemanticIndexIO.fragmentCount(spark, dir) === 2)
+      val batch = docs.filter(pmod($"doc_id", lit(7)) === 1).limit(15)
+      def classify(): Set[Seq[Any]] =
+        Dedup.semanticStatus(batch,
+            graft.dedup.SemanticIndexIO.load(spark, dir), "doc_id", "text")
+          .select($"doc_id", $"status", $"match_id", $"best_sim")
+          .collect().map(_.toSeq).toSet
+      // 2 -> 3 fragments crosses the threshold: folds back to 1. The
+      // EXPECTED classification (unfolded in-memory append of inc2) is
+      // collected BEFORE the fold — after a save the reloaded handle is
+      // the live one (checkpoint semantics), so pre-fold handles must
+      // not be read afterwards
+      val idx2 = graft.dedup.SemanticIndexIO.load(spark, dir)
+      val enc2 = Dedup.semanticEncode(idx2, inc2, "doc_id", "text")
+        .persist()
+      val unfolded = Dedup.semanticAppendEncoded(idx2, enc2)
+      val expect = Dedup.semanticStatus(batch, unfolded, "doc_id", "text")
+        .select($"doc_id", $"status", $"match_id", $"best_sim")
+        .collect().map(_.toSeq).toSet
+      graft.dedup.SemanticIndexIO.appendSave(spark, dir, enc2,
+        note = "n2", compactPastFragments = 2)
+      enc2.unpersist()
+      assert(graft.dedup.SemanticIndexIO.fragmentCount(spark, dir) === 1)
+      assert(graft.dedup.SemanticIndexIO.note(spark, dir) === "n2")
+      val rows = graft.dedup.SemanticIndexIO.load(spark, dir).codes.count()
+      assert(rows > 0)
+      // the fold changed LAYOUT only: same classification afterwards
+      assert(classify() === expect)
+    } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("stats(): one call reports gen, fragments, rows per fragment, " +
+      "cell shape, and the note of the committed generation") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0).limit(80)
+    val idx = Dedup.semanticIndex(hist, "doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semio_stats").toString
+    try {
+      graft.dedup.SemanticIndexIO.save(idx, dir, note = "w7")
+      val inc = docs.filter(pmod($"doc_id", lit(3)) === 0).limit(10)
+      graft.dedup.SemanticIndexIO.appendSave(spark, dir,
+        Dedup.semanticEncode(idx, inc, "doc_id", "text"), note = "w8")
+      val st = graft.dedup.SemanticIndexIO.stats(spark, dir)
+      assert(st.gen === 1L)
+      assert(st.fragments === 2)
+      val rows = graft.dedup.SemanticIndexIO.load(spark, dir).codes.count()
+      assert(st.rows === rows)
+      assert(st.rowsPerFragment.size === 2)
+      assert(st.rowsPerFragment.values.sum === rows)
+      assert(st.cells > 0)
+      assert(st.maxCellRows >= 1L)
+      assert(st.meanCellRows > 0.0 && st.meanCellRows <= st.maxCellRows)
+      assert(st.note === "w8")
+    } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("semanticDrift: a re-keyed (drifted) increment reads a lower " +
+      "mean assignment cosine than an in-distribution one") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val idx = Dedup.semanticIndex(hist, "doc_id", "text")
+    val inc = docs.filter(pmod($"doc_id", lit(3)) === 0)
+      .select($"doc_id", $"text")
+    val base = Dedup.semanticDrift(idx, inc, "doc_id", "text")
+    assert(base.rows > 0)
+    assert(base.meanAssignCos > 0.0 && base.meanAssignCos <= 1.0 + 1e-9)
+    assert(base.topShare >= 0.0 && base.topShare <= 1.0 + 1e-9)
+    assert(base.cellsHit > 0 && base.cellsHit <= base.cells)
+    // re-key the token space: every word hashes elsewhere, so the
+    // increment's embeddings leave the training distribution
+    val drifted = inc.withColumn("text",
+      translate($"text", "aeiouAEIOU", "qxzvwQXZVW"))
+    val d = Dedup.semanticDrift(idx, drifted, "doc_id", "text")
+    assert(d.rows > 0)
+    assert(d.meanAssignCos < base.meanAssignCos,
+      s"drifted meanAssignCos ${d.meanAssignCos} should read below " +
+        s"baseline ${base.meanAssignCos}")
+  }
+
   test("composed increment order: identity legs catch byte-dup re-crawls " +
       "BEFORE the semantic leg sees them") {
     // The production crawl loop runs exact fp/band keys -> Bloom ->

@@ -11,11 +11,12 @@ import org.apache.spark.sql.types._
   * Image decode is REAL for every format the JDK's `javax.imageio`
   * registry can read (PNG/BMP/GIF/JPEG here): [[pixelFeatures]] computes
   * the 8-dim feature vector from actual decoded pixels, and
-  * [[imageDims]] reads header dimensions. The stub boundary is narrowed
-  * to what is genuinely absent in this environment — payloads NO
-  * registered codec decodes (audio, video, exotic image formats):
-  * [[stubDecode]] derives a deterministic fake feature vector from the
-  * raw bytes for those. Everything else — schema, batch shape,
+  * [[imageDims]] reads header dimensions. Audio decode is REAL for PCM
+  * WAV via [[WavCodec]] (`javax.sound.sampled`, in [[defaultCodecs]]).
+  * The stub boundary is narrowed to what is genuinely absent in this
+  * environment — payloads NO registered codec decodes (video, compressed
+  * audio, exotic image formats): [[stubDecode]] derives a deterministic
+  * fake feature vector from the raw bytes for those. Everything else — schema, batch shape,
   * partition-local iteration, column pruning — is the real production
   * plumbing: register another codec (or swap stubDecode for a JNI call)
   * and nothing else changes. (The reference pipeline has no media path;
@@ -51,6 +52,17 @@ object Multimodal {
 
   final case class Decoded(width: Option[Int], height: Option[Int],
                            feature: Array[Float])
+
+  /** The public codec registry [[decodeFeatures]] runs by default:
+    * real decoders built entirely on the JDK. [[WavCodec]] decodes PCM
+    * WAV audio through `javax.sound.sampled`; images are handled by the
+    * built-in imageio path below the codec chain. Adding a codec here is
+    * output-compatible by contract: every codec fails SOFT to the
+    * documented stub on payloads it claims but cannot decode, so rows
+    * that were stubbed before a codec existed stay byte-identical
+    * (the `mm_decode_features` digest pin holds across registry growth).
+    */
+  val defaultCodecs: Seq[MediaCodec] = Seq(WavCodec)
 
   /** media row: payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -216,7 +228,7 @@ object Multimodal {
     * codec boundary.
     */
   def decodeFeatures(media: DataFrame, batchSize: Int = 64,
-                     codecs: Seq[MediaCodec] = Nil): Dataset[MediaFeature] = {
+                     codecs: Seq[MediaCodec] = defaultCodecs): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.select("media_id", "media_type", "payload")
       .as[(Long, String, Array[Byte])]

@@ -1135,11 +1135,120 @@ class ExtensionsSpec extends SparkSpec {
     // unclaimed audio keeps the stub boundary
     assert(got(2).feature.toSeq ===
       Multimodal.stubDecode("nomagic".getBytes).toSeq)
-    // no codecs injected = exactly the prior behavior (the
-    // mm_decode_features digest pin stays green on this contract)
+    // the default registry (WavCodec) claims the RIFF magic but this
+    // payload is not a decodable WAV — fail-soft keeps the row
+    // byte-identical to the codec-less build (the mm_decode_features
+    // digest pin stays green on this contract)
     val dflt = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
     assert(dflt(0).feature.toSeq === Multimodal.stubDecode(riff).toSeq)
     assert(dflt(1).feature.toSeq === got(1).feature.toSeq)
+    // and with the registry explicitly emptied: same rows again
+    val bare = Multimodal.decodeFeatures(media, codecs = Nil)
+      .collect().sortBy(_.media_id)
+    assert(bare.map(_.feature.toSeq).toSeq === dflt.map(_.feature.toSeq).toSeq)
+  }
+
+  // 16-bit signed little-endian PCM WAV through the same JDK writer a
+  // deployment would read with
+  private def wav16(samples: Array[Short], channels: Int,
+                    rate: Float): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt,
+      samples.length.toLong / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("WAV codec decodes REAL PCM audio (exact on synthetic signals)") {
+    import graft.multimodal.WavCodec
+    // constant +0.5 mono: mean/rms/peak exactly 0.5, zero crossings,
+    // zero delta — impossible for the byte-hash stub to fake
+    val const = wav16(Array.fill[Short](100)(16384), 1, 8000f)
+    assert(WavCodec.claims("audio", const))
+    val f = WavCodec.decode("audio", const).feature
+    assert(f(0) === 0.75f)                       // (mean 0.5 + 1)/2
+    assert(f(1) === 0.5f)                        // rms
+    assert(f(2) === 0.5f)                        // peak
+    assert(f(3) === 0.0f)                        // zero-crossing rate
+    assert(f(4) === 0.0f)                        // mean |delta|/2
+    assert(f(5) === 0.5f)                        // mono: 1/(1+1)
+    assert(math.abs(f(6) - math.log10(8001.0) / 6.0) < 1e-6)
+    assert(math.abs(f(7) - math.log10(101.0) / 9.0) < 1e-6)
+
+    // alternating +-0.5 mono: every sample pair crosses zero, mean 0
+    val alt = wav16(Array.tabulate[Short](100)(i =>
+      if (i % 2 == 0) 16384 else -16384), 1, 8000f)
+    val g = WavCodec.decode("audio", alt).feature
+    assert(g(0) === 0.5f)                        // mean 0
+    assert(g(1) === 0.5f)                        // rms
+    assert(g(3) === 1.0f)                        // zcr: all pairs cross
+    assert(g(4) === 0.5f)                        // |delta| 1.0 / 2
+
+    // stereo with L=+0.5 R=-0.5: mono mix silent, peak still 0.5,
+    // channel count surfaces in f5
+    val st = wav16(Array.tabulate[Short](200)(i =>
+      if (i % 2 == 0) 16384 else -16384), 2, 44100f)
+    val h = WavCodec.decode("audio", st).feature
+    assert(h(0) === 0.5f && h(1) === 0.0f && h(2) === 0.5f)
+    assert(h(3) === 0.0f && h(4) === 0.0f)
+    assert(math.abs(h(5) - 2f / 3f) < 1e-6)
+
+    // 8-bit unsigned PCM (the other canonical WAV width): value 192
+    // recenters to exactly +0.5
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais8 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array.fill[Byte](50)(192.toByte)),
+      fmt8, 50L)
+    val out8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais8,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out8)
+    val u = WavCodec.decode("audio", out8.toByteArray).feature
+    assert(u(0) === 0.75f && u(1) === 0.5f && u(2) === 0.5f)
+
+    // truncated WAV: magic still claims, decode fails SOFT to the
+    // documented stub (same contract as truncated images)
+    val trunc = const.take(16)
+    assert(WavCodec.claims("audio", trunc))
+    assert(WavCodec.decode("audio", trunc).feature.toSeq ===
+      Multimodal.stubDecode(trunc).toSeq)
+  }
+
+  test("WAV decode flows through the DEFAULT registry end-to-end: real " +
+      "audio features alongside real pixel features in one batch") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      out.toByteArray
+    }
+    val const = wav16(Array.fill[Short](100)(16384), 1, 8000f)
+    val media = Seq(
+      (1L, "audio", const),               // real WAV -> WavCodec
+      (2L, "image", png(7, 5)),           // imageio path below the chain
+      (3L, "audio", const.take(16)),      // claims, fails soft -> stub
+      (4L, "text", "plain".getBytes))     // unclaimed -> stub
+      .toDF("media_id", "media_type", "payload")
+    val got = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    assert(got(0).feature(0) === 0.75f && got(0).feature(1) === 0.5f)
+    assert(got(0).decoded_width === None)
+    assert(got(1).decoded_width === Some(7) &&
+      got(1).decoded_height === Some(5))
+    assert(got(2).feature.toSeq ===
+      Multimodal.stubDecode(const.take(16)).toSeq)
+    assert(got(3).feature.toSeq ===
+      Multimodal.stubDecode("plain".getBytes).toSeq)
   }
 
   test("append-only delta save: appendSave writes only the increment, " +

@@ -327,7 +327,13 @@ object Bench {
       // default 128-group fallback makes ObjectHashAggregate effectively
       // sort-based on genome-scale group counts. 256k groups/partition
       // is a bounded middle ground (partition sizing keeps per-partition
-      // groups under it at scale).
+      // groups under it at scale). BOUNDARY (r14, measured): this pin is
+      // safe at bench scale (sf0.1, 1x) ONLY — at 100x fan-out on an
+      // 8 GiB heap it OOMs reproducibly (ObjectHashAggregate holds every
+      // per-partition collect_list buffer in memory; Scale10xMain A/B,
+      // BASELINE.md r14 ladder re-baseline). Do not copy it into a
+      // fan-out-scale job: the sort-based fallback is the memory-safe
+      // shape there.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "262144")
       .config("spark.ui.enabled", "false")

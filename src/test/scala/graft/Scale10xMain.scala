@@ -35,6 +35,11 @@ object Scale10xMain {
     // baseline it exists to compare against
     sys.env.get("SPARK_GRAFT_SHUFFLE").foreach(n => builder.config(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    // A/B knob for the ObjectHashAggregate sort-based fallback threshold
+    // (default 128 groups/partition; Bench pins 262144 in its session —
+    // the r14 ladder re-baseline measures which one the probe JVM wants)
+    sys.env.get("SPARK_GRAFT_OHA").foreach(v => builder.config(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -528,17 +528,28 @@ object AnnotationPipeline {
       XREF_SOURCE_CAP)
   }
 
-  /** annotate + classify-merge against the existing FULL_ANNOT snapshot. */
-  def run(gaf: DataFrame, existing: DataFrame, dims: Dimensions,
-          cfg: PipelineConfig): DataFrame = {
-    val incoming = annotate(gaf, dims, cfg)
+  /** The merge-ready INCOMING side of [[run]]: annotate plus the
+    * identity/audit columns the classify-merge fills, projected to the
+    * target table's column order. Independent of the EXISTING table by
+    * construction — every enrichment and filter reads `dims`, never the
+    * evolving annotation table — which is what lets
+    * [[PipelineRunner.runAll]] materialize every species' incoming side
+    * CONCURRENTLY before the (necessarily sequential) merges.
+    */
+  def incoming(gaf: DataFrame, dims: Dimensions, cfg: PipelineConfig,
+               cols: Seq[String]): DataFrame =
+    annotate(gaf, dims, cfg)
       .withColumn("full_annot_key", lit(null).cast("long"))
       .withColumn("created_date", lit(null).cast("timestamp"))
       .withColumn("last_modified_date", lit(null).cast("timestamp"))
       .withColumn("created_by", lit(cfg.createdBy))
       .withColumn("last_modified_by", lit(cfg.createdBy))
-    val cols = existing.columns.toSeq
+      .select(cols.map(col): _*)
+
+  /** annotate + classify-merge against the existing FULL_ANNOT snapshot. */
+  def run(gaf: DataFrame, existing: DataFrame, dims: Dimensions,
+          cfg: PipelineConfig): DataFrame =
     MergeSink.merge(existing,
-      incoming.select(cols.map(col): _*), cfg.runTs, cfg.createdBy)
-  }
+      incoming(gaf, dims, cfg, existing.columns.toSeq),
+      cfg.runTs, cfg.createdBy)
 }

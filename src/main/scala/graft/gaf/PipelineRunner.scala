@@ -64,10 +64,16 @@ object PipelineRunner {
     * @param staleCutoff rows last modified before this are delete
     *                    candidates (run start − 10 min in the reference,
     *                    GoNonratAnnotationPipeline.java:98)
+    * @param concurrentIncoming materialize every species' incoming spine
+    *                    concurrently before the sequential merges.
+    *                    Default OFF — measured SLOWER on a shared-heap
+    *                    local deployment (see the phase comment below);
+    *                    intended for multi-executor clusters only.
     */
   def runAll(existing: DataFrame, dims: Dimensions, runs: Seq[SpeciesRun],
              isoRefRgdId: Int, staleCutoff: Timestamp,
-             thresholdPct: Double = DELETE_THRESHOLD_PCT): RunReport = {
+             thresholdPct: Double = DELETE_THRESHOLD_PCT,
+             concurrentIncoming: Boolean = false): RunReport = {
     // U5 snapshot BEFORE any species runs
     val isoInitial = timed("iso_initial_count")(
       refSpeciesCount(existing, dims.rgdIds, isoRefRgdId, RAT))
@@ -82,6 +88,67 @@ object PipelineRunner {
     // (warm wall fell >4x) and hands back the storage handle, so each
     // iteration releases the previous species' blocks deterministically —
     // no table-sized storage accumulates across harness invocations.
+
+    // OPT-IN concurrent incoming phase (r14): each species' incoming
+    // side — the full annotate spine — reads only its GAF and `dims`,
+    // never the evolving table (chinchilla's GAF is built from the
+    // TIME-ZERO table by the §3.3 contract), so the spines are
+    // data-independent until the merge and CAN be materialized
+    // concurrently, with the merges sequential below as joins of two
+    // materialized leaves. Output is bit-identical either way (digest
+    // pin green over both paths). Default is OFF because the A/B was
+    // MEASURED AGAINST it in this environment: on local[32] with one
+    // shared 8 GiB heap the harness row read 33s sequential-fused vs
+    // 67-72s concurrent (warm 47s vs 133s) — three co-resident incoming
+    // snapshots plus tripled aggregation state thrash storage/GC, and
+    // the separate incoming materialization pays a full extra
+    // write+read pass that the fused AnnotationPipeline.run never does
+    // (BASELINE.md r14). The knob exists for MULTI-EXECUTOR clusters,
+    // where the fills do not share one heap and one spine's barrier
+    // stalls would otherwise idle executors another spine could use —
+    // measure there before enabling; the failure path (one fill throws
+    // -> every sibling fill released) is spec-pinned either way.
+    //
+    // Plan BUILDING stays serial even when enabled (annotate's
+    // autoShuffle raises the session's AQE initial-partition floor
+    // monotonically, so by launch time the conf holds the max across
+    // spines); only the FILLS run concurrently — standard
+    // multi-threaded job submission, execution ids are thread-local.
+    val cols = existing.columns.toSeq
+    val incomingSnaps: Option[Seq[Snapshot.Snapped]] =
+      if (!concurrentIncoming || runs.size <= 1) None
+      else Some(timed("incoming_fill_concurrent") {
+        val incomingFrames = runs.map(r =>
+          AnnotationPipeline.incoming(r.gaf, dims, r.cfg, cols))
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(runs.size)
+        try {
+          import scala.jdk.CollectionConverters._
+          val futures = pool.invokeAll(incomingFrames.map { f =>
+            (() => Snapshot.materialize(f)):
+              java.util.concurrent.Callable[Snapshot.Snapped]
+          }.asJava)
+          // surface the FIRST failure after all settle; release any
+          // fills that did succeed (nothing else can free them)
+          val results = futures.asScala.toSeq.map(f =>
+            try Right(f.get())
+            catch { case e: java.util.concurrent.ExecutionException =>
+              Left(e.getCause) })
+          if (results.exists(_.isLeft)) {
+            results.foreach {
+              case Right(s) => s.release()
+              case Left(_) => ()
+            }
+            throw results.collectFirst { case Left(e) => e }.get
+          }
+          results.map(_.toOption.get)
+        } finally pool.shutdown()
+      })
+    val incReleased = Array.fill(runs.size)(false)
+    def releaseIncoming(i: Int): Unit = incomingSnaps.foreach { snaps =>
+      if (!incReleased(i)) { incReleased(i) = true; snaps(i).release() }
+    }
+
     var table = existing
     var prevRelease: Option[() => Unit] = None
     // a failure anywhere mid-run must release the in-flight snapshots:
@@ -90,16 +157,26 @@ object PipelineRunner {
     // for the rest of the session (the deterministic-release contract
     // the Snapped handles exist for)
     try {
-      val perSpecies = runs.map { r =>
+      val perSpecies = runs.zipWithIndex.map { case (r, i) =>
         val initial = timed(s"${r.name}_initial_count")(
           refSpeciesCount(table, dims.rgdIds, r.cfg.refRgdId,
             r.cfg.speciesTypeKey))
         // materialize the merge ONCE: the op counts, the stale-delete
         // scans, and the snapshot below all read the stored result (the
-        // merge's full-outer join must not re-execute per action)
+        // merge's full-outer join must not re-execute per action).
+        // Sequential default: the FUSED annotate+merge plan (one pass —
+        // no separate incoming materialization); opt-in concurrent
+        // mode merges the pre-filled incoming leaf instead.
         val mergedSnap = timed(s"${r.name}_merge_fill")(
-          Snapshot.materialize(
-            AnnotationPipeline.run(r.gaf, table, dims, r.cfg)))
+          Snapshot.materialize(incomingSnaps match {
+            case Some(snaps) => MergeSink.merge(
+              table, snaps(i).df, r.cfg.runTs, r.cfg.createdBy)
+            case None =>
+              AnnotationPipeline.run(r.gaf, table, dims, r.cfg)
+          }))
+        // the merge result is stored — this species' incoming blocks
+        // are dead from here
+        releaseIncoming(i)
         try {
           val merged = mergedSnap.df
           val ops = timed(s"${r.name}_op_counts")(
@@ -143,6 +220,7 @@ object PipelineRunner {
           finalSnap.release)
       }
     } catch { case e: Throwable =>
+      runs.indices.foreach(releaseIncoming)
       prevRelease.foreach(_())
       throw e
     }

@@ -1222,6 +1222,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(WavCodec.claims("audio", trunc))
     assert(WavCodec.decode("audio", trunc).feature.toSeq ===
       Multimodal.stubDecode(trunc).toSeq)
+
+    // non-PCM WAV (mu-law) exercises the JDK conversion branch: lossy
+    // companding, so near-exact with a quantization tolerance
+    val pcmFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+      true, false)
+    val pcmAis = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(
+        Array.tabulate[Byte](200)(i =>
+          if (i % 2 == 0) 0x00.toByte else 0x40.toByte)), // 0x4000=+0.5 LE
+      pcmFmt, 100L)
+    val ulawAis = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.ULAW,
+        8000f, 8, 1, 1, 8000f, false), pcmAis)
+    val outU = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ulawAis,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, outU)
+    val ul = WavCodec.decode("audio", outU.toByteArray).feature
+    assert(math.abs(ul(1) - 0.5f) < 0.02f, s"ulaw rms ${ul(1)}")
+    assert(ul(3) === 0.0f && ul(5) === 0.5f)
   }
 
   test("WAV decode flows through the DEFAULT registry end-to-end: real " +

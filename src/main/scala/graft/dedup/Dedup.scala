@@ -806,6 +806,14 @@ object Dedup {
     * cycle is over and the driver should hold zero cache residue.
     * Unpersisting never breaks a still-held frame — Spark recomputes
     * from lineage if it is acted on again.
+    *
+    * SINGLE-THREADED DRIVER ASSUMPTION: the drain-previous scheme
+    * presumes stored-classify cycles run sequentially (the deployment
+    * cadence). Two overlapping [[semanticStatusStored]] calls from
+    * different driver threads would drain each other's IN-FLIGHT cache
+    * — results stay correct (lineage recompute) but the shared-embed
+    * optimization silently degrades to double execution. Serialize
+    * cycles, or accept the recompute cost.
     */
   def releaseStoredClassifyCache(): Unit = drainStoredClassifyCache()
 
@@ -939,13 +947,14 @@ object Dedup {
     val perCell = index.quantizer.assign(emb)
       .join(broadcast(index.centroids), Seq("cent_id"))
       .select(col("cent_id"),
-        // zero-norm docs are pre-filtered; a zero-norm (dead-seed)
-        // centroid scores 0, not NaN
-        when(Similarity.norm(col("cent_vec")) > 0,
-          Similarity.dot(col("v_vec"), col("cent_vec")) /
-            (Similarity.norm(col("v_vec")) *
-              Similarity.norm(col("cent_vec"))))
-          .otherwise(lit(0.0)).as("_cos"))
+        // Similarity.cosine guards the COMBINED norm product: a
+        // zero-norm (dead-seed) centroid scores 0, and so does a doc
+        // whose signed hash contributions cancel to the zero vector
+        // (hashedEmbeddings emits those even for tokenized docs —
+        // guarding only the centroid side made such a doc divide 0/0
+        // and one NaN poisoned the whole increment's meanAssignCos,
+        // silently disabling the rebuild trigger; r14 review)
+        Similarity.cosine(col("v_vec"), col("cent_vec")).as("_cos"))
       .groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n"), sum(col("_cos")).as("s"))
       .collect()

@@ -124,7 +124,16 @@ object SemanticIndexIO {
       } finally out.close()
       p
     } catch {
-      case e: java.io.IOException =>
+      // Only an EXISTING lease is a concurrency diagnosis. Other
+      // IOExceptions (disk full, permissions, transient FS) must
+      // surface as themselves — reporting them as "locked" steers the
+      // operator to breakLease, which deletes nothing and masks the
+      // real fault (r14 review). FileAlreadyExistsException is the
+      // contract signal; some FS impls throw a generic IOException for
+      // it, so an exists() re-check covers those.
+      case e: java.io.IOException
+          if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+            (try fs.exists(p) catch { case _: Throwable => false }) =>
         val holder =
           try readText(fs, p).trim catch { case _: Throwable => "(unreadable)" }
         throw new IllegalStateException(
@@ -397,29 +406,42 @@ object SemanticIndexIO {
       // instead (empty manifest) — the same guard appendSave has for
       // empty increments; [[load]] reconstructs empty frames from the
       // schema sidecar written below.
-      val frags =
+      // On a FRESHLY BUILT index codes and vectors share the
+      // full-history tokenize+embed lineage (the codes plan contains
+      // the vectors plan as a fragment) — persisting the vectors side
+      // BEFORE the emptiness probe lets the probe, then both fragment
+      // writes, run that pass once: the cache manager substitutes the
+      // cached fragment inside the codes plan (mirrors appendSave's
+      // persist-before-probe; previously the probe ran un-cached and
+      // re-paid the chain head — r14 review). On a loaded index both
+      // sides are cheap parquet scans of the old fragments, which stay
+      // on disk until the post-flip sweep.
+      val sharedVec = index.vectors
+      val callerCached =
+        sharedVec.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      if (!callerCached) sharedVec.persist()
+      val frags = try {
         if (index.codes.isEmpty) Seq.empty[String]
         else {
           val frag = s"frag=${nextFragId(fs, d)}"
-          // On a FRESHLY BUILT index codes and vectors share the
-          // full-history tokenize+embed lineage (the codes plan contains
-          // the vectors plan as a fragment) — persisting the vectors side
-          // for the duration of the two writes runs that pass once: the
-          // cache manager substitutes the cached fragment inside the
-          // codes plan. (On a loaded index both sides are cheap parquet
-          // scans of the old fragments, which stay on disk until the
-          // post-flip sweep.)
           writeFragment(d.toString, frag, index.codes, index.vectors,
-            shared = index.vectors)
+            shared = sharedVec)
           Seq(frag)
         }
-      writeGenTree(fs, d, gen, index.model, index.quantizer, frags, note)
+      } finally if (!callerCached) sharedVec.unpersist()
       // schema sidecar: lets a data-less generation load back as EMPTY
-      // frames of the exact row types instead of failing in a scan
+      // frames of the exact row types instead of failing in a scan.
+      // Written BEFORE writeGenTree: the manifest is the seal ("a gen
+      // without one is a crashed partial by construction"), so every
+      // other gen-tree artifact must exist by seal time — a sealed
+      // schema-less generation would pass the repair hint's sealedGens
+      // listing yet fail a data-less load (r14 review)
+      fs.mkdirs(new Path(d, s"gen=$gen"))
       writeText(fs, new Path(d, s"gen=$gen/schema.txt"),
         index.codes.select(col("c_id"), col("cent_id"), col("c_code"),
           col("c_xsqn")).schema.json + "\n" +
           index.vectors.select(col("c_id"), col("c_vec")).schema.json)
+      writeGenTree(fs, d, gen, index.model, index.quantizer, frags, note)
       writeText(fs, new Path(d, FormatFile), FormatVersion)
       flipCurrent(fs, d, gen)
       // old generations and superseded fragments are dead after the flip
@@ -445,6 +467,15 @@ object SemanticIndexIO {
     * [[fragmentCount]] still gets bounded fragment counts.
     * Classification is bit-identical across the fold (compact is
     * load+save of the same rows; spec-pinned). 0 (default) = off.
+    *
+    * CHECKPOINT SEMANTICS when the fold fires: the post-flip sweep
+    * deletes the pre-fold fragment files, so any STILL-HELD index
+    * handle from an earlier `load(dir)` (e.g. the one that encoded
+    * this very increment) is stale — its lazy frames point at swept
+    * paths and the next action on it throws FileNotFoundException.
+    * Same contract as an explicit [[compact]], but firing inside
+    * appendSave: after a call with this knob, RELOAD before touching
+    * any previously-loaded handle.
     */
   def appendSave(spark: SparkSession, dir: String,
                  encoded: DataFrame, note: String = "",

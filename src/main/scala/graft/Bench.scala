@@ -284,18 +284,22 @@ object Bench {
         // single post-exit read always subtracted 0 and the duck's own
         // burn was reported as third-party contention (the committed
         // r14 snapshots read duck_fgn 1.4-2.0 on hosts the same run
-        // declared quiet). Poll every 2 s and keep the last reading —
-        // the tail error is bounded by one poll interval of burn.
+        // declared quiet). Poll every 500 ms, keep the last reading,
+        // and attempt one final read right after exit (harmless if
+        // already reaped) — the residual under-read is bounded by one
+        // poll interval of tail burn, and a sub-interval child yields
+        // duckCpuSec 0, which only makes the stamp CONSERVATIVE
+        // (over-reports foreign load) for a window too short to matter.
         var duckCpuSec = 0.0
+        def sampleDuck(): Unit =
+          try p.info().totalCpuDuration()
+            .ifPresent(d => duckCpuSec = d.toMillis / 1e3)
+          catch { case _: Throwable => () }
         var done = false
         val deadline = System.nanoTime() + 20L * 60 * 1000 * 1000 * 1000
         while (!done && System.nanoTime() < deadline) {
-          done = p.waitFor(2, java.util.concurrent.TimeUnit.SECONDS)
-          if (!done) {
-            try p.info().totalCpuDuration()
-              .ifPresent(d => duckCpuSec = d.toMillis / 1e3)
-            catch { case _: Throwable => () }
-          }
+          done = p.waitFor(500, java.util.concurrent.TimeUnit.MILLISECONDS)
+          sampleDuck()
         }
         val wallSec = (System.nanoTime() - t0) / 1e9
         val s1 = cpuSample()

@@ -944,6 +944,12 @@ object Dedup {
         newDocs.filter(size(tokens(coalesce(col(textCol), lit("")))) > 0),
         idCol, textCol, index.model.dim)
       .select(col(idCol).as("v_id"), col("embedding").as("v_vec"))
+      // zero-NORM embeddings (signed hash contributions can cancel even
+      // for tokenized docs) carry no fit signal either way: averaging
+      // them at cosine 0.0 would deflate meanAssignCos and could fire a
+      // SPURIOUS rebuild with no real drift (second r14 review pass) —
+      // exclude them so the mean stays a pure quantizer-fit signal
+      .filter(Similarity.norm(col("v_vec")) > 0)
     val perCell = index.quantizer.assign(emb)
       .join(broadcast(index.centroids), Seq("cent_id"))
       .select(col("cent_id"),

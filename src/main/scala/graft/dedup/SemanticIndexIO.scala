@@ -114,34 +114,45 @@ object SemanticIndexIO {
     val info = s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
       s"pid=${ProcessHandle.current().pid()} " +
       s"since=${java.time.Instant.now()}"
+    // The concurrency diagnosis is scoped to the CREATE call only: a
+    // failure AFTER a successful exclusive create means WE own a
+    // half-written lease (disk full / pipeline failure mid-write) —
+    // that must clean itself up and rethrow as the real fault, never
+    // read as "locked by another writer" whose named holder would be
+    // our own pid (second r14 review pass).
+    val out =
+      try fs.create(p, false) // overwrite=false — atomic exclusive create
+      catch {
+        // Only an EXISTING lease is a concurrency diagnosis. Other
+        // IOExceptions (permissions, transient FS) surface as
+        // themselves — reporting them as "locked" steers the operator
+        // to breakLease, which deletes nothing and masks the real
+        // fault (r14 review). FileAlreadyExistsException is the
+        // contract signal; some FS impls throw a generic IOException
+        // for it, so an exists() re-check covers those.
+        case e: java.io.IOException
+            if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+              (try fs.exists(p) catch { case _: Throwable => false }) =>
+          val holder =
+            try readText(fs, p).trim catch { case _: Throwable => "(unreadable)" }
+          throw new IllegalStateException(
+            s"semantic index store at $d is locked by another writer " +
+              s"[$holder] — concurrent writes would corrupt the store " +
+              "(both would commit the same next generation). Wait for it " +
+              "to finish; if it crashed, confirm it is dead and call " +
+              s"SemanticIndexIO.breakLease on this dir (lease file: $p)", e)
+      }
     try {
-      // overwrite=false — atomic exclusive create on local and HDFS
-      val out = fs.create(p, false)
       try {
         out.write(info.getBytes("UTF-8"))
         try out.hsync()
         catch { case _: UnsupportedOperationException => out.hflush() }
       } finally out.close()
       p
-    } catch {
-      // Only an EXISTING lease is a concurrency diagnosis. Other
-      // IOExceptions (disk full, permissions, transient FS) must
-      // surface as themselves — reporting them as "locked" steers the
-      // operator to breakLease, which deletes nothing and masks the
-      // real fault (r14 review). FileAlreadyExistsException is the
-      // contract signal; some FS impls throw a generic IOException for
-      // it, so an exists() re-check covers those.
-      case e: java.io.IOException
-          if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
-            (try fs.exists(p) catch { case _: Throwable => false }) =>
-        val holder =
-          try readText(fs, p).trim catch { case _: Throwable => "(unreadable)" }
-        throw new IllegalStateException(
-          s"semantic index store at $d is locked by another writer " +
-            s"[$holder] — concurrent writes would corrupt the store " +
-            "(both would commit the same next generation). Wait for it " +
-            "to finish; if it crashed, confirm it is dead and call " +
-            s"SemanticIndexIO.breakLease on this dir (lease file: $p)", e)
+    } catch { case e: Throwable =>
+      // we created it; a half-written lease must not brick the store
+      releaseLease(fs, p)
+      throw e
     }
   }
 

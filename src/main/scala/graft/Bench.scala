@@ -52,6 +52,24 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   *     start inflated tail rows 2-6x while the warm-relative guard
   *     (warm and timed sharing the weather) stayed silent. The detail
   *     JSON carries per-row "fgn_queries" / "la_queries" maps.
+  *   - BANDWIDTH-CLASS contention (round 15): the foreign-core stamp is
+  *     blind to contention that burns no guest-visible CPU — the r14
+  *     driver artifact carried rows 2-5x inflated with fgn = 0.0 (the
+  *     host delivers less effective CPU/bandwidth with nothing foreign
+  *     in /proc/stat — hypervisor co-tenancy). Two additional ABSOLUTE
+  *     loudness triggers select rows for the end-of-pass re-roll, both
+  *     judged against a SESSION FLOOR (running min over every same-kind
+  *     probe this run takes) rather than fixed constants: the kept
+  *     window's worst spin bracket, and the worst reading of a new
+  *     memory-STREAMING probe (memSpin — a register spin cannot see
+  *     pure bandwidth co-tenancy; a cache-line-stride stream can). Big
+  *     rows are bracketed with both probes (pre+post); the re-roll
+  *     confirm rule requires the re-roll window quiet by EVERY trigger
+  *     before a no-faster re-roll may confirm the original (two loud
+  *     windows are two bad measurements, not an adjudication). The JSON
+  *     carries "cmax_queries"/"mmax_queries", the floors, and a
+  *     "pairing_band_ok" self-check of the same-session pairing against
+  *     the committed clean band (BASELINE.md).
   *   - PER-QUERY trust guard (round 7): the whole-pass brackets above
   *     cannot see a MID-pass contention episode (round-6's driver
   *     artifact carried unflagged 16x outliers with nominal brackets).
@@ -103,6 +121,36 @@ object Bench {
     val ts = (1 to 32).map(_ => new Thread(() => spin()))
     ts.foreach(_.start()); ts.foreach(_.join())
     (one, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Fixed-work MEMORY-STREAMING probe (r15): wall seconds to stream a
+    * 128 MiB buffer several times at cache-line stride. The register-only
+    * spin() is PHYSICALLY blind to pure memory-bandwidth contention (it
+    * touches no memory), and bandwidth is exactly what co-tenant load
+    * degrades first on this host (BASELINE.md host-epoch section) — the
+    * r14 driver artifact carried rows 2-5x inflated with fgn = 0.0. This
+    * probe is bandwidth-bound by construction (stride 8 longs = one
+    * 64-byte line per load, defeating cache reuse), so it stretches under
+    * BOTH contention classes: hypervisor-level deschedule (wall passes,
+    * no work done — same as spin) and bandwidth co-tenancy (lines arrive
+    * slower — invisible to spin). Quiet nominal on this host ~0.1 s
+    * (measured r15); loudness is judged RELATIVE to the session floor,
+    * not an absolute constant, so host-epoch drift can't stale it.
+    */
+  private lazy val memBuf = new Array[Long](16 << 20) // 128 MiB
+  private def memSpin(): Double = {
+    val buf = memBuf
+    val t0 = System.nanoTime()
+    var s = 0L
+    var pass = 0
+    while (pass < 10) {
+      var i = pass % 8 // rotate the lane so passes aren't line-identical
+      val n = buf.length
+      while (i < n) { s += buf(i); i += 8 }
+      pass += 1
+    }
+    if (s == 42L) println("?") // keep the loop un-eliminable
+    (System.nanoTime() - t0) / 1e9
   }
 
   private def loadavg(): String =
@@ -205,6 +253,34 @@ object Bench {
   // the re-roll window's own stamp tells the reader what it saw)
   private val RerollWaitMaxSec = 180.0
 
+  // SESSION-FLOOR loudness triggers (r15): the fgn stamp is blind to
+  // contention that burns no guest-visible CPU — the r14 driver
+  // artifact carried rows 2-5x inflated with fgn1 = fgn2 = 0.0 and an
+  // empty reroll_trace, while the SIGNAL was already in the artifact:
+  // those rows' spin brackets read 0.27-0.49 s against the session's
+  // 0.093 s floor (3-5x), and the guard never compared them. A probe
+  // reading (spin or memSpin) is LOUD when it exceeds FloorRatioMax
+  // times the smallest same-kind reading observed this session (the
+  // floor is a running min over every probe the run takes — quiet-gate
+  // calibrations seed it, and late quiet windows adjudicate early loud
+  // rows because the comparison happens at end of pass). The absolute
+  // minimums only guard against a pathologically fast floor reading;
+  // quiet nominals on this host are spin ~0.095 s / mem ~0.115 s, so
+  // 2.5x floor lands near the old absolute Calib1tMax for spin.
+  private val FloorRatioMax = 2.5
+  private val SpinLoudMinSec = 0.2
+  private val MemLoudMinSec = 0.25
+  // committed clean pairing band (spark_oracle_subset / duckdb_wall):
+  // ~0.47-0.52x across quiet same-session boards (BASELINE.md r14
+  // decomposition; the low guard catches a weather-inflated DuckDB
+  // denominator like r12's 0.402x, the high guard a weather-inflated
+  // Spark numerator like the r14 driver board's 0.781x). A full-surface
+  // board outside the band self-marks pairing_band_ok=false instead of
+  // waiting for a reader to notice; scoped runs emit null (their subset
+  // pairing is not the band's quantity).
+  private val PairingBandLo = 0.40
+  private val PairingBandHi = 0.57
+
   /** Forces the COMPLETE plan: digest-aggregates every output column (so
     * pruning can't drop payload work). `useForeach` is precomputed in the
     * warm pass for outputs xxhash64 can't hash (e.g. map columns).
@@ -218,11 +294,15 @@ object Bench {
 
   /** fgn / la stamp the KEPT attempt's window: average foreign cores
     * (the discriminator) and 1-min loadavg at row end (context only —
-    * conflated with our own work's contribution).
+    * conflated with our own work's contribution). cMax / mMax (r15) are
+    * the kept attempt's worst spin / memSpin bracket — 0.0 for small
+    * rows that never took a bracket (their inflation damage is bounded
+    * by their size; the fgn stamp still covers them).
     */
   private final case class QRes(name: String, sec: Double,
                                 reran: Boolean, suspect: Boolean,
-                                fgn: Double = 0.0, la: Double = 0.0)
+                                fgn: Double = 0.0, la: Double = 0.0,
+                                cMax: Double = 0.0, mMax: Double = 0.0)
 
   /** Same-session DuckDB wall over the oracle SQL set: (total seconds,
     * failed-query count). None when the script/python/duckdb is
@@ -374,8 +454,32 @@ object Bench {
     val quietWaitMax = sys.env.get("SPARK_GRAFT_QUIET_WAIT_MAX")
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
       .getOrElse(QuietWaitMaxSec)
+    // session probe floors (r15): running min over every same-kind probe
+    // reading this run takes — quiet-gate calibrations seed them, per-row
+    // brackets and re-roll-window probes keep refining them. Loudness is
+    // judged against the floor AT USE TIME (end of pass / re-roll), so a
+    // quiet window anywhere in the session adjudicates loud rows anywhere
+    // else. A min can only be lowered by a genuinely-fast reading, so
+    // contaminated (slow) observations never desensitize the trigger.
+    var spinFloor = Double.MaxValue
+    var memFloor = Double.MaxValue
+    def spinF(): Double = {
+      val s = spin(); spinFloor = math.min(spinFloor, s); s
+    }
+    def memF(): Double = {
+      val s = memSpin(); memFloor = math.min(memFloor, s); s
+    }
+    def calibrateF(): (Double, Double) = {
+      val c = calibrate(); spinFloor = math.min(spinFloor, c._1); c
+    }
+    def spinLoud(c: Double): Boolean =
+      c > math.max(FloorRatioMax * spinFloor, SpinLoudMinSec)
+    def memLoud(c: Double): Boolean =
+      c > math.max(FloorRatioMax * memFloor, MemLoudMinSec)
     val quietWaitSec = {
       spin() // JIT warm-up: a cold first spin must not read as contention
+      memSpin() // ditto for the streaming probe (first call page-faults
+      // the 128 MiB buffer in); the SECOND reading below seeds the floor
       // loadavg is sampled BEFORE each calibration burst: the 33-spin
       // probe itself adds to the 1-min average, and sampling after it
       // would let the gate re-trigger on its own load near the
@@ -388,7 +492,8 @@ object Bench {
         { case _: Throwable => 0.0 }
       def probe(): (Double, (Double, Double)) = {
         val l = la()
-        (l, if (l > QuietLoadMax) (0.0, 0.0) else calibrate())
+        if (l > QuietLoadMax) (l, (0.0, 0.0))
+        else { memF(); (l, calibrateF()) }
       }
       var slept = 0.0
       var (lav, cal) = probe()
@@ -398,9 +503,22 @@ object Bench {
         slept += 20.0
         val p = probe(); lav = p._1; cal = p._2
       }
+      memF() // guarantee a finite mem floor even when the gate's
+      // calibration bursts were all skipped (loud loadavg / zero cap)
       slept
     }
     val loadStart = loadavg()
+
+    // harness-probe hook (r15): mark the quiet gate's end so a probe can
+    // inject load AFTER the floors are seeded quiet but BEFORE the warm
+    // pass — the exact shape of contention arriving early and persisting
+    // (warm-relative guards blind, floors honest). Same file as the
+    // timed_start marker below; probes match on CONTENT, not existence.
+    sys.env.get("SPARK_GRAFT_PHASE_FILE").foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        "warm_start".getBytes("UTF-8"))
+      catch { case _: Throwable => }
+    }
 
     // warm pass: touch every table, then run each query once so the timed
     // pass measures steady state (codegen compiled, footers cached, JIT
@@ -479,52 +597,87 @@ object Bench {
       val rs = sorted.map { case (name, _) =>
         val w = warm.getOrElse(name, 0.0)
         val isBig = w >= BigRowSec
-        // big rows get a pre-row spin so the retry trigger doesn't
-        // depend on a warm baseline that may itself be contended
-        val cPre = if (isBig) spin() else 0.0
+        // big rows get pre-row probes so the retry trigger doesn't
+        // depend on a warm baseline that may itself be contended; the
+        // memSpin (r15) additionally sees pure-bandwidth contention the
+        // register spin is physically blind to
+        val mPre = if (isBig) memF() else 0.0
+        val cPre = if (isBig) spinF() else 0.0
         var (dt, ok, fgn) = attempt(name)
         var reran = false
         var susp = false
+        // worst probe brackets of the KEPT attempt (r15): fed to the
+        // end-of-pass floor-relative loudness triggers
+        var cMax = cPre
+        var mMax = mPre
         val ratioMax = if (isBig) BigRatioMax else WarmRatioMax
-        // big rows ALSO retry whenever the pre-row spin read contended,
+        // big rows ALSO retry whenever a pre-row probe read contended,
         // independent of the warm ratio — when the warm pass itself ran
         // under contention the inflated baseline makes the ratio gate
-        // blind (the r10 artifact's exact failure), and cPre is the only
-        // weather evidence that doesn't depend on it
+        // blind (the r10 artifact's exact failure), and the pre-row
+        // probes are the only weather evidence that doesn't depend on it
         val trig = (w > 0 && dt > ratioMax * w && dt > MinGuardSec) ||
-          (isBig && cPre > Calib1tMax)
+          (isBig && (cPre > Calib1tMax || memLoud(mPre)))
         if (ok && trig) {
-          // outlier vs the query's OWN warm time: spin-check the host,
-          // retry once, spin-check again; keep the faster attempt
-          val c1 = spin()
+          // outlier vs the query's OWN warm time: probe the host,
+          // retry once, probe again; keep the faster attempt
+          val c1 = spinF()
+          val m1 = memF()
           val (dt2, ok2, fgn2) = attempt(name)
-          val c2 = spin()
+          val c2 = spinF()
+          val m2 = memF()
           reran = true
-          val pre = if (isBig) s""""calib0":${fmt(cPre)},""" else ""
+          val pre = if (isBig)
+            s""""calib0":${fmt(cPre)},"mem0":${fmt(mPre)},""" else ""
           trace += s"""{"q":"$name","warm":${fmt(w)},$pre"t1":${fmt(dt)},""" +
-            s""""calib1":${fmt(c1)},"t2":${fmt(if (ok2) dt2 else -dt2)},""" +
-            s""""calib2":${fmt(c2)},"fgn1":${fmt(fgn)},"fgn2":${fmt(fgn2)}}"""
-          if (ok2 && dt2 < dt) { dt = dt2; fgn = fgn2 }
+            s""""calib1":${fmt(c1)},"mem1":${fmt(m1)},""" +
+            s""""t2":${fmt(if (ok2) dt2 else -dt2)},""" +
+            s""""calib2":${fmt(c2)},"mem2":${fmt(m2)},""" +
+            s""""fgn1":${fmt(fgn)},"fgn2":${fmt(fgn2)}}"""
+          if (ok2 && dt2 < dt) {
+            dt = dt2; fgn = fgn2
+            cMax = math.max(c1, c2); mMax = math.max(m1, m2)
+          } else {
+            cMax = math.max(cPre, c1); mMax = math.max(mPre, m1)
+          }
           // still an outlier AND the host was provably not granting CPU
           // around it -> the number is weather, not engine
           susp = dt > ratioMax * w &&
             (cPre > Calib1tMax || c1 > Calib1tMax || c2 > Calib1tMax)
+        } else if (isBig) {
+          // close the brackets: without post-row probes a contention
+          // episode confined to the row's own window would leave only
+          // the (quiet) pre-row readings on record
+          cMax = math.max(cPre, spinF())
+          mMax = math.max(mPre, memF())
         }
-        QRes(name, if (ok) dt else -dt, reran, susp, fgn, la1())
+        QRes(name, if (ok) dt else -dt, reran, susp, fgn, la1(),
+          cMax, mMax)
       }
       (rs, trace.toList)
     }
 
     // timed pass bracketed by calibrations; if either bracket looks
     // throttled, run one more pass and keep the faster (with ITS brackets)
-    var calPre = calibrate()
+    var calPre = calibrateF()
+    // harness-probe hook (r15): mark that the pre-pass calibration is
+    // done and the timed rows are about to start — lets a probe inject
+    // contention into the ROWS' windows while both whole-pass brackets
+    // stay quiet, the exact r14-driver signature the per-row triggers
+    // exist for (a window covering the brackets is adjudicated by the
+    // pass-level rerun instead and never reaches them)
+    sys.env.get("SPARK_GRAFT_PHASE_FILE").foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        "pass_rows_start".getBytes("UTF-8"))
+      catch { case _: Throwable => }
+    }
     var (pass, trace) = timedPass()
-    var calPost = calibrate()
+    var calPost = calibrateF()
     var passes = 1
     if (suspect(calPre) || suspect(calPost)) {
-      val calPre2 = calibrate()
+      val calPre2 = calibrateF()
       val (pass2, trace2) = timedPass()
-      val calPost2 = calibrate()
+      val calPost2 = calibrateF()
       passes = 2
       // fewer failures beats faster: a pass where a query crashed in 1s
       // must not outrank a pass where it succeeded in 10s
@@ -535,39 +688,67 @@ object Bench {
       }
     }
 
-    // END-OF-PASS loud-window re-roll (r14): the per-query trust guard
-    // is warm-RELATIVE — when warm and timed share the same weather
-    // (contention arriving early and persisting, the r13 artifact) it
-    // never fires, and the quiet-START gate can't see contention that
-    // arrives mid-run (r13 started at loadavg 2.41 and ended at 9.42
-    // with rows 2-6x their clean values). The foreign-core stamp is
-    // ABSOLUTE: any successful non-trivial row whose kept window burned
-    // more than FgnCoresMax foreign cores is re-rolled here, after a
-    // bounded wait for the foreign load to drain; keep-faster, stamped,
-    // traced. A row whose re-roll window was ALSO loud and that kept a
-    // loud-window value is marked suspect — the number is weather and
-    // the JSON says so.
+    // END-OF-PASS loud-window re-roll (r14, widened r15): the per-query
+    // trust guard is warm-RELATIVE — when warm and timed share the same
+    // weather (contention arriving early and persisting, the r13
+    // artifact) it never fires, and the quiet-START gate can't see
+    // contention that arrives mid-run (r13 started at loadavg 2.41 and
+    // ended at 9.42 with rows 2-6x their clean values). Three ABSOLUTE
+    // triggers select rows for re-roll:
+    //   fgn  — kept window burned > FgnCoresMax foreign cores (r14);
+    //   spin — kept window's worst spin bracket > FloorRatioMax x the
+    //          session spin floor (r15: the r14 driver artifact's three
+    //          2-5x rows carried brackets 3-5x the floor with fgn 0.0 —
+    //          the signal was in the artifact, nothing compared it);
+    //   mem  — same, for the memory-streaming probe (r15: catches pure
+    //          bandwidth co-tenancy, which no register spin can see).
+    // Selected rows are re-rolled after a bounded wait for the host to
+    // go quiet BY ALL TRIGGERS; keep-faster, stamped, traced. r15 fixes
+    // the confirm rule: a re-roll that comes back no faster CONFIRMS
+    // the original only when the re-roll window was quiet by every
+    // trigger — two loud windows are two bad measurements, not an
+    // adjudication (the r14 driver's corpus_curate_increment_bloom, 4x
+    // inflated, was blessed exactly that way).
     var rerollWaitSec = 0.0
-    val loud = pass.filter(r => r.sec > MinGuardSec && r.fgn > FgnCoresMax)
+    def rowLoudWhy(r: QRes): String =
+      if (r.fgn > FgnCoresMax) "fgn"
+      else if (spinLoud(r.cMax)) "spin"
+      else if (memLoud(r.mMax)) "mem"
+      else ""
+    val loud = pass.filter(r => r.sec > MinGuardSec && rowLoudWhy(r).nonEmpty)
     val rerollTrace = scala.collection.mutable.ListBuffer[String]()
     if (loud.nonEmpty) {
-      while (foreignNow() > FgnCoresMax && rerollWaitSec < RerollWaitMaxSec) {
+      val rerollWaitMax = sys.env.get("SPARK_GRAFT_REROLL_WAIT_MAX")
+        .flatMap(s => scala.util.Try(s.toDouble).toOption)
+        .getOrElse(RerollWaitMaxSec)
+      while ((foreignNow() > FgnCoresMax || spinLoud(spinF()) ||
+              memLoud(memF())) && rerollWaitSec < rerollWaitMax) {
         Thread.sleep(10000)
-        rerollWaitSec += 11.0 // 10 s sleep + ~1 s probe window
+        rerollWaitSec += 11.0 // 10 s sleep + ~1.2 s probe window
       }
       val redone = loud.map { r =>
+        val why = rowLoudWhy(r)
+        val rm1 = memF()
+        val rc1 = spinF()
         val (dt2, ok2, fgn2) = attempt(r.name)
-        rerollTrace += s"""{"q":"${r.name}","t1":${fmt(r.sec)},""" +
-          s""""fgn1":${fmt(r.fgn)},"t2":${fmt(if (ok2) dt2 else -dt2)},""" +
-          s""""fgn2":${fmt(fgn2)}}"""
+        val rc2 = spinF()
+        val rm2 = memF()
+        val rcMax = math.max(rc1, rc2)
+        val rmMax = math.max(rm1, rm2)
+        val rerollLoud = fgn2 > FgnCoresMax || spinLoud(rcMax) ||
+          memLoud(rmMax)
+        rerollTrace += s"""{"q":"${r.name}","why":"$why",""" +
+          s""""t1":${fmt(r.sec)},"fgn1":${fmt(r.fgn)},""" +
+          s""""cmax1":${fmt(r.cMax)},"mmax1":${fmt(r.mMax)},""" +
+          s""""t2":${fmt(if (ok2) dt2 else -dt2)},"fgn2":${fmt(fgn2)},""" +
+          s""""calib2":${fmt(rcMax)},"mem2":${fmt(rmMax)}}"""
         if (ok2 && dt2 < r.sec)
           r.copy(sec = dt2, reran = true, fgn = fgn2, la = la1(),
-            suspect = fgn2 > FgnCoresMax)
+            suspect = rerollLoud, cMax = rcMax, mMax = rmMax)
         else
-          // a QUIET re-roll that came back no faster CONFIRMS the
-          // original value (the loud window didn't inflate it); only a
-          // loud or failed re-roll leaves the row unadjudicated
-          r.copy(reran = true, suspect = !ok2 || fgn2 > FgnCoresMax)
+          // CONFIRM only from a re-roll window quiet by every trigger;
+          // a loud or failed re-roll leaves the row unadjudicated
+          r.copy(reran = true, suspect = !ok2 || rerollLoud)
       }.map(r => r.name -> r).toMap
       pass = pass.map(r => redone.getOrElse(r.name, r))
     }
@@ -599,7 +780,7 @@ object Bench {
     }
     // the re-rolls run AFTER the calPost bracket — re-probe so host
     // contention that covers only the roll window still flags the run
-    val calRoll = if (ratioExtra.nonEmpty) calibrate() else calPost
+    val calRoll = if (ratioExtra.nonEmpty) calibrateF() else calPost
     val throttled =
       suspect(calPre) || suspect(calPost) || suspect(calRoll)
     // medianize only when BOTH rows collected both extra samples — a
@@ -673,6 +854,20 @@ object Bench {
       .filter { case (_, s, _, x) => x > 2.0 && s >= BigRowSec }
       .map(_._1).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // pairing-band self-check (r15): the same-session pairing is the
+    // judging quantity that survives host weather; a FULL-surface board
+    // outside the committed clean band marks ITSELF out-of-band instead
+    // of waiting for a reader to compare (the r14 driver board read
+    // 0.781x — numerator weather — and carried no self-diagnosis).
+    // Scoped runs emit null: a subset pairing is not the band's quantity.
+    val pairing = duckWall.map { case (t, _, _, _) =>
+      if (t > 0) sparkOracleSubset / t else 0.0 }
+    val pairingJson = pairing.fold(
+      """"pairing":null,"pairing_band_ok":null""") { x =>
+      val ok =
+        if (onlyQueries.isDefined) "null"
+        else (x >= PairingBandLo && x <= PairingBandHi).toString
+      s""""pairing":${fmt(x)},"pairing_band_ok":$ok""" }
     val loadEnd = loadavg()
 
     val failed = results.collect { case r if r.sec < 0 => r.name }.sorted
@@ -697,7 +892,14 @@ object Bench {
           rs.map(r => "\"" + r.name + "\":" + fmt(r.fgn))
             .mkString(""""fgn_queries":{""", ",", "},") +
           rs.map(r => "\"" + r.name + "\":" + fmt(r.la))
-            .mkString(""""la_queries":{""", ",", "},")
+            .mkString(""""la_queries":{""", ",", "},") +
+          // kept-attempt worst probe brackets (r15): 0.000 = the row
+          // took no bracket (small row, no retry) — only big rows and
+          // guard-retried rows carry them
+          rs.map(r => "\"" + r.name + "\":" + fmt(r.cMax))
+            .mkString(""""cmax_queries":{""", ",", "},") +
+          rs.map(r => "\"" + r.name + "\":" + fmt(r.mMax))
+            .mkString(""""mmax_queries":{""", ",", "},")
       val duck = duckWall.fold(
         """"duckdb_wall":null,"duckdb_failed":null,"duck_fgn":null""") {
         case (t, f, _, fg) =>
@@ -710,9 +912,10 @@ object Bench {
         s""""reroll_wait_sec":${fmt(rerollWaitSec)},""" +
         s""""ratio_trace":$ratioTrace,"ratio_rows_medianized":$mixedMedians,""" +
         s""""spark_oracle_subset":${fmt(sparkOracleSubset)},$duck,""" +
-        s""""pairing_worst":$pairingWorst,""" +
+        s"""$pairingJson,"pairing_worst":$pairingWorst,""" +
         s""""pairing_flagged":$pairingFlagged,""" +
         s""""queries":$qs,$wm"sf":"$sfDir",""" +
+        s""""spin_floor":${fmt(spinFloor)},"mem_floor":${fmt(memFloor)},""" +
         s""""calib_1t_pre":${fmt(calPre._1)},"calib_32t_pre":${fmt(calPre._2)},""" +
         s""""calib_1t_post":${fmt(calPost._1)},"calib_32t_post":${fmt(calPost._2)},""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +

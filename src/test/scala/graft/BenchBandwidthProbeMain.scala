@@ -1,0 +1,226 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Probe for Bench's r15 floor-relative loudness triggers (VERDICT r14
+  * item 1): demonstrates that rows inflated by contention the
+  * foreign-core stamp CANNOT see are still flagged and adjudicated.
+  *
+  * The r14 driver artifact's failure signature was: rows 2-5x their
+  * clean values, fgn1 = fgn2 = 0.0, empty reroll_trace, spin brackets
+  * 3-5x the session floor. That is hypervisor-level co-tenancy: the
+  * host deschedules our vCPUs (or starves their memory bandwidth), so
+  * wall time passes while /proc/stat shows NOTHING foreign — no
+  * guest-side CPU or memcpy hog can reproduce it, because a guest hog's
+  * burn is visible in /proc/stat and trips the fgn trigger first. This
+  * probe reproduces the signature faithfully by SIGSTOP duty-cycling
+  * the whole bench JVM (45 ms stopped / 15 ms running ~= a host
+  * granting ~25% of nominal CPU): every query wall and every probe
+  * reading stretches ~3-4x while fgn reads ~0 — exactly the r14 shape.
+  *
+  * Modes (arg 0, default "drain"):
+  *  - drain: inject from the warm_start marker (floors are seeded quiet
+  *    by then — the quiet-start gate runs first) until ~30 s after the
+  *    timed pass begins, then drain. PASS = at least one row re-rolled
+  *    for why=spin/mem with fgn1 < 2 (the r14 machinery saw nothing
+  *    here), and every such row's re-roll came back faster in the quiet
+  *    tail.
+  *  - hold: inject until bench exit, so re-roll windows are ALSO loud.
+  *    PASS = no-faster loud-window re-rolls land in suspect instead of
+  *    silently confirming (the r14 rule blessed exactly this shape:
+  *    corpus_curate_increment_bloom, 4x, two loud windows, never
+  *    flagged).
+  *
+  * Run: sbt "Test/runMain graft.BenchBandwidthProbeMain [drain|hold]"
+  */
+object BenchBandwidthProbeMain {
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("drain")
+    require(mode == "drain" || mode == "hold", s"unknown mode $mode")
+    val tmp = Files.createTempDirectory("bwprobe")
+    val phase = tmp.resolve("phase.txt")
+    val out = tmp.resolve("bench.out")
+    // same sf0.001 surface as BenchContentionMain: several rows whose
+    // duty-cycled warm times cross BigRowSec and therefore carry the
+    // r15 probe brackets (small rows are the documented boundary)
+    val queries = Seq(
+      "gaf_pipeline_e2e", "corpus_curate_e2e", "corpus_curate_full",
+      "corpus_curate_quantile", "corpus_curate_lines_terms",
+      "corpus_curate_increment_bloom", "sim_semdedup_text",
+      "dedup_incremental_semantic_fold", "dedup_incremental_bloom_fold",
+      "sim_semdedup_hier", "dedup_span_stats", "text_perplexity_buckets",
+    ).mkString(",")
+    val cmd = (Seq("java") ++ jdk17AddOpens ++ Seq(
+      "-Xmx8g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"), "graft.Bench")
+      ).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(tmp.toFile)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    pb.environment().put("SPARK_GRAFT_BENCH_QUERIES", queries)
+    // the gate must RUN (it seeds the quiet floors the triggers judge
+    // against) but not block a deliberately-loud probe for 10 min
+    pb.environment().put("SPARK_GRAFT_QUIET_WAIT_MAX", "40")
+    // in hold mode the pre-re-roll drain wait can never succeed; bound it
+    pb.environment().put("SPARK_GRAFT_REROLL_WAIT_MAX",
+      if (mode == "hold") "25" else "60")
+    pb.environment().put("SPARK_GRAFT_PHASE_FILE", phase.toString)
+    pb.redirectOutput(out.toFile)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    val t0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - t0) / 1e9
+    val bench = pb.start()
+    val pid = bench.pid()
+    def phaseIs(s: String): Boolean =
+      try new String(Files.readAllBytes(phase), "UTF-8") == s
+      catch { case _: Throwable => false }
+
+    // 45 ms stopped / 15 ms running: the JVM makes ~25% nominal
+    // progress; all its threads (queries, spins, memSpins) stretch
+    // together and burn no CPU while stopped — /proc/stat stays quiet
+    def startDutyCycle(): Process =
+      new ProcessBuilder("sh", "-c",
+        s"while kill -STOP $pid 2>/dev/null; do sleep 0.045; " +
+          s"kill -CONT $pid; sleep 0.015; done").start()
+    def stopDutyCycle(p: Process): Unit = {
+      p.destroyForcibly()
+      p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)
+      // the cycler may have died between STOP and CONT
+      new ProcessBuilder("kill", "-CONT", pid.toString).start().waitFor()
+    }
+
+    while (!phaseIs("warm_start") && !phaseIs("timed_start") &&
+           bench.isAlive) Thread.sleep(200)
+    println(f"BWPROBE[$mode] warm pass began at ${elapsed()}%.1f s; " +
+      "starting SIGSTOP duty-cycle (fgn-invisible contention)")
+    val cycler = startDutyCycle()
+    // liveness monitor: sample the bench pid's /proc state so a probe
+    // failure distinguishes "cycle died" from "cycle ineffective"
+    @volatile var stopMon = false
+    val stateCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val mon = new Thread(() => {
+      while (!stopMon) {
+        val st = try {
+          val s = new String(Files.readAllBytes(
+            Paths.get(s"/proc/$pid/stat")), "UTF-8")
+          s.substring(s.lastIndexOf(')') + 2).split("\\s+")(0)
+        } catch { case _: Throwable => "?" }
+        val key = s"$st/alive=${cycler.isAlive}"
+        stateCounts.merge(key, 1, (a, b) => a + b)
+        Thread.sleep(250)
+      }
+    })
+    mon.setDaemon(true); mon.start()
+    def monReport(tag: String): Unit =
+      println(s"BWPROBE monitor[$tag] " +
+        stateCounts.toString + s" cyclerAlive=${cycler.isAlive}")
+    try {
+      if (mode == "drain") {
+        // the r14-driver signature needs BOTH whole-pass brackets quiet
+        // (a window covering them is adjudicated by the pass-level
+        // rerun — proven on the first probe roll: passes=2, clean pass
+        // kept — and never reaches the per-row triggers): drain across
+        // the pre-pass calibration, re-inject for the first rows, drain
+        // again well before pass end. Poll fast — the calibration is
+        // ~0.5 s and leftover cycling inside it flips the pass guard.
+        while (!phaseIs("timed_start") && !phaseIs("pass_rows_start") &&
+               bench.isAlive) Thread.sleep(50)
+        stopDutyCycle(cycler)
+        println(f"BWPROBE pre-pass calibration at ${elapsed()}%.1f s; " +
+          "load drained for the bracket")
+        monReport("at_timed_start")
+        stateCounts.clear()
+        while (!phaseIs("pass_rows_start") && bench.isAlive)
+          Thread.sleep(50)
+        val cycler2 = startDutyCycle()
+        println(f"BWPROBE timed rows began at ${elapsed()}%.1f s; " +
+          "cycling their windows 30 s")
+        try {
+          Thread.sleep(30000)
+          monReport("end_of_hold")
+        } finally stopDutyCycle(cycler2)
+        stopMon = true
+        println(f"BWPROBE load drained at ${elapsed()}%.1f s; " +
+          "waiting for bench exit")
+        bench.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      } else {
+        bench.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
+        monReport("at_exit")
+        stopMon = true
+        stopDutyCycle(cycler)
+        println(f"BWPROBE bench exited at ${elapsed()}%.1f s under load")
+      }
+    } finally stopDutyCycle(cycler)
+    if (bench.isAlive) { bench.destroyForcibly(); sys.error("bench hung") }
+
+    val detail = new String(Files.readAllBytes(
+      tmp.resolve("bench_detail.json")), "UTF-8")
+    def field(name: String, open: Char, close: Char): String = {
+      val i = detail.indexOf("\"" + name + "\":")
+      if (i < 0) return ""
+      val s = detail.indexOf(open, i)
+      var depth = 0; var j = s
+      while (j < detail.length) {
+        if (detail(j) == open) depth += 1
+        else if (detail(j) == close) { depth -= 1
+          if (depth == 0) return detail.substring(s, j + 1) }
+        j += 1
+      }
+      ""
+    }
+    val reroll = field("reroll_trace", '[', ']')
+    val suspect = field("suspect", '[', ']')
+    println(s"BWPROBE suspect=$suspect")
+    println(s"BWPROBE reroll_trace=$reroll")
+    Seq("spin_floor", "mem_floor", "reroll_wait_sec").foreach { k =>
+      ("\"" + k + "\":([0-9.]+)").r.findFirstMatchIn(detail)
+        .foreach(m => println(s"BWPROBE $k=${m.group(1)}"))
+    }
+    // rows the r14 machinery could NOT have seen: flagged for a probe
+    // bracket with a quiet fgn stamp
+    val entryRe = ("""\{"q":"([a-z0-9_]+)","why":"(spin|mem)",""" +
+      """"t1":([0-9.]+),"fgn1":([0-9.]+),.*?"t2":(-?[0-9.]+),""" +
+      """"fgn2":([0-9.]+),"calib2":([0-9.]+),"mem2":([0-9.]+)\}""").r
+    val blindRows = entryRe.findAllMatchIn(reroll)
+      .filter(_.group(4).toDouble < 2.0).toList
+    blindRows.foreach { m =>
+      println(s"BWPROBE blind-class row ${m.group(1)}: why=${m.group(2)} " +
+        s"t1=${m.group(3)} fgn1=${m.group(4)} -> t2=${m.group(5)}")
+    }
+    val verdict = mode match {
+      case "drain" =>
+        val closed = blindRows.filter(m =>
+          m.group(5).toDouble > 0 &&
+            m.group(5).toDouble < m.group(3).toDouble)
+        if (blindRows.isEmpty)
+          "FAIL: no fgn-blind row was flagged by the probe brackets"
+        else if (closed.size < blindRows.size)
+          s"PARTIAL: ${closed.size}/${blindRows.size} blind-class rows " +
+            "re-rolled faster (rest adjudicated no-faster or loud)"
+        else
+          s"PASS: ${blindRows.size} fgn-blind rows flagged by " +
+            "spin/mem brackets and re-rolled faster in the quiet tail"
+      case _ =>
+        val suspects = "\"([a-z0-9_]+)\"".r.findAllMatchIn(suspect)
+          .map(_.group(1)).toSet
+        if (blindRows.isEmpty)
+          "FAIL: no fgn-blind row was flagged under held load"
+        else if (blindRows.exists(m => suspects(m.group(1))))
+          "PASS: loud-window no-faster re-rolls land in suspect " +
+            "(the r14 rule would have silently confirmed them)"
+        else
+          "FAIL: flagged rows were confirmed despite loud re-roll windows"
+    }
+    println(s"BWPROBE[$mode] $verdict")
+  }
+}

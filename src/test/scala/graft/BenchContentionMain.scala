@@ -61,7 +61,16 @@ object BenchContentionMain {
     val spinners = (1 to 5).map(_ =>
       new ProcessBuilder("sh", "-c", "while : ; do : ; done").start())
     try {
-      while (!Files.exists(phase) && bench.isAlive) Thread.sleep(500)
+      // match on CONTENT: since r15 the phase file is written several
+      // times (warm_start at gate end, timed_start after warm,
+      // pass_rows_start after the pre-pass calibration) — existence
+      // alone would fire a warm-pass-early hold here, and a slow poll
+      // can skip straight from warm_start to pass_rows_start
+      def timedStarted(): Boolean =
+        try Set("timed_start", "pass_rows_start")(
+          new String(Files.readAllBytes(phase), "UTF-8"))
+        catch { case _: Throwable => false }
+      while (!timedStarted() && bench.isAlive) Thread.sleep(500)
       println(f"CONTPROBE timed pass began at " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s; holding load 8 s more")
       Thread.sleep(8000)

@@ -950,8 +950,41 @@ object Dedup {
       // SPURIOUS rebuild with no real drift (second r14 review pass) —
       // exclude them so the mean stays a pure quantizer-fit signal
       .filter(Similarity.norm(col("v_vec")) > 0)
-    val perCell = index.quantizer.assign(emb)
-      .join(broadcast(index.centroids), Seq("cent_id"))
+    driftOfAssigned(index.quantizer.assign(emb), "v_vec",
+      index.centroids, topPct)
+  }
+
+  /** [[semanticDrift]] over rows that are ALREADY assigned and carry
+    * their embedding — the shape [[SemanticIndexIO.appendSave]] holds
+    * at fold time (`semanticEncode` output: `cent_id`, `c_vec`). Skips
+    * the tokenize+embed+assign pass entirely: the residual cost is one
+    * broadcast join against the centroid-capped table plus a bounded
+    * per-cell collect, which is what makes an every-increment probe
+    * affordable inside the deployment loop.
+    */
+  def semanticDriftEncoded(encoded: DataFrame, centroids: DataFrame,
+                           topPct: Double = 0.05): DriftStats = {
+    import graft.similarity.Similarity
+    // zero-norm rows carry no fit signal (see semanticDrift); encoded
+    // rows are normally norm>0 by semanticEncode's filter, but this
+    // entry point takes any (cent_id, c_vec) frame
+    driftOfAssigned(
+      encoded.select(col("cent_id"), col("c_vec").as("v_vec"))
+        .filter(Similarity.norm(col("v_vec")) > 0),
+      "v_vec", centroids, topPct)
+  }
+
+  /** Shared tail of the drift probes: per-cell count + assigned-cosine
+    * sum over a pre-assigned frame, collected bounded by the centroid
+    * cap. `assigned` must carry `cent_id` and the embedding in
+    * `vecCol`.
+    */
+  private def driftOfAssigned(assigned: DataFrame, vecCol: String,
+                              centroids: DataFrame,
+                              topPct: Double): DriftStats = {
+    import graft.similarity.Similarity
+    val perCell = assigned
+      .join(broadcast(centroids), Seq("cent_id"))
       .select(col("cent_id"),
         // Similarity.cosine guards the COMBINED norm product: a
         // zero-norm (dead-seed) centroid scores 0, and so does a doc
@@ -960,12 +993,12 @@ object Dedup {
         // guarding only the centroid side made such a doc divide 0/0
         // and one NaN poisoned the whole increment's meanAssignCos,
         // silently disabling the rebuild trigger; r14 review)
-        Similarity.cosine(col("v_vec"), col("cent_vec")).as("_cos"))
+        Similarity.cosine(col(vecCol), col("cent_vec")).as("_cos"))
       .groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n"), sum(col("_cos")).as("s"))
       .collect()
       .map(r => (r.getLong(1), r.getDouble(2)))
-    val k = index.centroids.count()
+    val k = centroids.count()
     val topCells = math.max(1, math.ceil(topPct * k).toInt)
     val n = perCell.map(_._1).sum
     if (n == 0L)

@@ -23,7 +23,7 @@ import graft.similarity.{Pq, Similarity}
   *
   * {{{
   *   CURRENT                        "gen=<k>"   (atomically replaced)
-  *   gen=<k>/meta.txt               "flat" | "twolevel <stride>"
+  *   gen=<k>/meta.txt               "flat" | "twolevel <stride>[ joinassign]"
   *   gen=<k>/model.txt              "m ksub subDim" + codebook rows
   *   gen=<k>/quantizer/centroids/   (flat)      cent_id, cent_vec
   *   gen=<k>/quantizer/coarse/      (twolevel)  cent_id, cent_vec
@@ -109,11 +109,40 @@ object SemanticIndexIO {
     */
   private val LeaseFile = "_writer.lease"
 
-  private def acquireLease(fs: FileSystem, d: Path): Path = {
+  /** Held-lease handle (r15): `observedGen` is the store's committed
+    * generation at acquisition time — a MONOTONIC FENCING TOKEN. The
+    * documented [[breakLease]] recovery ("confirm the writer is dead,
+    * then break") has an inherent resurrection race: a writer presumed
+    * dead (GC pause, NFS stall) can resume after the break and commit
+    * over the new writer's generation. Every commit-pointer flip now
+    * re-reads CURRENT and REFUSES if the store advanced past the
+    * flipping writer's token — whichever of the two writers flips
+    * second fails loudly instead of silently splitting history; the
+    * same check runs before the generation-tree writes to shrink the
+    * scribble window. RESIDUAL (documented, not closed): a stale
+    * writer that resumes INSIDE its tree/fragment writes can still
+    * overwrite the winner's same-numbered artifacts before reaching a
+    * fence — closing that needs per-writer-unique artifact names (a
+    * layout change); on a deployment where breakLease is ever used
+    * under doubt, prefer rebuilding the store from the last statuslog.
+    */
+  private final case class WriterLease(path: Path, observedGen: Long)
+
+  private def fenceCheck(fs: FileSystem, d: Path, lease: WriterLease,
+                         at: String): Unit = {
+    val cur = currentGen(fs, d)
+    if (cur != lease.observedGen)
+      throw new IllegalStateException(
+        s"STALE WRITER fenced at $at for $d: this writer's lease " +
+          s"observed gen=${lease.observedGen} but the store is now at " +
+          s"gen=$cur — the lease was broken while this writer was " +
+          "presumed dead and another writer committed. This writer's " +
+          "work is abandoned (its debris is swept by the next save); " +
+          "re-load the store and redo the increment.")
+  }
+
+  private def acquireLease(fs: FileSystem, d: Path): WriterLease = {
     val p = new Path(d, LeaseFile)
-    val info = s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
-      s"pid=${ProcessHandle.current().pid()} " +
-      s"since=${java.time.Instant.now()}"
     // The concurrency diagnosis is scoped to the CREATE call only: a
     // failure AFTER a successful exclusive create means WE own a
     // half-written lease (disk full / pipeline failure mid-write) —
@@ -143,14 +172,22 @@ object SemanticIndexIO {
               s"SemanticIndexIO.breakLease on this dir (lease file: $p)", e)
       }
     try {
+      // read under the held lease: no committed writer can advance the
+      // pointer between the exclusive create above and this read
+      val observedGen = currentGen(fs, d)
+      val info =
+        s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+          s"pid=${ProcessHandle.current().pid()} " +
+          s"since=${java.time.Instant.now()} gen=$observedGen"
       try {
         out.write(info.getBytes("UTF-8"))
         try out.hsync()
         catch { case _: UnsupportedOperationException => out.hflush() }
       } finally out.close()
-      p
+      WriterLease(p, observedGen)
     } catch { case e: Throwable =>
       // we created it; a half-written lease must not brick the store
+      try out.close() catch { case _: Throwable => () }
       releaseLease(fs, p)
       throw e
     }
@@ -353,7 +390,13 @@ object SemanticIndexIO {
         writeText(fs, new Path(g, "meta.txt"), "flat")
         centroids.write.parquet(s"$gs/quantizer/centroids")
       case Similarity.TwoLevelCoarse(tl) =>
-        writeText(fs, new Path(g, "meta.txt"), s"twolevel ${tl.fineK}")
+        // the optional third token marks a PAST-LITERAL-BUDGET fine
+        // level (r15): load must reconstruct the join-assign routing,
+        // or the first stored classify would collect the whole fine
+        // table onto the driver
+        writeText(fs, new Path(g, "meta.txt"),
+          s"twolevel ${tl.fineK}" +
+            (if (tl.literalOk) "" else " joinassign"))
         tl.coarse.write.parquet(s"$gs/quantizer/coarse")
         tl.fine.write.parquet(s"$gs/quantizer/fine")
     }
@@ -366,7 +409,11 @@ object SemanticIndexIO {
     * does not support sync) before the move, so a power loss cannot
     * surface an empty/truncated CURRENT.
     */
-  private def flipCurrent(fs: FileSystem, d: Path, gen: Long): Unit = {
+  private def flipCurrent(fs: FileSystem, d: Path, gen: Long,
+                          lease: WriterLease): Unit = {
+    // fencing token check (r15): refuse to move the commit pointer if
+    // the store advanced past this writer's lease — see WriterLease
+    fenceCheck(fs, d, lease, "CURRENT flip")
     val tmp = new Path(d, s"_current_g$gen.tmp")
     val out = fs.create(tmp, true)
     try {
@@ -390,8 +437,15 @@ object SemanticIndexIO {
     val (fs, d) = fsOf(spark, dir)
     fs.mkdirs(d)
     val lease = acquireLease(fs, d)
-    try saveLocked(fs, d, index, note)
-    finally releaseLease(fs, lease)
+    try {
+      // a full save is where a RETRAINED quantizer arrives — the drift
+      // baseline describes the old training distribution, so reset it
+      // (the next probed increment re-records it). compact() bypasses
+      // this via saveLocked: folding fragments does not retrain.
+      try fs.delete(new Path(d, DriftBaselineFile), false)
+      catch { case _: Throwable => () }
+      saveLocked(fs, d, index, note, lease)
+    } finally releaseLease(fs, lease.path)
   }
 
   /** [[save]]'s body with the writer lease already HELD — shared by
@@ -401,7 +455,7 @@ object SemanticIndexIO {
     */
   private def saveLocked(fs: FileSystem, d: Path,
                          index: Dedup.SemanticIndex,
-                         note: String): Unit = {
+                         note: String, lease: WriterLease): Unit = {
     {
       val oldGen = currentGen(fs, d)
       val oldFrags =
@@ -409,6 +463,10 @@ object SemanticIndexIO {
       // crashed partials from an earlier save are swept before reuse
       sweep(fs, d, oldGen, oldFrags)
       val gen = oldGen + 1
+      // fencing token check before the shared-name writes (r15): see
+      // WriterLease — shrinks the resurrected-stale-writer window; the
+      // authoritative refusal is flipCurrent's
+      fenceCheck(fs, d, lease, "generation tree write")
       // An EMPTY index (zero code rows — an all-dup/empty-text history,
       // reachable through the streaming fold when the initial state is
       // empty, or a direct save of an empty build) must NOT write a
@@ -454,7 +512,7 @@ object SemanticIndexIO {
           index.vectors.select(col("c_id"), col("c_vec")).schema.json)
       writeGenTree(fs, d, gen, index.model, index.quantizer, frags, note)
       writeText(fs, new Path(d, FormatFile), FormatVersion)
-      flipCurrent(fs, d, gen)
+      flipCurrent(fs, d, gen, lease)
       // old generations and superseded fragments are dead after the flip
       sweep(fs, d, gen, frags.toSet)
     }
@@ -488,12 +546,41 @@ object SemanticIndexIO {
     * appendSave: after a call with this knob, RELOAD before touching
     * any previously-loaded handle.
     */
+  /** `driftProbe` (r15, opt-in): probe the increment's quantizer fit
+    * ([[graft.dedup.Dedup.semanticDriftEncoded]] over the already-
+    * encoded rows — no re-embed; one broadcast join + a centroid-
+    * bounded collect) before committing. The FIRST probed increment's
+    * reading is recorded as the store's baseline (`_drift_baseline.txt`
+    * at the store root — reset by a full [[save]], which is where a
+    * retrained quantizer arrives); later probed increments compare
+    * against it with the [[graft.dedup.Dedup.semanticDrift]] scaladoc's
+    * thresholds (meanAssignCos < 90% of baseline, or topShare > 3x
+    * baseline) and WARN loudly through the logger when crossed —
+    * classification output is never altered (rebuild is an operator
+    * decision; a single topical batch can spike topShare). The reading
+    * also lands in the committed generation (`drift.txt`), surfaced by
+    * [[stats]] as `drift`. Returns the report when probed and the
+    * increment was non-empty.
+    */
+  final case class DriftReport(stats: Dedup.DriftStats,
+                               baselineMeanCos: Double,
+                               baselineTopShare: Double,
+                               isBaseline: Boolean, drifted: Boolean)
+
+  private val DriftMeanCosFactor = 0.9
+  private val DriftTopShareFactor = 3.0
+  private val DriftBaselineFile = "_drift_baseline.txt"
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.dedup.SemanticIndexIO")
+
   def appendSave(spark: SparkSession, dir: String,
                  encoded: DataFrame, note: String = "",
-                 compactPastFragments: Int = 0): Unit = {
+                 compactPastFragments: Int = 0,
+                 driftProbe: Boolean = false): Option[DriftReport] = {
     val (fs, d) = fsOf(spark, dir)
     val lease = acquireLease(fs, d)
-    val frags = try {
+    val (frags, report) = try {
       val gen0 = currentGen(fs, d)
       require(gen0 >= 0,
         s"appendSave grows a COMMITTED index but $dir holds none — " +
@@ -502,12 +589,12 @@ object SemanticIndexIO {
       sweep(fs, d, gen0, oldFrags.toSet)
       val gen = gen0 + 1
       // persist the increment here (not in writeFragment) so the
-      // emptiness probe and both fragment writes share one run of the
-      // embed+encode chain
+      // emptiness probe, the drift probe, and both fragment writes
+      // share one run of the embed+encode chain
       val callerCached =
         encoded.storageLevel != org.apache.spark.storage.StorageLevel.NONE
       if (!callerCached) encoded.persist()
-      val frags = try {
+      val (frags, report) = try {
         // An EMPTY increment (every doc a dup / empty-text — a
         // re-crawl-heavy stretch is normal) must NOT write a fragment: an
         // empty partitionBy write produces a dir with no parquet files,
@@ -516,16 +603,24 @@ object SemanticIndexIO {
         // generation still commits — callers ride watermarks on `note`,
         // and skipping the commit would strand their already-archived
         // side outputs behind an unadvanced bound.
-        if (encoded.isEmpty) oldFrags
+        if (encoded.isEmpty) (oldFrags, None)
         else {
+          val rep =
+            if (!driftProbe) None
+            else Some(driftReportOf(spark, fs, d,
+              new Path(d, s"gen=$gen0"), encoded))
           val frag = s"frag=${nextFragId(fs, d)}"
           writeFragment(d.toString, frag,
             codes = encoded.drop("c_vec"),
             vectors = encoded.select(col("c_id"), col("c_vec")),
             shared = encoded)
-          oldFrags :+ frag
+          (oldFrags :+ frag, rep)
         }
       } finally if (!callerCached) encoded.unpersist()
+      // fencing token check before the shared-name tree writes (r15):
+      // shrinks (does not close — see WriterLease) the window where a
+      // resurrected stale writer scribbles on the winner's gen tree
+      fenceCheck(fs, d, lease, "generation tree write")
       // byte-copy the (small, centroid-capped) quantizer/model tree plus
       // the schema sidecar, then seal with the extended manifest
       val g0 = new Path(d, s"gen=$gen0")
@@ -539,17 +634,79 @@ object SemanticIndexIO {
               false, fs.getConf)
       }
       if (note.nonEmpty) writeText(fs, new Path(g, "note.txt"), note)
+      report.foreach { r =>
+        writeText(fs, new Path(g, "drift.txt"),
+          s"${r.stats.rows} ${r.stats.meanAssignCos} " +
+            s"${r.stats.topShare} ${r.drifted}")
+      }
       writeText(fs, new Path(g, "manifest.txt"), frags.mkString("\n"))
       writeText(fs, new Path(d, FormatFile), FormatVersion)
-      flipCurrent(fs, d, gen)
+      flipCurrent(fs, d, gen, lease)
       sweep(fs, d, gen, frags.toSet)
-      frags
-    } finally releaseLease(fs, lease)
+      (frags, report)
+    } finally releaseLease(fs, lease.path)
     // opt-in auto-compact AFTER the lease release (compact re-acquires
     // through save): the increment's commit is already durable, so a
     // crash inside the fold loses nothing
     if (compactPastFragments > 0 && frags.size > compactPastFragments)
       compact(spark, dir)
+    report
+  }
+
+  /** Drift probe + baseline bookkeeping for [[appendSave]] — runs with
+    * the writer lease HELD (the baseline file is written at most once,
+    * by whichever probed increment finds it absent).
+    */
+  private def driftReportOf(spark: SparkSession, fs: FileSystem, d: Path,
+                            g0: Path, encoded: DataFrame): DriftReport = {
+    val stats = Dedup.semanticDriftEncoded(encoded, readCentroids(spark, fs, g0))
+    val basePath = new Path(d, DriftBaselineFile)
+    if (!fs.exists(basePath)) {
+      if (stats.rows > 0)
+        writeText(fs, basePath, s"${stats.meanAssignCos} ${stats.topShare}")
+      DriftReport(stats, stats.meanAssignCos, stats.topShare,
+        isBaseline = true, drifted = false)
+    } else {
+      val Array(bCos, bShare) =
+        readText(fs, basePath).trim.split("\\s+").take(2)
+          .map(java.lang.Double.parseDouble)
+      val drifted = stats.rows > 0 &&
+        (stats.meanAssignCos < DriftMeanCosFactor * bCos ||
+          stats.topShare > DriftTopShareFactor * bShare)
+      if (drifted)
+        log.warn(
+          s"QUANTIZER DRIFT at $d: increment meanAssignCos=" +
+            f"${stats.meanAssignCos}%.4f (baseline $bCos%.4f, trigger " +
+            f"<${DriftMeanCosFactor * bCos}%.4f) topShare=" +
+            f"${stats.topShare}%.4f (baseline $bShare%.4f, trigger " +
+            f">${DriftTopShareFactor * bShare}%.4f) over ${stats.rows} " +
+            "rows — classify recall degrades silently past these " +
+            "readings (SemDriftProbeMain, BASELINE.md r14); rebuild the " +
+            "index via Dedup.semanticIndex unless this increment is a " +
+            "known topical spike")
+      DriftReport(stats, bCos, bShare, isBaseline = false, drifted)
+    }
+  }
+
+  /** The committed generation's coarse-centroid table in its FLAT
+    * (cent_id, cent_vec) form, for probes that need centroids without
+    * paying a full [[load]].
+    */
+  private def readCentroids(spark: SparkSession, fs: FileSystem,
+                            g: Path): DataFrame = {
+    val meta = readText(fs, new Path(g, "meta.txt")).trim.split(" ")
+    meta(0) match {
+      case "flat" =>
+        spark.read.parquet(s"$g/quantizer/centroids")
+      case "twolevel" =>
+        Similarity.TwoLevelCoarse(Similarity.TwoLevelQuantizer(
+          spark.read.parquet(s"$g/quantizer/coarse"),
+          spark.read.parquet(s"$g/quantizer/fine"),
+          meta(1).toInt,
+          literalOk = !meta.contains("joinassign"))).centroids
+      case other =>
+        sys.error(s"unknown quantizer kind '$other' in $g/meta.txt")
+    }
   }
 
   /** Fold all fragments into one: load + full [[save]] (which reads the
@@ -560,8 +717,8 @@ object SemanticIndexIO {
   def compact(spark: SparkSession, dir: String): Unit = {
     val (fs, d) = fsOf(spark, dir)
     val lease = acquireLease(fs, d)
-    try saveLocked(fs, d, load(spark, dir), note(spark, dir))
-    finally releaseLease(fs, lease)
+    try saveLocked(fs, d, load(spark, dir), note(spark, dir), lease)
+    finally releaseLease(fs, lease.path)
   }
 
   /** True iff `dir` holds a committed index (a CURRENT pointer). */
@@ -615,10 +772,18 @@ object SemanticIndexIO {
     * `maxCellRows`/`meanCellRows` feed the skew read a rebuild
     * decision wants alongside [[graft.dedup.Dedup.semanticDrift]].
     */
+  /** Last probed increment's drift reading, when the committed
+    * generation carries one (appendSave with driftProbe=true; a
+    * compact/rebuild generation carries none).
+    */
+  final case class DriftNote(rows: Long, meanAssignCos: Double,
+                             topShare: Double, drifted: Boolean)
+
   final case class StoreStats(gen: Long, fragments: Int, rows: Long,
                               rowsPerFragment: Map[Long, Long],
                               cells: Long, maxCellRows: Long,
-                              meanCellRows: Double, note: String)
+                              meanCellRows: Double, note: String,
+                              drift: Option[DriftNote] = None)
 
   def stats(spark: SparkSession, dir: String): StoreStats = {
     val (fs, d) = fsOf(spark, dir)
@@ -627,8 +792,17 @@ object SemanticIndexIO {
     val frags = manifest(fs, d, gen)
     val noteP = new Path(d, s"gen=$gen/note.txt")
     val noteS = if (fs.exists(noteP)) readText(fs, noteP) else ""
+    val driftP = new Path(d, s"gen=$gen/drift.txt")
+    val driftN =
+      if (!fs.exists(driftP)) None
+      else readText(fs, driftP).trim.split("\\s+") match {
+        case Array(r, c, t, dr) => Some(DriftNote(r.toLong,
+          java.lang.Double.parseDouble(c),
+          java.lang.Double.parseDouble(t), dr.toBoolean))
+        case _ => None
+      }
     if (frags.isEmpty)
-      return StoreStats(gen, 0, 0L, Map.empty, 0L, 0L, 0.0, noteS)
+      return StoreStats(gen, 0, 0L, Map.empty, 0L, 0L, 0.0, noteS, driftN)
     // ONE scan, grouped on the two PARTITION columns (frag,
     // cent_bucket): the aggregate reads only partition values + row
     // counts, and the result is bounded by fragments x maxCentroids
@@ -648,7 +822,7 @@ object SemanticIndexIO {
     StoreStats(gen, frags.size, total, rowsPerFrag,
       cellRows.size.toLong, if (cellRows.isEmpty) 0L else cellRows.max,
       if (cellRows.isEmpty) 0.0 else total.toDouble / cellRows.size,
-      noteS)
+      noteS, driftN)
   }
 
   def load(spark: SparkSession, dir: String): Dedup.SemanticIndex = {
@@ -676,7 +850,8 @@ object SemanticIndexIO {
         Similarity.TwoLevelCoarse(Similarity.TwoLevelQuantizer(
           spark.read.parquet(s"$gs/quantizer/coarse"),
           spark.read.parquet(s"$gs/quantizer/fine"),
-          meta(1).toInt))
+          meta(1).toInt,
+          literalOk = !meta.contains("joinassign")))
       case other =>
         throw new IllegalArgumentException(
           s"unknown quantizer kind '$other' in $gs/meta.txt")

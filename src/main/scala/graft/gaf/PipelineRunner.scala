@@ -123,17 +123,37 @@ object PipelineRunner {
         val pool = java.util.concurrent.Executors
           .newFixedThreadPool(runs.size)
         try {
-          import scala.jdk.CollectionConverters._
-          val futures = pool.invokeAll(incomingFrames.map { f =>
-            (() => Snapshot.materialize(f)):
-              java.util.concurrent.Callable[Snapshot.Snapped]
-          }.asJava)
+          // individual submits, not invokeAll: an InterruptedException
+          // from invokeAll discards the futures list, so fills that had
+          // ALREADY completed could never be drained — their persisted
+          // blocks would leak for the rest of the session (r14 advice;
+          // incomingSnaps is never assigned on this path, so the outer
+          // releaseIncoming cleanup cannot see them either)
+          val futures = incomingFrames.map { f =>
+            pool.submit((() => Snapshot.materialize(f)):
+              java.util.concurrent.Callable[Snapshot.Snapped])
+          }
+          val results =
+            try futures.map(f =>
+              try Right(f.get())
+              catch { case e: java.util.concurrent.ExecutionException =>
+                Left(e.getCause) })
+            catch { case ie: InterruptedException =>
+              // calling thread interrupted mid-await: cancel what
+              // hasn't run, give in-flight fills a bounded window to
+              // settle, release every fill that completed, rethrow
+              pool.shutdownNow()
+              try pool.awaitTermination(30,
+                java.util.concurrent.TimeUnit.SECONDS)
+              catch { case _: InterruptedException => () }
+              futures.foreach { f =>
+                if (f.isDone && !f.isCancelled)
+                  try f.get().release() catch { case _: Throwable => () }
+              }
+              throw ie
+            }
           // surface the FIRST failure after all settle; release any
           // fills that did succeed (nothing else can free them)
-          val results = futures.asScala.toSeq.map(f =>
-            try Right(f.get())
-            catch { case e: java.util.concurrent.ExecutionException =>
-              Left(e.getCause) })
           if (results.exists(_.isLeft)) {
             results.foreach {
               case Right(s) => s.release()

@@ -229,8 +229,17 @@ object Similarity {
     * (cells that seeded at least one fine centroid), so every assignment
     * lands in a cell that exists in `flat`.
     */
+  /** `literalOk = false` (r15) marks a quantizer whose fine level is
+    * PAST the driver-literal budget (or the [[maxCentroids]] cap) and
+    * must stay distributed: [[assignTwoLevel]] then routes through the
+    * broadcast/shuffle cells join + [[graft.functions.NearestInCellExpr]]
+    * instead of collecting `cellsMap` — same argmax semantics
+    * (NativeExprSpec pins the two forms bit-equal), no driver
+    * materialization. Persisted through the stored-index meta.
+    */
   final case class TwoLevelQuantizer(coarse: DataFrame, fine: DataFrame,
-                                     fineK: Int) {
+                                     fineK: Int,
+                                     literalOk: Boolean = true) {
     // fineK is the flattened-id STRIDE (the largest per-cell fine
     // count), not a uniform per-cell quota — see the proportional
     // allocation in trainTwoLevelCentroids
@@ -329,13 +338,41 @@ object Similarity {
     * geometries past the literal budget.
     */
   def assignTwoLevel(vectors: DataFrame, tl: TwoLevelQuantizer): DataFrame =
-    assignToCentroids(vectors, tl.coarse)
+    if (!tl.literalOk) assignTwoLevelJoin(vectors, tl)
+    else assignToCentroids(vectors, tl.coarse)
       .withColumnRenamed("cent_id", "coarse_id")
       .withColumn("cent_id",
         col("coarse_id") * lit(tl.fineK.toLong) +
           graft.functions.NearestInCellsLitExpr.nearest_in_cells_lit(
             col("v_vec"), col("coarse_id"), tl.cellsMap))
       .select(col("v_id"), col("v_vec"), col("cent_id"))
+
+  /** DISTRIBUTED two-level assignment (r15) — the fallback for a fine
+    * level past the driver-literal budget: per-cell centroid arrays
+    * built by aggregation (fine_id-sorted structs — the exact order the
+    * literal form decodes), shuffle-hash-joined to the vectors on
+    * coarse_id, argmax via [[graft.functions.NearestInCellExpr]] (the
+    * join form NearestInCellsLitExpr is bit-parity-pinned against).
+    * shuffle_hash, not broadcast: this path exists precisely because
+    * the fine level is too big to hold in one JVM, and not sort-merge —
+    * the corpus side must not sort by coarse_id to stream past a
+    * quantizer-sized build side. Bit-identical cent_ids to the literal
+    * path (the fallback-parity spec pins it end-to-end).
+    */
+  def assignTwoLevelJoin(vectors: DataFrame,
+                         tl: TwoLevelQuantizer): DataFrame = {
+    val cells = tl.fine.groupBy(col("coarse_id"))
+      .agg(array_sort(collect_list(struct(col("fine_id"), col("cent_vec"))))
+        .as("_cells"))
+    assignToCentroids(vectors, tl.coarse)
+      .withColumnRenamed("cent_id", "coarse_id")
+      .join(cells.hint("shuffle_hash"), Seq("coarse_id"))
+      .withColumn("cent_id",
+        col("coarse_id") * lit(tl.fineK.toLong) +
+          graft.functions.NearestInCellExpr
+            .nearest_in_cell(col("v_vec"), col("_cells")))
+      .select(col("v_id"), col("v_vec"), col("cent_id"))
+  }
 
   /** Train a two-level quantizer: Lloyd the coarse level exactly like
     * [[trainIvfCentroids]] (hash-ranked seeds renumbered 0..coarseK-1),
@@ -359,9 +396,9 @@ object Similarity {
       : TwoLevelQuantizer = {
     require(coarseK >= 1 && fineK >= 1,
       s"bad two-level geometry: coarseK=$coarseK fineK=$fineK")
-    require(coarseK.toLong * fineK <= maxCentroids,
-      s"coarseK*fineK = ${coarseK.toLong * fineK} exceeds the " +
-        s"literal-quantizer cap $maxCentroids")
+    // geometry past maxCentroids is no longer a refusal: it routes to
+    // the distributed fine fallback below (r15), which never embeds the
+    // fine level in an expression
     require(iterations >= 0, s"negative iterations: $iterations")
     val spark = sample.sparkSession
     val vectors = sample.select(col(id).as("v_id"), col(vec).as("v_vec"))
@@ -424,22 +461,55 @@ object Similarity {
     // dominated the whole build (r13 FineIterProbeMain: the
     // proportional-quota fat cell multiplies row-invariant work).
     // fineLitBytes guards the driver heap at extreme geometry
-    // (kTot*dim*8; 65536 cents at dim 768 = 400 MB) — past it, use
-    // [[semDedupHier]]'s self-contained distributed hierarchy instead.
-    // budget check BEFORE the collect it guards (dim probed from one
-    // row — withCoarse is checkpointed). The estimate is the raw
-    // payload (kTot*dim*8); the boxed driver representation is a few x
-    // that, which the default budget's headroom absorbs — at the
-    // 65536-centroid cap and dim 768 the raw payload alone (400 MB)
-    // refuses loudly here instead of OOM-ing mid-collect.
+    // (kTot*dim*8; 65536 cents at dim 768 = 400 MB) — past it (r15)
+    // the fine level FALLS BACK to the distributed branch below
+    // instead of refusing. Budget check BEFORE the collect it guards
+    // (dim probed from one row — withCoarse is checkpointed). The
+    // estimate is the raw payload (kTot*dim*8); the boxed driver
+    // representation is a few x that, which the default budget's
+    // headroom absorbs.
     val dim = withCoarse.select(size(col("v_vec"))).head.getInt(0)
-    require(kTot * dim * 8 <= fineLitBytes,
-      s"two-level fine quantizer (kTot=$kTot, dim=$dim) exceeds the " +
-        s"driver-literal budget $fineLitBytes bytes; the two-level " +
-        "quantizer is driver/literal data by construction (its flat " +
-        "analog centroidLit has the same bound) — raise fineLitBytes " +
-        "with the driver heap, shrink the geometry, or use " +
-        "semDedupHier's distributed hierarchy")
+    if (kTot * dim * 8 > fineLitBytes || kTot > maxCentroids) {
+      // DISTRIBUTED fine fallback (r15): geometry past the driver-
+      // literal budget (or the literal-expression cap) used to REFUSE
+      // here — correct for the heap, a dead end for a user who actually
+      // needs 10^6 fine centroids. The fine level now stays a FRAME:
+      // each Lloyd iteration is one shuffle-hash cells join +
+      // NearestInCellExpr argmax (semDedupHier's row-carried shape,
+      // bit-parity-pinned against the literal expression) + the same
+      // exact-decimal means, and the keep-position merge is a left
+      // join instead of a driver map. Same seeds, same tie-breaks,
+      // same means — the fallback-parity spec pins cent_id equality
+      // with the literal path end-to-end. The resulting quantizer is
+      // marked literalOk=false so every later assignment routes
+      // through [[assignTwoLevelJoin]] and nothing ever collects it.
+      def cellsOf(f: DataFrame): DataFrame = f.groupBy(col("coarse_id"))
+        .agg(array_sort(
+          collect_list(struct(col("fine_id"), col("cent_vec"))))
+          .as("_cells"))
+      def assignFine(f: DataFrame): DataFrame =
+        withCoarse.join(cellsOf(f).hint("shuffle_hash"), Seq("coarse_id"))
+          .withColumn("fine_id", graft.functions.NearestInCellExpr
+            .nearest_in_cell(col("v_vec"), col("_cells")))
+          .drop("_cells")
+      var fine = seedFrame.localCheckpoint()
+      (1 to iterations).foreach { _ =>
+        val means = tt("tl_fine_iter_dist")(assignFine(fine)
+          .groupBy(col("coarse_id"), col("fine_id"))
+          .agg(graft.functions.VecDecimalMeanAgg
+            .vec_decimal_mean(col("v_vec")).as("new_vec")))
+        fine = fine.join(means, Seq("coarse_id", "fine_id"), "left")
+          .select(col("coarse_id"), col("fine_id"),
+            coalesce(col("new_vec"), col("cent_vec")).as("cent_vec"))
+          .localCheckpoint()
+      }
+      // every quota cell seeded at least one fine centroid (1-seed
+      // floor), so the live set IS the sampled-cell set — no extra job
+      val live = cellSizes.map(_._1).toSet
+      return TwoLevelQuantizer(
+        coarse.filter(col("cent_id").isInCollection(live)),
+        fine, stride.toInt, literalOk = false)
+    }
     var fineLocal: Array[(Long, Long, Seq[Double])] =
       tt("tl_fine_seed_collect")(seedFrame.collect())
         .map(r => (r.getLong(0), r.getLong(1),

@@ -399,13 +399,25 @@ object IncrementalStream {
     spark.read.parquet(dirs: _*)
   }
 
+  /** `driftCheckEvery` (r15, opt-in): at every Nth FOLD (the
+    * compactEvery cadence is where increments meet the store), the
+    * folded increment is drift-probed through
+    * [[graft.dedup.SemanticIndexIO.appendSave]]'s driftProbe — the
+    * first probed fold records the store's baseline, later ones WARN
+    * loudly through the logger when the quantizer-drift thresholds are
+    * crossed and surface the reading in `stats().drift`, while
+    * classification output stays byte-identical (rebuild is an
+    * operator decision). 0 (default) = off; 1 = probe every fold.
+    * Requires compactEvery > 0 (no folds, nowhere to probe).
+    */
   def semanticDedupEachBatch(incoming: DataFrame,
                              index0: graft.dedup.Dedup.SemanticIndex,
                              idCol: String, textCol: String, outDir: String,
                              threshold: Double = 0.995,
                              nProbe: Int = 3, rFactor: Int = 20,
                              broadcastProbes: Boolean = true,
-                             compactEvery: Int = 0)
+                             compactEvery: Int = 0,
+                             driftCheckEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     incoming.writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -487,6 +499,12 @@ object IncrementalStream {
             val up = st.getPath.getName.stripPrefix("upto=").toLongOption
             if (up.exists(_ > covered)) fs.delete(st.getPath, true)
           }
+          // this fold's ordinal = archived folds + 1 (statuslog dirs are
+          // the fold archive; debris past `covered` was just deleted) —
+          // drives the opt-in driftCheckEvery cadence below
+          val foldOrdinal = 1 + (if (!fs.exists(logRoot)) 0
+            else fs.listStatus(logRoot)
+              .count(_.getPath.getName.startsWith("upto=")))
           val rows = spark.read
             .parquet(tail0.map(_._2.toString): _*).persist()
           try {
@@ -499,7 +517,9 @@ object IncrementalStream {
                 storeDir, note = upTo.toString)
             else
               graft.dedup.SemanticIndexIO.appendSave(spark, storeDir,
-                encodedOf(rows), note = upTo.toString)
+                encodedOf(rows), note = upTo.toString,
+                driftProbe = driftCheckEvery > 0 &&
+                  foldOrdinal % driftCheckEvery == 0)
           } finally rows.unpersist()
           // the store gains one fragment per fold; fold the FRAGMENTS
           // too once they pile up (parquet-to-parquet, watermark

@@ -226,22 +226,41 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("two-level trainer refuses geometry past the driver-literal " +
-      "budget BEFORE collecting (fineLitBytes guard)") {
+  test("two-level trainer past the driver-literal budget falls back to " +
+      "the DISTRIBUTED fine level with bit-identical training and " +
+      "assignment (r15 — the guard used to refuse here)") {
     val emb = Tables.embeddings(spark, sf)
       .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
-    // kTot*dim*8 for this fixture's dim comfortably exceeds 1 KB — the
-    // guard must refuse up front (a loud require, not an OOM mid-train)
-    val ex = intercept[IllegalArgumentException] {
-      Similarity.trainTwoLevelCentroids(emb, coarseK = 4, fineK = 4,
-        iterations = 1, fineLitBytes = 1L << 10)
-    }
-    assert(ex.getMessage.contains("driver-literal budget"),
-      s"wrong refusal: ${ex.getMessage}")
-    // and the same geometry trains fine under the default budget
-    val tl = Similarity.trainTwoLevelCentroids(emb, coarseK = 4, fineK = 4,
-      iterations = 1)
-    assert(tl.fine.count() > 0)
+    // kTot*dim*8 for this fixture's dim comfortably exceeds 1 KB, so
+    // the 1 KB budget forces the fallback on a geometry small enough
+    // to ALSO train literally — the parity oracle
+    val lit = Similarity.trainTwoLevelCentroids(emb, coarseK = 4,
+      fineK = 4, iterations = 2)
+    val dist = Similarity.trainTwoLevelCentroids(emb, coarseK = 4,
+      fineK = 4, iterations = 2, fineLitBytes = 1L << 10)
+    assert(lit.literalOk && !dist.literalOk)
+    assert(dist.fineK === lit.fineK)
+    // trained fine centroids bit-identical (same seeds, same join-form
+    // argmax the literal expression is parity-pinned against, same
+    // exact-decimal means, same keep-position merge)
+    def fineRows(tl: Similarity.TwoLevelQuantizer): Map[(Long, Long), Seq[Double]] =
+      tl.fine.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    val lf = fineRows(lit)
+    val df = fineRows(dist)
+    assert(df.keySet === lf.keySet)
+    df.foreach { case (k, v) =>
+      assert(v === lf(k), s"fine centroid $k drifted in the fallback") }
+    // and the join-form assignment routes every vector to the SAME
+    // flattened cent_id as the literal expression
+    val vs = emb.select($"c_id".as("v_id"), $"c_vec".as("v_vec"))
+    def asg(tl: Similarity.TwoLevelQuantizer): Map[Long, Long] =
+      Similarity.assignTwoLevel(vs, tl)
+        .select($"v_id", $"cent_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val la = asg(lit)
+    val da = asg(dist)
+    assert(da === la, "fallback assignment diverged from the literal path")
   }
 
   test("semanticIndex hier path (forced): re-crawls still caught at 1.0, " +
@@ -444,6 +463,123 @@ class ExtensionsSpec extends SparkSpec {
       graft.dedup.SemanticIndexIO.breakLease(spark, dir)
       graft.dedup.SemanticIndexIO.appendSave(spark, dir, enc)
       assert(graft.dedup.SemanticIndexIO.fragmentCount(spark, dir) === 2)
+    } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("writer-lease fencing: a stale writer resumed after breakLease " +
+      "refuses loudly at the fence and commits nothing (r15)") {
+    import org.apache.spark.sql.functions.udf
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0).limit(60)
+    val idx = Dedup.semanticIndex(hist, "doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semio_fence").toString
+    val gate = java.nio.file.Paths.get(dir + "_gate")
+    try {
+      graft.dedup.SemanticIndexIO.save(idx, dir, note = "g0")
+      val inc = docs.filter(pmod($"doc_id", lit(3)) === 0).limit(10)
+      val enc = Dedup.semanticEncode(idx, inc, "doc_id", "text")
+        .persist()
+      enc.count()
+      // writer A: its increment BLOCKS mid-evaluation until the gate
+      // file appears — the GC-pause/NFS-stall shape the breakLease
+      // scaladoc warns about, held open deterministically. The closure
+      // captures the PATH STRING (a Path is not serializable)
+      val gateStr = gate.toString
+      val waitForGate = udf((id: Long) => {
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (!java.nio.file.Files.exists(
+                 java.nio.file.Paths.get(gateStr)) &&
+               System.nanoTime() < deadline) Thread.sleep(100)
+        id
+      })
+      val encSlow = enc.withColumn("c_id", waitForGate($"c_id"))
+      val aErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val tA = new Thread(() =>
+        try graft.dedup.SemanticIndexIO.appendSave(spark, dir, encSlow,
+          note = "A")
+        catch { case t: Throwable => aErr.set(t) })
+      tA.start()
+      val leaseP = java.nio.file.Paths.get(dir, "_writer.lease")
+      val tWait = System.nanoTime() + 60L * 1000000000L
+      while (!java.nio.file.Files.exists(leaseP) && tA.isAlive &&
+             System.nanoTime() < tWait) Thread.sleep(50)
+      assert(java.nio.file.Files.exists(leaseP), "writer A never acquired")
+      // give A time to reach the blocking evaluation, then presume it
+      // dead (the operator's mistake), break, and let writer B commit
+      Thread.sleep(1500)
+      graft.dedup.SemanticIndexIO.breakLease(spark, dir)
+      graft.dedup.SemanticIndexIO.appendSave(spark, dir, enc, note = "B")
+      assert(graft.dedup.SemanticIndexIO.note(spark, dir) === "B")
+      // resurrect A: it must FENCE (its lease observed gen 0; the store
+      // is at gen 1+) instead of committing over B
+      java.nio.file.Files.write(gate, Array.empty[Byte])
+      tA.join(120000)
+      assert(!tA.isAlive, "writer A hung")
+      val err = aErr.get()
+      assert(err != null, "stale writer A committed instead of fencing")
+      assert(err.isInstanceOf[IllegalStateException] &&
+        err.getMessage.contains("STALE WRITER"),
+        s"wrong failure from the resumed stale writer: $err")
+      // B's commit is intact; A committed nothing
+      assert(graft.dedup.SemanticIndexIO.note(spark, dir) === "B")
+      assert(graft.dedup.SemanticIndexIO.fragmentCount(spark, dir) === 2)
+      enc.unpersist()
+    } finally {
+      java.nio.file.Files.deleteIfExists(gate)
+      Tables.deleteTree(java.nio.file.Paths.get(dir))
+    }
+  }
+
+  test("appendSave drift probe: first probed increment records the " +
+      "baseline, a drifted one reports drifted=true and lands in " +
+      "stats(); a full save resets the baseline (r15)") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val idx = Dedup.semanticIndex(hist, "doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semio_drift").toString
+    try {
+      graft.dedup.SemanticIndexIO.save(idx, dir, note = "g0")
+      val inc = docs.filter(pmod($"doc_id", lit(3)) === 0)
+        .select($"doc_id", $"text")
+      val r1 = graft.dedup.SemanticIndexIO.appendSave(spark, dir,
+        Dedup.semanticEncode(idx, inc, "doc_id", "text"),
+        note = "n1", driftProbe = true)
+      assert(r1.isDefined && r1.get.isBaseline && !r1.get.drifted)
+      assert(r1.get.stats.rows > 0)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_drift_baseline.txt")))
+      val st1 = graft.dedup.SemanticIndexIO.stats(spark, dir)
+      assert(st1.drift.isDefined && !st1.drift.get.drifted)
+      // drifted increment: re-keyed token space (the semanticDrift
+      // spec's shape — meanAssignCos collapses well past the 90% line)
+      val drifted = inc
+        .select(($"doc_id" + 500000L).as("doc_id"),
+          translate($"text", "aeiouAEIOU", "qxzvwQXZVW").as("text"))
+      val idx1 = graft.dedup.SemanticIndexIO.load(spark, dir)
+      val r2 = graft.dedup.SemanticIndexIO.appendSave(spark, dir,
+        Dedup.semanticEncode(idx1, drifted, "doc_id", "text"),
+        note = "n2", driftProbe = true)
+      assert(r2.isDefined && !r2.get.isBaseline)
+      assert(r2.get.drifted,
+        s"re-keyed increment did not trip the drift thresholds: ${r2.get}")
+      assert(r2.get.stats.meanAssignCos <
+        0.9 * r2.get.baselineMeanCos || r2.get.stats.topShare >
+        3.0 * r2.get.baselineTopShare)
+      val st2 = graft.dedup.SemanticIndexIO.stats(spark, dir)
+      assert(st2.drift.isDefined && st2.drift.get.drifted)
+      assert(st2.note === "n2")
+      // the probe never alters data: the committed rows equal the two
+      // encoded increments' rows
+      assert(graft.dedup.SemanticIndexIO.fragmentCount(spark, dir) === 3)
+      // a full save (where a retrained quantizer arrives) resets the
+      // baseline; the next probed increment re-records it
+      graft.dedup.SemanticIndexIO.save(
+        graft.dedup.SemanticIndexIO.load(spark, dir), dir, note = "g1")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_drift_baseline.txt")),
+        "full save must reset the drift baseline")
     } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
   }
 

@@ -176,8 +176,16 @@ class RunnerSpec extends SparkSpec {
       PipelineRunner.runAll(existing, dims, Seq(mouse, poisoned),
         REF_ISO, cutoff, concurrentIncoming = true)
     }
-    assert(e.getMessage == null ||
-      e.toString.nonEmpty) // any surfaced failure form is acceptable
+    // the surfaced failure must be the INJECTED one, proving it came
+    // from the fill (not from analysis or an unrelated phase): walk the
+    // cause chain for the raise_error message (r14 advice — the prior
+    // form `getMessage == null || toString.nonEmpty` held for every
+    // Throwable and verified nothing)
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).take(10).toList
+    assert(chain.exists(t => Option(t.getMessage)
+        .exists(_.contains("injected fill failure"))),
+      s"surfaced failure is not the injected fill failure: $chain")
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
     assert(leaked.isEmpty,
       s"failed concurrent fill leaked persistent RDDs: $leaked")

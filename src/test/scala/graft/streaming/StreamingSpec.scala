@@ -419,6 +419,74 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("driftCheckEvery: a drifted fold records drifted=true in " +
+      "stats().drift while statuses stay identical to an unprobed " +
+      "stream (r15)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val hist = graft.dedup.Dedup
+      .semanticIndex(docs.filter(pmod($"doc_id", lit(5)) === 0),
+        "doc_id", "text")
+    // seven batches at compactEvery=2: folds fire at batch 2 (initial
+    // save — unprobed by design), batch 4 (covers incs 2,3 — the FIRST
+    // probed fold, records the baseline), and batch 6 (covers incs 4,5
+    // — the DRIFTED fold: re-keyed token space). The probe must warn +
+    // record, and must not move a single status byte.
+    val incs: Seq[Seq[(Long, String)]] = (1 to 4).map { i =>
+      docs.filter(pmod($"doc_id", lit(5)) === i)
+        .select($"doc_id", $"text").orderBy($"doc_id")
+        .as[(Long, String)].collect().toSeq
+    } ++ Seq(4, 3).zipWithIndex.map { case (i, j) =>
+      docs.filter(pmod($"doc_id", lit(5)) === i)
+        .select(($"doc_id" + 700000L * (j + 1)).as("doc_id"),
+          translate($"text", "aeiouAEIOU", "qxzvwQXZVW").as("text"))
+        .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    } ++ Seq(docs.filter(pmod($"doc_id", lit(5)) === 2).limit(5)
+      .select($"doc_id" + 900000L, $"text")
+      .as[(Long, String)].collect().toSeq)
+    def run(driftCheckEvery: Int): (String, Set[Seq[Any]]) = {
+      val outDir = java.nio.file.Files
+        .createTempDirectory(s"graft_sem_drift_$driftCheckEvery").toString
+      val input = MemoryStream[(Long, String)]
+      val q = IncrementalStream.semanticDedupEachBatch(
+          input.toDF().toDF("doc_id", "text"), hist, "doc_id", "text",
+          outDir, compactEvery = 2, driftCheckEvery = driftCheckEvery)
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .start()
+      try {
+        incs.foreach { rows => input.addData(rows); q.processAllAvailable() }
+      } finally q.stop()
+      val res = IncrementalStream.semanticDedupOutput(spark, outDir)
+        .select($"doc_id", $"increment", $"status")
+        .collect().map(_.toSeq).toSet
+      (outDir, res)
+    }
+    val (plainDir, plain) = run(0)
+    val (probedDir, probed) = run(1)
+    try {
+      // the probe is observation-only: not one status moved
+      assert(probed === plain)
+      val store = s"$probedDir/indexstore"
+      val st = graft.dedup.SemanticIndexIO.stats(spark, store)
+      assert(st.drift.isDefined,
+        "probed fold did not record a drift reading in the store")
+      assert(st.drift.get.drifted,
+        s"drifted fold read as in-distribution: ${st.drift}")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(probedDir, "indexstore",
+          "_drift_baseline.txt")))
+      // the unprobed stream recorded nothing
+      val st0 = graft.dedup.SemanticIndexIO.stats(spark,
+        s"$plainDir/indexstore")
+      assert(st0.drift.isEmpty)
+    } finally {
+      graft.Tables.deleteTree(java.nio.file.Paths.get(plainDir))
+      graft.Tables.deleteTree(java.nio.file.Paths.get(probedDir))
+    }
+  }
+
   test("sessionizeStream batch parity: sessions = Sessionize.byGap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

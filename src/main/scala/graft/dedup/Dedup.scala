@@ -490,6 +490,58 @@ object Dedup {
       .unionByName(df.sparkSession.range(1)
         .select(lit("geom").as("kind"), lit(s"$k|$bands").as("key")))
 
+  /** Read the index's banding geometry off its marker row (bounded
+    * 2-row driver read). The marker must exist EXACTLY once: an index
+    * with no geom row (filtered/projected subset, or keys persisted
+    * without the marker) or with conflicting markers (two indexes of
+    * different geometry unioned) must fail loudly here — classifying
+    * against it would silently leak every near-dup as `kept`.
+    */
+  private[dedup] def indexGeometry(index: DataFrame): (Int, Int) = {
+    val geom = index.filter(col("kind") === "geom")
+      .select(col("key")).limit(2).collect()
+    require(geom.length == 1,
+      s"index geometry marker [${geom.map(_.getString(0)).mkString(",")}] " +
+        "(want exactly one row) — missing or duplicated marker: band keys " +
+        "would never match and every near-dup would leak as kept")
+    val parts = geom.head.getString(0).split('|')
+    require(parts.length == 2 && parts.forall(p =>
+        p.nonEmpty && p.forall(_.isDigit)),
+      s"malformed index geometry marker '${geom.head.getString(0)}' " +
+        "(want 'k|bands')")
+    (parts(0).toInt, parts(1).toInt)
+  }
+
+  /** Grow a keys index with one crawl increment — the exact-keys leg's
+    * analog of [[BloomIndex.fold]] / [[semanticAppend]]: the increment's
+    * fp/band keys are appended to the index, so the NEXT increment's
+    * re-crawls of these pages read `exact_hist`/`near_hist` instead of
+    * leaking as `kept`. Geometry is taken from the index's own marker
+    * (never re-passed — a caller-supplied (k,bands) could silently
+    * diverge from what the index was built with).
+    *
+    * Scale shape: the history side is NEVER re-read or re-shuffled —
+    * [[incrementalStatus]]'s semi-joins are duplicate-insensitive, so
+    * the fold is a bare union; the one distinct is over the INCREMENT's
+    * keys only (bounded by the increment, not the corpus). Folds
+    * therefore commute: increments can land in any order and the
+    * classify answers are identical. Occasional [[compactIndex]] trims
+    * the cross-increment duplicate keys the cheap fold leaves behind.
+    */
+  def indexFold(index: DataFrame, newDocs: DataFrame,
+                textCol: String): DataFrame = {
+    val (k, bands) = indexGeometry(index)
+    index.unionByName(indexKeys(newDocs, textCol, k, bands).distinct())
+  }
+
+  /** Full-shuffle maintenance pass over a folded index: collapses the
+    * duplicate keys accumulated across [[indexFold]] increments (and
+    * the geometry marker stays exactly-once — every fold writes the
+    * identical marker value, so distinct keeps one). Run rarely; the
+    * classify path never needs it for correctness.
+    */
+  def compactIndex(index: DataFrame): DataFrame = index.distinct()
+
   /** Classify every document of a new crawl increment against the
     * history index: `exact_hist` (content fingerprint already seen),
     * else `near_hist` (shares an LSH band bucket with history — the
@@ -505,19 +557,15 @@ object Dedup {
   def incrementalStatus(newDocs: DataFrame, index: DataFrame,
                         idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4): DataFrame = {
-    // geometry guard (2-row bounded driver read): probing with a
-    // different (k, bands) than the index was built with can never
-    // match a band key — the failure is silent dup leakage. The marker
-    // row must exist EXACTLY once: an index with no geom row (filtered/
-    // projected subset, or keys persisted without the marker) would
-    // otherwise silently pass the check and leak every near-dup as
-    // "kept" (r7 advice)
-    val geom = index.filter(col("kind") === "geom")
-      .select(col("key")).limit(2).collect()
-    require(geom.length == 1 && geom.head.getString(0) == s"$k|$bands",
-      s"index geometry marker [${geom.map(_.getString(0)).mkString(",")}] " +
-        s"(want exactly one row '$k|$bands') — missing/duplicated marker " +
-        "or mismatched (k,bands): band keys would never match")
+    // geometry guard ([[indexGeometry]], 2-row bounded driver read):
+    // probing with a different (k, bands) than the index was built with
+    // can never match a band key — the failure is silent dup leakage
+    // (r7 advice)
+    val (ik, ib) = indexGeometry(index)
+    require(ik == k && ib == bands,
+      s"index geometry marker '$ik|$ib' does not match classify's " +
+        s"(k,bands) '$k|$bands' — band keys would never match and every " +
+        "near-dup would leak as kept")
     val id = col(idCol)
     val text = col(textCol)
     val exact = newDocs

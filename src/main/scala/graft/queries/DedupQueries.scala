@@ -234,6 +234,68 @@ object DedupQueries extends QueryPack {
       } finally Tables.deleteTree(tmp)
     }),
 
+    // the STORED form of the EXACT-KEYS evolution loop — the first
+    // leg's deployment cycle (bloom_fold / semantic_stored's analog,
+    // and the only one of the three with a full SQL oracle: md5 keys
+    // end to end): history index persisted via DedupIndexIO.save
+    // (parquet partitioned by kind, so each classify semi-join prunes
+    // to its own partition), increment 1 classified against the STORE,
+    // inc1's kept docs' keys appended (I/O proportional to the
+    // increment — history partitions never re-read or rewritten), and
+    // increment 2 — which re-crawls some inc1 pages under fresh ids
+    // (+200000) — must read its inc1-kept re-crawls as exact_hist off
+    // the GROWN store, not leak them as kept. Parity with the
+    // in-memory Dedup.indexFold loop is pinned in ExtensionsSpec.
+    "dedup_incremental_stored" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+      val inc1 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+          pmod($"doc_id", lit(2)) === 0)
+        .select($"doc_id", $"text")
+      val inc2 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+          pmod($"doc_id", lit(2)) === 1)
+        .select($"doc_id", $"text")
+        .unionByName(inc1.filter(pmod($"doc_id", lit(4)) === 0)
+          .select(($"doc_id" + 200000).as("doc_id"), $"text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_key_stored")
+      // save refuses an existing path (destructive-overwrite guard), so
+      // the store lives one level below the temp root; explicit file://
+      // URI for the same default-fs reason as dedup_semantic_stored
+      val dir = tmp.resolve("idx").toUri.toString
+      try {
+        graft.dedup.DedupIndexIO.save(
+          Dedup.dedupIndex(hist, "doc_id", "text", k = 16, bands = 2), dir)
+        // c1 is LOCALIZED before the append — not just for the delete
+        // below: a lazy c1 carried into the final union would put the
+        // pre- and post-append scans of the SAME store path into one
+        // plan, where Spark canonicalizes file scans by root path
+        // (InMemoryFileIndex.equals) and scan/exchange reuse silently
+        // serves c2 the PRE-append snapshot (measured at sf0.01: all 11
+        // folded re-crawls leaked as kept). See DedupIndexIO.load's
+        // cross-generation contract.
+        val c1Lazy = Dedup.incrementalStatus(inc1,
+          graft.dedup.DedupIndexIO.load(s, dir),
+          "doc_id", "text", k = 16, bands = 2)
+        val c1 = s.createDataFrame(
+          java.util.Arrays.asList(c1Lazy.collect(): _*), c1Lazy.schema)
+        val kept1 = c1.filter($"status" === "kept")
+          .select($"doc_id", $"text")
+        graft.dedup.DedupIndexIO.append(s, dir, kept1, "text")
+        val c2 = Dedup.incrementalStatus(inc2,
+          graft.dedup.DedupIndexIO.load(s, dir),
+          "doc_id", "text", k = 16, bands = 2)
+        val out = c1.select($"doc_id", lit(1).as("increment"), $"status")
+          .unionByName(
+            c2.select($"doc_id", lit(2).as("increment"), $"status"))
+        // bounded result copied out so the temp store can be deleted
+        // before returning (a lazy frame would pin the files)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally Tables.deleteTree(tmp)
+    }),
+
     // the full text->vector->near-dup path over RAW documents: hashed
     // set-of-words embeddings (no shipped vectors needed) feed the same
     // blocked cosine pairing the embeddings table uses; oracle-checked
@@ -381,6 +443,98 @@ object DedupQueries extends QueryPack {
          |FROM batch b
          |LEFT JOIN ex ON b.doc_id = ex.doc_id
          |LEFT JOIN nr ON b.doc_id = nr.doc_id""".stripMargin,
+
+    // the stored evolution loop, replayed declaratively: classify inc1
+    // against history's keys, fold ONLY inc1-kept docs' keys in, then
+    // classify inc2 (incl. its +200000 re-crawls) against the union.
+    // Geometry matches the Spark side: k=16, bands=2 -> j // 8
+    "dedup_incremental_stored" ->
+      s"""WITH hist AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+         |inc1 AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 0),
+         |inc2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 0 AND doc_id % 4 = 0),
+         |hfp AS (
+         |  SELECT DISTINCT
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS key
+         |  FROM hist),
+         |htok AS (SELECT DISTINCT doc_id, unnest($ltoks) AS w FROM hist),
+         |hmh AS (
+         |  SELECT doc_id, j, min(md5(j || ':' || w)) AS m
+         |  FROM htok CROSS JOIN generate_series(0, 15) s(j)
+         |  GROUP BY doc_id, j),
+         |hbk AS (
+         |  SELECT DISTINCT
+         |    md5((j // 8) || '|' || string_agg(m, '|' ORDER BY j)) AS key
+         |  FROM hmh GROUP BY doc_id, j // 8),
+         |i1fp AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS key
+         |  FROM inc1),
+         |i1tok AS (SELECT DISTINCT doc_id, unnest($ltoks) AS w FROM inc1),
+         |i1mh AS (
+         |  SELECT doc_id, j, min(md5(j || ':' || w)) AS m
+         |  FROM i1tok CROSS JOIN generate_series(0, 15) s(j)
+         |  GROUP BY doc_id, j),
+         |i1bk AS (
+         |  SELECT doc_id,
+         |    md5((j // 8) || '|' || string_agg(m, '|' ORDER BY j)) AS key
+         |  FROM i1mh GROUP BY doc_id, j // 8),
+         |c1 AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_hist'
+         |         WHEN nr.doc_id IS NOT NULL THEN 'near_hist'
+         |         ELSE 'kept' END AS status
+         |  FROM inc1 b
+         |  LEFT JOIN (SELECT DISTINCT doc_id FROM i1fp
+         |             WHERE key IN (SELECT key FROM hfp)) ex
+         |    ON b.doc_id = ex.doc_id
+         |  LEFT JOIN (SELECT DISTINCT doc_id FROM i1bk
+         |             WHERE key IN (SELECT key FROM hbk)) nr
+         |    ON b.doc_id = nr.doc_id),
+         |k1 AS (SELECT doc_id FROM c1 WHERE status = 'kept'),
+         |ffp AS (
+         |  SELECT key FROM hfp
+         |  UNION
+         |  SELECT key FROM i1fp
+         |  WHERE doc_id IN (SELECT doc_id FROM k1) AND key IS NOT NULL),
+         |fbk AS (
+         |  SELECT key FROM hbk
+         |  UNION
+         |  SELECT key FROM i1bk WHERE doc_id IN (SELECT doc_id FROM k1)),
+         |i2fp AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS key
+         |  FROM inc2),
+         |i2tok AS (SELECT DISTINCT doc_id, unnest($ltoks) AS w FROM inc2),
+         |i2mh AS (
+         |  SELECT doc_id, j, min(md5(j || ':' || w)) AS m
+         |  FROM i2tok CROSS JOIN generate_series(0, 15) s(j)
+         |  GROUP BY doc_id, j),
+         |i2bk AS (
+         |  SELECT doc_id,
+         |    md5((j // 8) || '|' || string_agg(m, '|' ORDER BY j)) AS key
+         |  FROM i2mh GROUP BY doc_id, j // 8),
+         |c2 AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_hist'
+         |         WHEN nr.doc_id IS NOT NULL THEN 'near_hist'
+         |         ELSE 'kept' END AS status
+         |  FROM inc2 b
+         |  LEFT JOIN (SELECT DISTINCT doc_id FROM i2fp
+         |             WHERE key IN (SELECT key FROM ffp)) ex
+         |    ON b.doc_id = ex.doc_id
+         |  LEFT JOIN (SELECT DISTINCT doc_id FROM i2bk
+         |             WHERE key IN (SELECT key FROM fbk)) nr
+         |    ON b.doc_id = nr.doc_id)
+         |SELECT doc_id, 1 AS increment, status FROM c1
+         |UNION ALL
+         |SELECT doc_id, 2 AS increment, status FROM c2""".stripMargin,
 
     // hashed-embedding stage mirrors the text_hash_embed oracle
     // (TextQueries), cosine stage mirrors dedup_embedding_pairs below —

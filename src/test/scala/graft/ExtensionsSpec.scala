@@ -959,6 +959,108 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === Map(100L -> "kept", 101L -> "kept"))
   }
 
+  test("exact-keys stored index: the save/append/load loop is bit-equal " +
+      "to the in-memory indexFold loop, and folded pages' re-crawls are " +
+      "caught off the grown store") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val inc1 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+        pmod($"doc_id", lit(2)) === 0)
+      .select($"doc_id", $"text")
+    val inc2 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+        pmod($"doc_id", lit(2)) === 1)
+      .select($"doc_id", $"text")
+      .unionByName(inc1.filter(pmod($"doc_id", lit(4)) === 0)
+        .select(($"doc_id" + 200000).as("doc_id"), $"text"))
+    val idx0 = Dedup.dedupIndex(hist, "doc_id", "text", k = 16, bands = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_keyio")
+    val dir = tmp.resolve("idx").toUri.toString
+    try {
+      graft.dedup.DedupIndexIO.save(idx0, dir)
+      def statuses(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+        df.select($"doc_id", $"status")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val c1Store = statuses(Dedup.incrementalStatus(inc1,
+        graft.dedup.DedupIndexIO.load(spark, dir),
+        "doc_id", "text", k = 16, bands = 2))
+      val c1Mem = statuses(Dedup.incrementalStatus(inc1, idx0,
+        "doc_id", "text", k = 16, bands = 2))
+      assert(c1Store === c1Mem)
+      val kept1 = inc1.filter($"doc_id".isin(
+        c1Store.filter(_._2 == "kept").keys.toSeq: _*))
+      graft.dedup.DedupIndexIO.append(spark, dir, kept1, "text")
+      val grown = graft.dedup.DedupIndexIO.load(spark, dir)
+      // the marker survives any number of appends exactly-once
+      assert(grown.filter($"kind" === "geom").count() === 1L)
+      val c2Store = statuses(Dedup.incrementalStatus(inc2, grown,
+        "doc_id", "text", k = 16, bands = 2))
+      val c2Mem = statuses(Dedup.incrementalStatus(inc2,
+        Dedup.indexFold(idx0, kept1, "text"),
+        "doc_id", "text", k = 16, bands = 2))
+      assert(c2Store === c2Mem)
+      // inc2's re-crawls of inc1-KEPT pages must read exact_hist off
+      // the GROWN store (the whole point of the fold); re-crawls of
+      // inc1 pages the history already covered match via history keys
+      val keptRecrawl = c1Store.filter(_._2 == "kept").keySet
+        .filter(_ % 4 == 0).map(_ + 200000)
+      assert(keptRecrawl.nonEmpty, "fixture degenerated: no kept re-crawl")
+      assert(keptRecrawl.forall(id => c2Store(id) == "exact_hist"),
+        keptRecrawl.map(id => id -> c2Store(id)).toMap.toString)
+      // and a genuinely fresh inc2 population still exists (non-vacuous)
+      assert(c2Store.valuesIterator.count(_ == "kept") > 0)
+    } finally Tables.deleteTree(tmp)
+  }
+
+  test("exact-keys index fold: geometry comes from the marker, folds " +
+      "commute, compact preserves classification, and marker-less " +
+      "frames fail loudly at fold and save time") {
+    val docs = Tables.documents(spark, sf).limit(90)
+      .select($"doc_id", $"text")
+    val hist = docs.filter($"doc_id" % 3 === 0)
+    val incA = docs.filter($"doc_id" % 3 === 1)
+    val incB = docs.filter($"doc_id" % 3 === 2)
+    val probe = docs.select(($"doc_id" + 500000).as("doc_id"), $"text")
+    val idx0 = Dedup.dedupIndex(hist, "doc_id", "text", k = 16, bands = 2)
+    def classify(idx: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Dedup.incrementalStatus(probe, idx, "doc_id", "text",
+          k = 16, bands = 2)
+        .select($"doc_id", $"status")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ab = classify(Dedup.indexFold(
+      Dedup.indexFold(idx0, incA, "text"), incB, "text"))
+    val ba = classify(Dedup.indexFold(
+      Dedup.indexFold(idx0, incB, "text"), incA, "text"))
+    assert(ab === ba)
+    // every probe doc is a byte re-crawl of hist∪incA∪incB
+    assert(ab.valuesIterator.forall(_ == "exact_hist"))
+    val folded = Dedup.indexFold(Dedup.indexFold(idx0, incA, "text"),
+      incB, "text")
+    val compacted = Dedup.compactIndex(folded)
+    assert(classify(compacted) === ab)
+    assert(compacted.filter($"kind" === "geom").count() === 1L)
+    assert(compacted.count() <= folded.count())
+    // a frame with no geometry marker cannot be folded into or saved —
+    // silent dup leakage is the failure this guard exists to prevent
+    val markerless = idx0.filter($"kind" =!= "geom")
+    val foldErr = intercept[IllegalArgumentException] {
+      Dedup.indexFold(markerless, incA, "text")
+    }
+    assert(foldErr.getMessage.contains("exactly one row"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_keyio_g")
+    try {
+      intercept[IllegalArgumentException] {
+        graft.dedup.DedupIndexIO.save(markerless,
+          tmp.resolve("bad").toUri.toString)
+      }
+      // save refuses to clobber an existing store (add-only contract)
+      val d = tmp.resolve("idx").toUri.toString
+      graft.dedup.DedupIndexIO.save(idx0, d)
+      intercept[Exception] {
+        graft.dedup.DedupIndexIO.save(idx0, d)
+      }
+    } finally Tables.deleteTree(tmp)
+  }
+
   test("hashed embeddings: unit norm, token-set identity, zero on empty") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),

@@ -36,8 +36,9 @@ object BloomIndex {
 
   /** The two filters plus the banding geometry they were built with
     * (classification must probe with identical band keys). Serializable
-    * — broadcast-friendly, and `BloomFilter.writeTo/readFrom` is the
-    * between-increments persistence format.
+    * — broadcast-friendly — and [[BloomIndexIO]] persists the whole
+    * Index (filters via `BloomFilter.writeTo/readFrom`, plus these
+    * geometry/saturation fields) between increments.
     *
     * `expectedItems` is the DOC budget the filters were sized for and
     * `inserted` the docs folded in so far (build + every [[fold]]):

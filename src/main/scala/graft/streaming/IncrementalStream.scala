@@ -197,8 +197,10 @@ object IncrementalStream {
     * row), survivors dedup WITHIN the stream by content fingerprint
     * ([[dedupStream]]'s bounded watermark state). History text is never
     * read; between increments a deployment folds the emitted docs' keys
-    * into the persisted filters (`BloomFilter.putString`) so the next
-    * stream run sees them as history.
+    * into the filters ([[graft.dedup.BloomIndex.fold]]) and persists
+    * the result ([[graft.dedup.BloomIndexIO]]) so the next stream run
+    * sees them as history — the exact-keys batch analog is
+    * [[graft.dedup.DedupIndexIO.append]].
     */
   def incrementalDedupStream(docs: DataFrame,
                              index: graft.dedup.BloomIndex.Index,

@@ -1011,6 +1011,51 @@ class ExtensionsSpec extends SparkSpec {
     } finally Tables.deleteTree(tmp)
   }
 
+  test("bloom index store: save/load round-trips bits and saturation " +
+      "counters, the loaded index classifies identically and still " +
+      "enforces the fold budget") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
+      .select($"doc_id", $"text")
+    val idx = graft.dedup.BloomIndex.build(hist, "text",
+      expectedItems = hist.count() + 5, fpp = 0.001, k = 16, bands = 2)
+    def classify(i: graft.dedup.BloomIndex.Index): Map[Long, String] =
+      graft.dedup.BloomIndex.classify(batch, i, "text")
+        .select($"doc_id", $"status")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloomio")
+    val dir = tmp.resolve("bidx").toUri.toString
+    try {
+      graft.dedup.BloomIndexIO.save(idx, spark, dir)
+      val loaded = graft.dedup.BloomIndexIO.load(spark, dir)
+      assert(loaded.k === idx.k && loaded.bands === idx.bands)
+      assert(loaded.expectedItems === idx.expectedItems)
+      assert(loaded.inserted === idx.inserted)
+      assert(classify(loaded) === classify(idx))
+      // the persisted saturation counter still guards the NEXT cycle's
+      // fold: 5 docs of headroom admit a 2-doc fold, refuse a 6-doc one
+      val tiny = batch.limit(2)
+      val folded = graft.dedup.BloomIndex.fold(loaded, tiny, "text")
+      assert(folded.inserted === loaded.inserted + 2)
+      val over = intercept[IllegalArgumentException] {
+        graft.dedup.BloomIndex.fold(folded, batch.limit(6), "text")
+      }
+      assert(over.getMessage.contains("expectedItems"))
+      // one committed generation per path; debris without _SUCCESS
+      // reads as "no index here", never as a silently partial index
+      intercept[IllegalArgumentException] {
+        graft.dedup.BloomIndexIO.save(idx, spark, dir)
+      }
+      val bare = tmp.resolve("debris")
+      java.nio.file.Files.createDirectory(bare)
+      val noSuccess = intercept[IllegalArgumentException] {
+        graft.dedup.BloomIndexIO.load(spark, bare.toUri.toString)
+      }
+      assert(noSuccess.getMessage.contains("_SUCCESS"))
+    } finally Tables.deleteTree(tmp)
+  }
+
   test("exact-keys index fold: geometry comes from the marker, folds " +
       "commute, compact preserves classification, and marker-less " +
       "frames fail loudly at fold and save time") {

@@ -593,6 +593,48 @@ object Dedup {
       .drop("_ex", "_nr")
   }
 
+  /** One deployment cycle of the exact-keys crawl loop against the
+    * DURABLE store ([[DedupIndexIO]]): classify `newDocs` off the
+    * stored index, LOCALIZE the statuses (bounded by the increment —
+    * required by the store's cross-generation contract, see
+    * [[DedupIndexIO.load]]), then fold the kept docs' keys back in so
+    * the next increment sees them as history. Geometry comes from the
+    * store's marker — never re-passed.
+    *
+    * `gen` makes the cycle REPLAY-IDEMPOTENT for streaming foreachBatch
+    * deployments (pass the batchId): classification is bounded to keys
+    * folded by strictly earlier generations (`gen is null or gen < g`),
+    * so a batch retried after a crash that had already folded its keys
+    * classifies bit-identically to the first attempt — its own keys are
+    * invisible to itself — and the retry's re-append of the same keys
+    * under the same gen is a harmless set-union no-op for every later
+    * reader. Without `gen` (ad-hoc batch use) the classify view is the
+    * whole store and a repeated call WILL see its prior fold (its docs
+    * come back `exact_hist`) — idempotence is exactly what the gen
+    * bound buys.
+    */
+  def incrementalStatusStored(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, newDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              foldKept: Boolean = true,
+                              gen: Option[Long] = None): DataFrame = {
+    val idx = DedupIndexIO.load(spark, dir)
+    val view = gen.fold(idx)(g =>
+      idx.filter(col("gen").isNull || col("gen") < g))
+    val (k, bands) = indexGeometry(idx)
+    val lazyStatuses =
+      incrementalStatus(newDocs, view, idCol, textCol, k, bands)
+    val statuses = spark.createDataFrame(
+      java.util.Arrays.asList(lazyStatuses.collect(): _*),
+      lazyStatuses.schema)
+    if (foldKept)
+      DedupIndexIO.append(spark, dir,
+        statuses.filter(col("status") === "kept")
+          .select(col(idCol), col(textCol)),
+        textCol, gen)
+    statuses
+  }
+
   // ----------------------------------- semantic increment (IVFADC index)
   /** The stored artifact of the SEMANTIC crawl loop, in the IVFADC
     * layout: coarse IVF centroids, the residual-trained PQ model, the

@@ -69,7 +69,12 @@ object DedupIndexIO {
     * frames; classifications bounded by the increment make that cheap.
     */
   def load(spark: SparkSession, dir: String): DataFrame = {
-    val idx = spark.read.parquet(dir).select(col("kind"), col("key"))
+    // explicit schema: a store mixing gen-tagged appends with untagged
+    // saves/appends reads uniformly (absent gen -> null); kind is the
+    // partition column and still prunes
+    val idx = spark.read
+      .schema("key string, gen bigint, kind string").parquet(dir)
+      .select(col("kind"), col("key"), col("gen"))
     Dedup.indexGeometry(idx)
     idx
   }
@@ -81,12 +86,25 @@ object DedupIndexIO {
     * appended; the history partitions are never read or rewritten. No
     * new marker row is written — the store keeps its exactly-once
     * marker across any number of appends.
+    *
+    * `gen` tags the appended keys with a monotonic generation (a
+    * streaming deployment passes its foreachBatch batchId): a reader
+    * can then bound its view to keys folded by strictly EARLIER
+    * generations (`gen is null or gen < g` — save()'d history keys
+    * read null), which is what makes a replayed batch classify
+    * identically to its crashed first attempt even though that attempt
+    * may already have folded the batch's keys
+    * ([[Dedup.incrementalStatusStored]]). Re-appending the same keys
+    * under the same gen on the retry is harmless — the classify
+    * semi-joins are duplicate-insensitive set unions.
     */
   def append(spark: SparkSession, dir: String, newDocs: DataFrame,
-             textCol: String): Unit = {
-    val (k, bands) = Dedup.indexGeometry(spark.read.parquet(dir))
-    Dedup.indexKeys(newDocs, textCol, k, bands).distinct()
-      .select(col("key"), col("kind"))
+             textCol: String, gen: Option[Long] = None): Unit = {
+    val (k, bands) = Dedup.indexGeometry(spark.read
+      .schema("key string, gen bigint, kind string").parquet(dir))
+    val keys = Dedup.indexKeys(newDocs, textCol, k, bands).distinct()
+    gen.fold(keys.select(col("key"), col("kind")))(g =>
+        keys.select(col("key"), lit(g).as("gen"), col("kind")))
       .write.partitionBy("kind").mode("append").parquet(dir)
   }
 }

@@ -1011,6 +1011,62 @@ class ExtensionsSpec extends SparkSpec {
     } finally Tables.deleteTree(tmp)
   }
 
+  test("stored exact-keys cycle: a gen-tagged replayed batch classifies " +
+      "bit-identically to its crashed first attempt, later batches see " +
+      "earlier kept docs as history, and the ad-hoc (no-gen) form sees " +
+      "its own fold") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val b1 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+        pmod($"doc_id", lit(2)) === 0)
+      .select($"doc_id", $"text")
+    val b2 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+        pmod($"doc_id", lit(2)) === 1)
+      .select($"doc_id", $"text")
+      .unionByName(b1.filter(pmod($"doc_id", lit(4)) === 0)
+        .select(($"doc_id" + 200000).as("doc_id"), $"text"))
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select($"doc_id", $"status")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_keyio_gen")
+    val dir = tmp.resolve("idx").toUri.toString
+    try {
+      graft.dedup.DedupIndexIO.save(
+        Dedup.dedupIndex(hist, "doc_id", "text", k = 16, bands = 2), dir)
+      val a1 = m(Dedup.incrementalStatusStored(spark, dir, b1,
+        "doc_id", "text", gen = Some(1L)))
+      // crash-replay: the first attempt already folded b1's kept keys;
+      // the retry's gen bound (gen < 1) hides them from itself
+      val a1r = m(Dedup.incrementalStatusStored(spark, dir, b1,
+        "doc_id", "text", gen = Some(1L)))
+      assert(a1r === a1)
+      assert(a1.valuesIterator.count(_ == "kept") > 0)
+      // the next batch's view (gen < 2) INCLUDES batch 1's folds — its
+      // re-crawls of b1-kept pages read exact_hist off the grown store
+      val a2 = m(Dedup.incrementalStatusStored(spark, dir, b2,
+        "doc_id", "text", gen = Some(2L)))
+      val keptRecrawl = a1.filter(_._2 == "kept").keySet
+        .filter(_ % 4 == 0).map(_ + 200000)
+      assert(keptRecrawl.nonEmpty, "fixture degenerated: no kept re-crawl")
+      assert(keptRecrawl.forall(id => a2(id) == "exact_hist"),
+        keptRecrawl.map(id => id -> a2(id)).toMap.toString)
+      // ad-hoc form (no gen), on a FRESH store so the contrast is
+      // non-vacuous: the repeat SEES its own fold — every kept doc of
+      // the first call reads exact_hist on the second (the scaladoc'd
+      // difference the gen bound exists to remove)
+      val dir2 = tmp.resolve("idx2").toUri.toString
+      graft.dedup.DedupIndexIO.save(
+        Dedup.dedupIndex(hist, "doc_id", "text", k = 16, bands = 2), dir2)
+      val adhoc1 = m(Dedup.incrementalStatusStored(spark, dir2, b1,
+        "doc_id", "text"))
+      val adhoc2 = m(Dedup.incrementalStatusStored(spark, dir2, b1,
+        "doc_id", "text"))
+      val adhocKept = adhoc1.filter(_._2 == "kept").keySet
+      assert(adhocKept.nonEmpty)
+      assert(adhocKept.forall(id => adhoc2(id) == "exact_hist"))
+    } finally Tables.deleteTree(tmp)
+  }
+
   test("bloom index store: save/load round-trips bits and saturation " +
       "counters, the loaded index classifies identically and still " +
       "enforces the fold budget") {

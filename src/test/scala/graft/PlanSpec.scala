@@ -230,6 +230,44 @@ class PlanSpec extends SparkSpec {
     } finally Tables.deleteTree(tmpPath)
   }
 
+  test("kind-partitioned stored exact-keys index prunes each classify " +
+      "semi-join's scan to its own kind's files") {
+    import graft.dedup.{Dedup, DedupIndexIO}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_plan_keyio")
+    val dir = tmp.resolve("idx").toUri.toString
+    try {
+      DedupIndexIO.save(
+        Dedup.dedupIndex(hist, "doc_id", "text", k = 16, bands = 2), dir)
+      // grow once so the pin holds on a multi-generation store too
+      DedupIndexIO.append(spark, dir,
+        docs.filter(pmod($"doc_id", lit(3)) === 0).limit(20)
+          .select($"doc_id", $"text"), "text")
+      val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
+        .select($"doc_id", $"text")
+      val classified = Dedup.incrementalStatus(batch,
+        DedupIndexIO.load(spark, dir), "doc_id", "text",
+        k = 16, bands = 2)
+      val p = classified.queryExecution.executedPlan.toString
+      assert(p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+          l.contains("kind")),
+        "kind partition filter missing from the stored index scan:\n" +
+          p.take(2000))
+      // file-level proof: the fp semi-join's side reads strictly fewer
+      // files than the whole store (band keys outnumber fp keys, and
+      // geom/band partitions must not be listed at all)
+      val loaded = DedupIndexIO.load(spark, dir)
+      val allFiles = loaded
+        .select(input_file_name().as("f")).distinct().count()
+      val fpFiles = loaded.filter($"kind" === "fp")
+        .select(input_file_name().as("f")).distinct().count()
+      assert(fpFiles > 0L && fpFiles < allFiles,
+        s"fp-kind scan read $fpFiles of $allFiles store files — " +
+          "partition pruning lost")
+    } finally Tables.deleteTree(tmp)
+  }
+
   test("a load()ed stored semantic index prunes probe scans to the " +
       "probed buckets' files (r13 partitioned fragment layout)") {
     import graft.dedup.{Dedup, SemanticIndexIO}

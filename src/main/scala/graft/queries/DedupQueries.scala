@@ -296,6 +296,50 @@ object DedupQueries extends QueryPack {
       } finally Tables.deleteTree(tmp)
     }),
 
+    // the REPLAY contract of the stored exact-keys cycle, driver-gated:
+    // batch 1 runs through Dedup.incrementalStatusStored with gen=1
+    // (classify off the store, fold kept keys tagged gen 1), is then
+    // REPLAYED with the same gen — the crashed-foreachBatch-attempt
+    // shape, where the first attempt's fold already landed — and batch
+    // 2 follows at gen=2. The oracle emits attempt 1's rows TWICE: if
+    // the replay ever saw its own folded keys (its kept docs flipping
+    // to exact_hist), the compare fails. attempt 3 additionally proves
+    // the gen<2 view DOES include batch 1's folds (re-crawls caught).
+    "dedup_stored_replay" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+      val inc1 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+          pmod($"doc_id", lit(2)) === 0)
+        .select($"doc_id", $"text")
+      val inc2 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+          pmod($"doc_id", lit(2)) === 1)
+        .select($"doc_id", $"text")
+        .unionByName(inc1.filter(pmod($"doc_id", lit(4)) === 0)
+          .select(($"doc_id" + 200000).as("doc_id"), $"text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_key_replay")
+      val dir = tmp.resolve("idx").toUri.toString
+      try {
+        graft.dedup.DedupIndexIO.save(
+          Dedup.dedupIndex(hist, "doc_id", "text", k = 16, bands = 2), dir)
+        // each call returns a LOCALIZED frame (the stored cycle
+        // collects internally), so the union below never re-reads the
+        // store and the temp dir can be deleted before returning
+        val a1 = Dedup.incrementalStatusStored(s, dir, inc1,
+          "doc_id", "text", gen = Some(1L))
+        val a1r = Dedup.incrementalStatusStored(s, dir, inc1,
+          "doc_id", "text", gen = Some(1L))
+        val a2 = Dedup.incrementalStatusStored(s, dir, inc2,
+          "doc_id", "text", gen = Some(2L))
+        a1.select($"doc_id", lit(1).as("attempt"), $"status")
+          .unionByName(
+            a1r.select($"doc_id", lit(2).as("attempt"), $"status"))
+          .unionByName(
+            a2.select($"doc_id", lit(3).as("attempt"), $"status"))
+      } finally Tables.deleteTree(tmp)
+    }),
+
     // the full text->vector->near-dup path over RAW documents: hashed
     // set-of-words embeddings (no shipped vectors needed) feed the same
     // blocked cosine pairing the embeddings table uses; oracle-checked
@@ -324,6 +368,91 @@ object DedupQueries extends QueryPack {
 
   private val ltoks =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)"""
+
+  private val storedLoopCtes =
+    s"""WITH hist AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+         |inc1 AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 0),
+         |inc2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 0 AND doc_id % 4 = 0),
+         |hfp AS (
+         |  SELECT DISTINCT
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS key
+         |  FROM hist),
+         |htok AS (SELECT DISTINCT doc_id, unnest($ltoks) AS w FROM hist),
+         |hmh AS (
+         |  SELECT doc_id, j, min(md5(j || ':' || w)) AS m
+         |  FROM htok CROSS JOIN generate_series(0, 15) s(j)
+         |  GROUP BY doc_id, j),
+         |hbk AS (
+         |  SELECT DISTINCT
+         |    md5((j // 8) || '|' || string_agg(m, '|' ORDER BY j)) AS key
+         |  FROM hmh GROUP BY doc_id, j // 8),
+         |i1fp AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS key
+         |  FROM inc1),
+         |i1tok AS (SELECT DISTINCT doc_id, unnest($ltoks) AS w FROM inc1),
+         |i1mh AS (
+         |  SELECT doc_id, j, min(md5(j || ':' || w)) AS m
+         |  FROM i1tok CROSS JOIN generate_series(0, 15) s(j)
+         |  GROUP BY doc_id, j),
+         |i1bk AS (
+         |  SELECT doc_id,
+         |    md5((j // 8) || '|' || string_agg(m, '|' ORDER BY j)) AS key
+         |  FROM i1mh GROUP BY doc_id, j // 8),
+         |c1 AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_hist'
+         |         WHEN nr.doc_id IS NOT NULL THEN 'near_hist'
+         |         ELSE 'kept' END AS status
+         |  FROM inc1 b
+         |  LEFT JOIN (SELECT DISTINCT doc_id FROM i1fp
+         |             WHERE key IN (SELECT key FROM hfp)) ex
+         |    ON b.doc_id = ex.doc_id
+         |  LEFT JOIN (SELECT DISTINCT doc_id FROM i1bk
+         |             WHERE key IN (SELECT key FROM hbk)) nr
+         |    ON b.doc_id = nr.doc_id),
+         |k1 AS (SELECT doc_id FROM c1 WHERE status = 'kept'),
+         |ffp AS (
+         |  SELECT key FROM hfp
+         |  UNION
+         |  SELECT key FROM i1fp
+         |  WHERE doc_id IN (SELECT doc_id FROM k1) AND key IS NOT NULL),
+         |fbk AS (
+         |  SELECT key FROM hbk
+         |  UNION
+         |  SELECT key FROM i1bk WHERE doc_id IN (SELECT doc_id FROM k1)),
+         |i2fp AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS key
+         |  FROM inc2),
+         |i2tok AS (SELECT DISTINCT doc_id, unnest($ltoks) AS w FROM inc2),
+         |i2mh AS (
+         |  SELECT doc_id, j, min(md5(j || ':' || w)) AS m
+         |  FROM i2tok CROSS JOIN generate_series(0, 15) s(j)
+         |  GROUP BY doc_id, j),
+         |i2bk AS (
+         |  SELECT doc_id,
+         |    md5((j // 8) || '|' || string_agg(m, '|' ORDER BY j)) AS key
+         |  FROM i2mh GROUP BY doc_id, j // 8),
+         |c2 AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_hist'
+         |         WHEN nr.doc_id IS NOT NULL THEN 'near_hist'
+         |         ELSE 'kept' END AS status
+         |  FROM inc2 b
+         |  LEFT JOIN (SELECT DISTINCT doc_id FROM i2fp
+         |             WHERE key IN (SELECT key FROM ffp)) ex
+         |    ON b.doc_id = ex.doc_id
+         |  LEFT JOIN (SELECT DISTINCT doc_id FROM i2bk
+         |             WHERE key IN (SELECT key FROM fbk)) nr
+         |    ON b.doc_id = nr.doc_id)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "dedup_exact_groups" ->
@@ -449,92 +578,21 @@ object DedupQueries extends QueryPack {
     // classify inc2 (incl. its +200000 re-crawls) against the union.
     // Geometry matches the Spark side: k=16, bands=2 -> j // 8
     "dedup_incremental_stored" ->
-      s"""WITH hist AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
-         |inc1 AS (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 0),
-         |inc2 AS (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
-         |  UNION ALL
-         |  SELECT doc_id + 200000 AS doc_id, text FROM documents
-         |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 0 AND doc_id % 4 = 0),
-         |hfp AS (
-         |  SELECT DISTINCT
-         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS key
-         |  FROM hist),
-         |htok AS (SELECT DISTINCT doc_id, unnest($ltoks) AS w FROM hist),
-         |hmh AS (
-         |  SELECT doc_id, j, min(md5(j || ':' || w)) AS m
-         |  FROM htok CROSS JOIN generate_series(0, 15) s(j)
-         |  GROUP BY doc_id, j),
-         |hbk AS (
-         |  SELECT DISTINCT
-         |    md5((j // 8) || '|' || string_agg(m, '|' ORDER BY j)) AS key
-         |  FROM hmh GROUP BY doc_id, j // 8),
-         |i1fp AS (
-         |  SELECT doc_id,
-         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS key
-         |  FROM inc1),
-         |i1tok AS (SELECT DISTINCT doc_id, unnest($ltoks) AS w FROM inc1),
-         |i1mh AS (
-         |  SELECT doc_id, j, min(md5(j || ':' || w)) AS m
-         |  FROM i1tok CROSS JOIN generate_series(0, 15) s(j)
-         |  GROUP BY doc_id, j),
-         |i1bk AS (
-         |  SELECT doc_id,
-         |    md5((j // 8) || '|' || string_agg(m, '|' ORDER BY j)) AS key
-         |  FROM i1mh GROUP BY doc_id, j // 8),
-         |c1 AS (
-         |  SELECT b.doc_id,
-         |    CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_hist'
-         |         WHEN nr.doc_id IS NOT NULL THEN 'near_hist'
-         |         ELSE 'kept' END AS status
-         |  FROM inc1 b
-         |  LEFT JOIN (SELECT DISTINCT doc_id FROM i1fp
-         |             WHERE key IN (SELECT key FROM hfp)) ex
-         |    ON b.doc_id = ex.doc_id
-         |  LEFT JOIN (SELECT DISTINCT doc_id FROM i1bk
-         |             WHERE key IN (SELECT key FROM hbk)) nr
-         |    ON b.doc_id = nr.doc_id),
-         |k1 AS (SELECT doc_id FROM c1 WHERE status = 'kept'),
-         |ffp AS (
-         |  SELECT key FROM hfp
-         |  UNION
-         |  SELECT key FROM i1fp
-         |  WHERE doc_id IN (SELECT doc_id FROM k1) AND key IS NOT NULL),
-         |fbk AS (
-         |  SELECT key FROM hbk
-         |  UNION
-         |  SELECT key FROM i1bk WHERE doc_id IN (SELECT doc_id FROM k1)),
-         |i2fp AS (
-         |  SELECT doc_id,
-         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS key
-         |  FROM inc2),
-         |i2tok AS (SELECT DISTINCT doc_id, unnest($ltoks) AS w FROM inc2),
-         |i2mh AS (
-         |  SELECT doc_id, j, min(md5(j || ':' || w)) AS m
-         |  FROM i2tok CROSS JOIN generate_series(0, 15) s(j)
-         |  GROUP BY doc_id, j),
-         |i2bk AS (
-         |  SELECT doc_id,
-         |    md5((j // 8) || '|' || string_agg(m, '|' ORDER BY j)) AS key
-         |  FROM i2mh GROUP BY doc_id, j // 8),
-         |c2 AS (
-         |  SELECT b.doc_id,
-         |    CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_hist'
-         |         WHEN nr.doc_id IS NOT NULL THEN 'near_hist'
-         |         ELSE 'kept' END AS status
-         |  FROM inc2 b
-         |  LEFT JOIN (SELECT DISTINCT doc_id FROM i2fp
-         |             WHERE key IN (SELECT key FROM ffp)) ex
-         |    ON b.doc_id = ex.doc_id
-         |  LEFT JOIN (SELECT DISTINCT doc_id FROM i2bk
-         |             WHERE key IN (SELECT key FROM fbk)) nr
-         |    ON b.doc_id = nr.doc_id)
+      s"""$storedLoopCtes
          |SELECT doc_id, 1 AS increment, status FROM c1
          |UNION ALL
          |SELECT doc_id, 2 AS increment, status FROM c2""".stripMargin,
+
+    // the replay contract: attempt 1 emitted twice = a gen-bounded
+    // replay must be bit-identical to its first attempt; attempt 3 =
+    // the next batch sees attempt 1's folds
+    "dedup_stored_replay" ->
+      s"""$storedLoopCtes
+         |SELECT doc_id, 1 AS attempt, status FROM c1
+         |UNION ALL
+         |SELECT doc_id, 2 AS attempt, status FROM c1
+         |UNION ALL
+         |SELECT doc_id, 3 AS attempt, status FROM c2""".stripMargin,
 
     // hashed-embedding stage mirrors the text_hash_embed oracle
     // (TextQueries), cosine stage mirrors dedup_embedding_pairs below —

@@ -160,6 +160,22 @@ object TextQueries extends QueryPack {
       docs.select($"doc_id",
         graft.text.Bpe.bpeExactCount($"text", merges).as("n_bpe_exact"),
         TextAnalysis.bpeTokenCount($"text").as("n_bpe_proxy"))
+    }),
+
+    // whole-corpus BPE training (Bpe.trainCorpus): the merge table
+    // derived from exact GLOBAL pre-token frequencies — one
+    // explode+groupBy shuffle, a TakeOrdered vocab cut, and the
+    // vocab-bounded driver merge loop — where text_bpe_exact trains on
+    // a 512-doc sample. Output = the ranked merge table itself (the
+    // tokenizer artifact a training pipeline ships). No SQL oracle
+    // (iterative merge loop) — digest-pinned in GoldenDigestsSpec;
+    // trainer parity with the driver-side form pinned in BpeSpec.
+    "text_bpe_corpus" -> ((s, d) => {
+      import s.implicits._
+      graft.text.Bpe.trainCorpus(Tables.documents(s, d), "text",
+          numMerges = bpeMerges).zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "lhs", "rhs")
     })
   )
 

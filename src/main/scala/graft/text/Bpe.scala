@@ -73,6 +73,46 @@ object Bpe {
     val wordFreq = new scala.collection.mutable.HashMap[String, Long]()
     texts.foreach(t => preTokenize(t).foreach(w =>
       wordFreq.update(w, wordFreq.getOrElse(w, 0L) + 1L)))
+    trainFreqs(wordFreq, numMerges)
+  }
+
+  /** Train merges from WHOLE-CORPUS pre-token frequencies — the
+    * distributed form of [[train]]: counting is one explode+groupBy
+    * shuffle over the corpus, and the merge loop then runs driver-side
+    * over the DISTINCT-WORD frequency table cut to `maxWords` — a
+    * vocab-bounded driver read (a natural-language corpus has ~10^6
+    * distinct pre-tokens no matter how many TB of text it is), taken
+    * by (freq desc, word) through sort+limit so the plan is
+    * TakeOrdered, never a full sort. [[train]]'s bounded sample answers
+    * "a good tokenizer, at constant cost"; this answers "THE tokenizer
+    * of this corpus" — exact global pair statistics (within the vocab
+    * cut) — at one shuffle. Same regex both paths: the column form's
+    * `regexp_extract_all` and the driver's [[preTokenize]] compile the
+    * identical Java pattern, so a word counts the same either way.
+    */
+  def trainCorpus(df: DataFrame, textCol: String, numMerges: Int,
+                  maxWords: Int = 65536): Merges = {
+    require(maxWords > 0, s"maxWords must be positive, got $maxWords")
+    val wf = df
+      .select(explode(regexp_extract_all(
+        col(textCol).cast("string"),
+        lit(TextAnalysis.bpePattern), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")) // + limit = TakeOrdered
+      .limit(maxWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val m = new scala.collection.mutable.HashMap[String, Long]()
+    wf.foreach { case (w, n) => m.update(w, n) }
+    trainFreqs(m, numMerges)
+  }
+
+  /** The merge loop proper, over a (pre-token -> frequency) table —
+    * shared by the sampled ([[trainLocal]]) and whole-corpus
+    * ([[trainCorpus]]) trainers.
+    */
+  private def trainFreqs(
+      wordFreq: scala.collection.mutable.HashMap[String, Long],
+      numMerges: Int): Merges = {
     // each distinct word as a mutable symbol sequence
     var words: Array[(Array[String], Long)] = wordFreq.iterator
       .map { case (w, f) => (w.map(_.toString).toArray, f) }.toArray

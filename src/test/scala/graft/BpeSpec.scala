@@ -38,6 +38,29 @@ class BpeSpec extends SparkSpec {
     assert(toks.mkString === Bpe.preTokenize(t).mkString)
   }
 
+  test("whole-corpus trainer equals the driver trainer when the vocab " +
+      "cut covers every word, and the cut keeps the top words") {
+    val texts = Seq("the theme there other", "gather the breathe",
+      "the zoo zebra", "it's 42! abab abc")
+    val df = texts.toDF("text").repartition(3) // layout-independence too
+    val full = Bpe.trainCorpus(df, "text", numMerges = 50,
+      maxWords = 100000)
+    assert(full === Bpe.trainLocal(texts, 50))
+    assert(full.nonEmpty)
+    // a top-1 cut trains only on the most frequent pre-token — "the"
+    // (x2: both line-leading occurrences; every other word appears once
+    // or carries the leading-space form). Hand-computed merge sequence
+    // over {"the": 2}: (t,h) and (h,e) tie at 2 -> lexicographically
+    // smallest (h,e) first; then (t,he) at 2; then "the" is one symbol
+    // and training stops. Layout-independent like the full table.
+    val cut = Bpe.trainCorpus(df, "text", numMerges = 50, maxWords = 1)
+    assert(cut === Seq(("h", "e"), ("t", "he")))
+    assert(cut === Bpe.trainCorpus(df.repartition(7), "text", 50, 1))
+    intercept[IllegalArgumentException] {
+      Bpe.trainCorpus(df, "text", numMerges = 1, maxWords = 0)
+    }
+  }
+
   test("exact count >= proxy count on the harness corpus (column forms)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = Bpe.train(docs, "text", numMerges = 64)

@@ -42,6 +42,12 @@ class GoldenDigestsSpec extends SparkSpec {
   // ordered sample, lexicographic tie-breaks), verified by back-to-back
   // identical digests
   check("text_bpe_exact", 500L, "54469054714186344608")
+  // r15 session 2: whole-corpus trainer — exact global pre-token
+  // frequencies, vocab-bounded driver merge loop; 127 rows because
+  // training stops when no pair repeats (< the configured 200 merges
+  // on this corpus's vocabulary). Back-to-back identical digests;
+  // trainer parity with trainLocal pinned in BpeSpec.
+  check("text_bpe_corpus", 127L, "9639374066019633020")
   // r7: int8-quantized ANN (cosine on the codes; scale-invariant)
   check("sim_int8_topk", 50L, "47101543231917959576")
   // r11: product-quantization ANN (8 B/vector ADC retrieve + exact

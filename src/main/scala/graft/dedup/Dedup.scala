@@ -531,7 +531,11 @@ object Dedup {
   def indexFold(index: DataFrame, newDocs: DataFrame,
                 textCol: String): DataFrame = {
     val (k, bands) = indexGeometry(index)
-    index.unionByName(indexKeys(newDocs, textCol, k, bands).distinct())
+    // allowMissingColumns: a LOADED store carries the gen column
+    // ([[DedupIndexIO.load]]); the folded keys take gen null there —
+    // history semantics, visible to every generation bound
+    index.unionByName(indexKeys(newDocs, textCol, k, bands).distinct(),
+      allowMissingColumns = true)
   }
 
   /** Full-shuffle maintenance pass over a folded index: collapses the

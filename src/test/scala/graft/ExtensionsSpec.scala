@@ -998,6 +998,12 @@ class ExtensionsSpec extends SparkSpec {
         Dedup.indexFold(idx0, kept1, "text"),
         "doc_id", "text", k = 16, bands = 2))
       assert(c2Store === c2Mem)
+      // indexFold also accepts the LOADED store (which carries the gen
+      // column — the fold's keys take gen null), and re-folding keys
+      // the store already holds is a classification no-op
+      val refolded = Dedup.indexFold(grown, kept1, "text")
+      assert(statuses(Dedup.incrementalStatus(inc2, refolded,
+        "doc_id", "text", k = 16, bands = 2)) === c2Store)
       // inc2's re-crawls of inc1-KEPT pages must read exact_hist off
       // the GROWN store (the whole point of the fold); re-crawls of
       // inc1 pages the history already covered match via history keys

@@ -98,6 +98,46 @@ object DedupIndexIO {
     * under the same gen on the retry is harmless — the classify
     * semi-joins are duplicate-insensitive set unions.
     */
+  /** Bounded operational snapshot of a store — the exact-keys analog of
+    * `SemanticIndexIO.stats()`: geometry, per-kind key counts, the
+    * folded generation range (None until a gen-tagged append lands),
+    * and the file count (one aggregate scan of the key column plus one
+    * driver file listing; the result is a handful of scalars).
+    */
+  final case class StoreStats(k: Int, bands: Int, fpKeys: Long,
+                              bandKeys: Long, minGen: Option[Long],
+                              maxGen: Option[Long], files: Long)
+
+  def stats(spark: SparkSession, dir: String): StoreStats = {
+    val idx = load(spark, dir)
+    val (k, bands) = Dedup.indexGeometry(idx)
+    val agg = idx.groupBy(col("kind")).agg(
+        count(lit(1)).as("n"), min(col("gen")).as("lo"),
+        max(col("gen")).as("hi"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val gens = agg.valuesIterator.flatMap(v => v._2.iterator ++ v._3.iterator)
+      .toSeq
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = {
+      val it = fs.listFiles(d, true)
+      var n = 0L
+      while (it.hasNext) { if (!it.next().getPath.getName.startsWith("_")) n += 1 }
+      n
+    }
+    StoreStats(k, bands,
+      fpKeys = agg.get("fp").map(_._1).getOrElse(0L),
+      bandKeys = agg.get("band").map(_._1).getOrElse(0L),
+      minGen = if (gens.isEmpty) None else Some(gens.min),
+      maxGen = if (gens.isEmpty) None else Some(gens.max),
+      files = files)
+  }
+
   def append(spark: SparkSession, dir: String, newDocs: DataFrame,
              textCol: String, gen: Option[Long] = None): Unit = {
     val (k, bands) = Dedup.indexGeometry(spark.read

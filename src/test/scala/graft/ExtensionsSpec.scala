@@ -1056,6 +1056,12 @@ class ExtensionsSpec extends SparkSpec {
       assert(keptRecrawl.nonEmpty, "fixture degenerated: no kept re-crawl")
       assert(keptRecrawl.forall(id => a2(id) == "exact_hist"),
         keptRecrawl.map(id => id -> a2(id)).toMap.toString)
+      // bounded ops snapshot reflects the geometry and the gen range of
+      // the folded increments (gen 1 twice + gen 2; history reads null)
+      val st = graft.dedup.DedupIndexIO.stats(spark, dir)
+      assert(st.k === 16 && st.bands === 2)
+      assert(st.fpKeys > 0L && st.bandKeys > 0L && st.files > 0L)
+      assert(st.minGen === Some(1L) && st.maxGen === Some(2L))
       // ad-hoc form (no gen), on a FRESH store so the contrast is
       // non-vacuous: the repeat SEES its own fold — every kept doc of
       // the first call reads exact_hist on the second (the scaladoc'd

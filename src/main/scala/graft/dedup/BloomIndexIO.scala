@@ -42,19 +42,60 @@ object BloomIndexIO {
       s"BloomIndexIO.save: $dir already exists — a store is one " +
         "committed generation; write a new path and switch readers")
     fs.mkdirs(d)
+    // every payload stream is hsync-ed before close (SemanticIndexIO's
+    // sync-before-move discipline): without it a power loss could leave
+    // the _SUCCESS marker durable while filter bytes are still
+    // truncated in the page cache — load would then die inside
+    // BloomFilter.readFrom instead of reading as "no index here" the
+    // way the marker contract promises
+    def sync(out: org.apache.hadoop.fs.FSDataOutputStream): Unit =
+      try out.hsync()
+      catch { case _: UnsupportedOperationException => out.hflush() }
     val meta = fs.create(new Path(d, "meta.txt"))
-    try meta.write(
-      (s"$Format\n${index.k}\n${index.bands}\n${index.expectedItems}\n" +
-        s"${index.inserted}\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally meta.close()
+    try {
+      meta.write(
+        (s"$Format\n${index.k}\n${index.bands}\n${index.expectedItems}\n" +
+          s"${index.inserted}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      sync(meta)
+    } finally meta.close()
     def writeFilter(name: String, f: BloomFilter): Unit = {
       val out = fs.create(new Path(d, name))
-      try f.writeTo(out) finally out.close()
+      try { f.writeTo(out); sync(out) } finally out.close()
     }
     writeFilter("fp.bloom", index.fp)
     writeFilter("band.bloom", index.band)
-    fs.create(new Path(d, "_SUCCESS")).close()
+    val marker = fs.create(new Path(d, "_SUCCESS"))
+    try sync(marker) finally marker.close()
+  }
+
+  /** Bounded operational snapshot of a stored bloom index — the third
+    * store's parity with `DedupIndexIO.stats()` /
+    * `SemanticIndexIO.stats()` (r16): filter geometry (the shingle k
+    * and band count plus each filter's bit size), the saturation
+    * position (`inserted` docs folded against the `expectedItems`
+    * budget the filters were sized for, and their ratio — the
+    * [[BloomIndex.fold]] guard refuses past 1.0), and the fp filter's
+    * ESTIMATED fill from its live geometry
+    * (`expectedFpp()`, rises toward 1 as the filter saturates). Reads
+    * meta + the filter headers only — a handful of scalars, no corpus
+    * scan (there is no corpus here; the filters ARE the store).
+    */
+  final case class StoreStats(k: Int, bands: Int, expectedItems: Long,
+                              inserted: Long, saturation: Double,
+                              fpBits: Long, bandBits: Long,
+                              fpExpectedFpp: Double,
+                              bandExpectedFpp: Double)
+
+  def stats(spark: SparkSession, dir: String): StoreStats = {
+    val idx = load(spark, dir)
+    StoreStats(idx.k, idx.bands, idx.expectedItems, idx.inserted,
+      saturation =
+        if (idx.expectedItems == 0L) 0.0
+        else idx.inserted.toDouble / idx.expectedItems,
+      fpBits = idx.fp.bitSize(), bandBits = idx.band.bitSize(),
+      fpExpectedFpp = idx.fp.expectedFpp(),
+      bandExpectedFpp = idx.band.expectedFpp())
   }
 
   def load(spark: SparkSession, dir: String): BloomIndex.Index = {

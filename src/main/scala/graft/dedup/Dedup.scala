@@ -599,11 +599,20 @@ object Dedup {
 
   /** One deployment cycle of the exact-keys crawl loop against the
     * DURABLE store ([[DedupIndexIO]]): classify `newDocs` off the
-    * stored index, LOCALIZE the statuses (bounded by the increment —
-    * required by the store's cross-generation contract, see
-    * [[DedupIndexIO.load]]), then fold the kept docs' keys back in so
-    * the next increment sees them as history. Geometry comes from the
-    * store's marker — never re-passed.
+    * stored index, CUT the statuses' lineage from the store's file
+    * listing (required by the store's cross-generation contract, see
+    * [[DedupIndexIO.load]] — the fold below replaces files under any
+    * plan that still reads them), then fold the kept docs' keys back in
+    * so the next increment sees them as history. Geometry comes from
+    * the store's marker — never re-passed. The cut is an eager
+    * `localCheckpoint` (r16): executor-resident blocks sized by the
+    * increment, not a driver collect — a realistically sized crawl
+    * increment (every newDocs column, including the text) through
+    * `collect()` was a driver-memory cliff. The trade localCheckpoint
+    * makes — executor loss after the fold fails the job LOUDLY instead
+    * of recomputing — is exactly right here: recomputing from lineage
+    * would silently re-read the folded store and classify the batch's
+    * own keys as history.
     *
     * `gen` makes the cycle REPLAY-IDEMPOTENT for streaming foreachBatch
     * deployments (pass the batchId): classification is bounded to keys
@@ -626,11 +635,9 @@ object Dedup {
     val view = gen.fold(idx)(g =>
       idx.filter(col("gen").isNull || col("gen") < g))
     val (k, bands) = indexGeometry(idx)
-    val lazyStatuses =
+    val statuses =
       incrementalStatus(newDocs, view, idCol, textCol, k, bands)
-    val statuses = spark.createDataFrame(
-      java.util.Arrays.asList(lazyStatuses.collect(): _*),
-      lazyStatuses.schema)
+        .localCheckpoint()
     if (foldKept)
       DedupIndexIO.append(spark, dir,
         statuses.filter(col("status") === "kept")
@@ -698,7 +705,8 @@ object Dedup {
     */
   private def semanticCoarse(emb: DataFrame, sample: DataFrame,
                              n: Long, k: Int, iterations: Int,
-                             hierThreshold: Long)
+                             hierThreshold: Long,
+                             fineLitBytes: Long)
       : graft.similarity.Similarity.CoarseQuantizer = {
     import graft.similarity.Similarity
     if (n <= hierThreshold) {
@@ -710,14 +718,16 @@ object Dedup {
       val coarseK = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
       val fineK = math.max(1, math.ceil(k.toDouble / coarseK).toInt)
       Similarity.TwoLevelCoarse(Similarity.trainTwoLevelCentroids(
-        sample, coarseK, fineK, iterations = iterations))
+        sample, coarseK, fineK, iterations = iterations,
+        fineLitBytes = fineLitBytes))
     }
   }
 
   def semanticIndex(hist: DataFrame, idCol: String, textCol: String,
                     dim: Int = 64, m: Int = 16, ksub: Int = 16,
                     iterations: Int = 2,
-                    hierThreshold: Long = SemanticHierThreshold)
+                    hierThreshold: Long = SemanticHierThreshold,
+                    fineLitBytes: Long = 256L << 20)
       : SemanticIndex = {
     // zero-vector (empty/null-text) docs are excluded from the INDEX
     // entirely, not just from training: cosine can never match a zero
@@ -760,19 +770,23 @@ object Dedup {
       val half = graft.operators.Sampling
         .hashSample(emb, col("c_id"), "8", "semidx")
       val sample = if (half.count() >= ksubEff.toLong) half else emb
-      val quantizer =
-        semanticCoarse(emb, sample, n, k, iterations, hierThreshold)
+      val quantizer = semanticCoarse(emb, sample, n, k, iterations,
+        hierThreshold, fineLitBytes)
       val centroids = quantizer.centroids
       def assigned(src: DataFrame): DataFrame =
         quantizer.assign(
             src.select(col("c_id").as("v_id"), col("c_vec").as("v_vec")))
           .select(col("v_id").as("c_id"), col("v_vec").as("c_vec"),
             col("cent_id"))
+      // literalCents=false: the fine level is past the driver-literal
+      // budget — residual training and the history encode keep the
+      // centroid joins shuffle_hash instead of broadcast
       val model = graft.similarity.Pq.trainResidualAssigned(
-        assigned(sample), centroids, m, ksubEff, iterations)
+        assigned(sample), centroids, m, ksubEff, iterations,
+        broadcastCents = quantizer.literalCents)
       SemanticIndex(model, quantizer,
         graft.similarity.Pq.ivfPqEncodeAssigned(assigned(embSrc),
-          centroids, model),
+          centroids, model, broadcastCents = quantizer.literalCents),
         embSrc)
     } finally emb.unpersist()
   }
@@ -816,7 +830,8 @@ object Dedup {
           col("c_vec").as("v_vec")))
         .select(col("v_id").as("c_id"), col("v_vec").as("c_vec"),
           col("cent_id")),
-      index.centroids, index.model, keepVec = true)
+      index.centroids, index.model, keepVec = true,
+      broadcastCents = index.quantizer.literalCents)
   }
 
   /** Grow the index from ALREADY-ENCODED rows ([[semanticEncode]]'s
@@ -858,8 +873,14 @@ object Dedup {
 
   private def probeCellsOf(q: DataFrame, index: SemanticIndex,
                            nProbe: Int): DataFrame = {
-    import graft.similarity.Similarity
-    val flat = Similarity.probeCells(q, index.centroids, nProbe)
+    // quantizer-routed selection: literal generate chain when the flat
+    // centroid table fits the driver (bit-identical to the historical
+    // Similarity.probeCells plan), the distributed join form past the
+    // budget (literalCents=false — the literal form would trip
+    // collectCentroids' cap or OOM the driver)
+    val flat = index.quantizer.probeTop(q, nProbe)
+      .select(col("cent_id"))
+      .distinct()
     index.quantizer.ownCellProbe match {
       case None => flat
       case Some(assign) =>
@@ -989,7 +1010,14 @@ object Dedup {
         // identical page's hier-assigned cell out — probing each doc's
         // OWN cell restores the exact-re-crawl containment guarantee
         // (None on flat indexes: top-1 IS the own cell there)
-        ownCellAssign = index.quantizer.ownCellProbe)
+        ownCellAssign = index.quantizer.ownCellProbe,
+        // past the driver-literal budget the probe selection and the
+        // ⟨q,c⟩ join must not collect/broadcast the flat centroid
+        // table (literalCents=false routes both distributed)
+        probeSelect =
+          if (index.quantizer.literalCents) None
+          else Some(index.quantizer.probeTop _),
+        broadcastCents = index.quantizer.literalCents)
       .select(col("q_id").as(idCol), col("c_id").as("match_id"),
         col("sim").as("best_sim"))
     newDocs
@@ -1045,7 +1073,8 @@ object Dedup {
       // exclude them so the mean stays a pure quantizer-fit signal
       .filter(Similarity.norm(col("v_vec")) > 0)
     driftOfAssigned(index.quantizer.assign(emb), "v_vec",
-      index.centroids, topPct)
+      index.centroids, topPct,
+      broadcastCents = index.quantizer.literalCents)
   }
 
   /** [[semanticDrift]] over rows that are ALREADY assigned and carry
@@ -1057,7 +1086,8 @@ object Dedup {
     * affordable inside the deployment loop.
     */
   def semanticDriftEncoded(encoded: DataFrame, centroids: DataFrame,
-                           topPct: Double = 0.05): DriftStats = {
+                           topPct: Double = 0.05,
+                           broadcastCents: Boolean = true): DriftStats = {
     import graft.similarity.Similarity
     // zero-norm rows carry no fit signal (see semanticDrift); encoded
     // rows are normally norm>0 by semanticEncode's filter, but this
@@ -1065,7 +1095,7 @@ object Dedup {
     driftOfAssigned(
       encoded.select(col("cent_id"), col("c_vec").as("v_vec"))
         .filter(Similarity.norm(col("v_vec")) > 0),
-      "v_vec", centroids, topPct)
+      "v_vec", centroids, topPct, broadcastCents)
   }
 
   /** Shared tail of the drift probes: per-cell count + assigned-cosine
@@ -1075,10 +1105,15 @@ object Dedup {
     */
   private def driftOfAssigned(assigned: DataFrame, vecCol: String,
                               centroids: DataFrame,
-                              topPct: Double): DriftStats = {
+                              topPct: Double,
+                              broadcastCents: Boolean = true): DriftStats = {
     import graft.similarity.Similarity
     val perCell = assigned
-      .join(broadcast(centroids), Seq("cent_id"))
+      // broadcastCents=false: past-literal-budget quantizer — keep the
+      // centroid table partitioned (the per-cell collect below stays
+      // bounded either way: (count, sum) rows, one per hit cell)
+      .join(if (broadcastCents) broadcast(centroids)
+            else centroids.hint("shuffle_hash"), Seq("cent_id"))
       .select(col("cent_id"),
         // Similarity.cosine guards the COMBINED norm product: a
         // zero-norm (dead-seed) centroid scores 0, and so does a doc

@@ -391,9 +391,12 @@ object SemanticIndexIO {
         centroids.write.parquet(s"$gs/quantizer/centroids")
       case Similarity.TwoLevelCoarse(tl) =>
         // the optional third token marks a PAST-LITERAL-BUDGET fine
-        // level (r15): load must reconstruct the join-assign routing,
-        // or the first stored classify would collect the whole fine
-        // table onto the driver
+        // level (r15): load must reconstruct literalOk=false so EVERY
+        // consumer — assign, probe selection, residual/encode joins,
+        // the drift probe — routes distributed (r16: literalCents
+        // gates all of them; before that only assign routed, and the
+        // first stored classify collected the whole fine table onto
+        // the driver through centroidLit)
         writeText(fs, new Path(g, "meta.txt"),
           s"twolevel ${tl.fineK}" +
             (if (tl.literalOk) "" else " joinassign"))
@@ -659,17 +662,30 @@ object SemanticIndexIO {
     */
   private def driftReportOf(spark: SparkSession, fs: FileSystem, d: Path,
                             g0: Path, encoded: DataFrame): DriftReport = {
-    val stats = Dedup.semanticDriftEncoded(encoded, readCentroids(spark, fs, g0))
+    val (cents, bcast) = readCentroids(spark, fs, g0)
+    val stats = Dedup.semanticDriftEncoded(encoded, cents,
+      broadcastCents = bcast)
     val basePath = new Path(d, DriftBaselineFile)
-    if (!fs.exists(basePath)) {
+    // an unparsable baseline (crash mid-write — writeText is
+    // create-in-place here, not flipCurrent's temp+rename) is treated
+    // as ABSENT and re-recorded: the alternative was a MatchError on
+    // every later probed appendSave, wedging the streaming fold's
+    // commit path until someone hand-deleted the file
+    val baseline: Option[(Double, Double)] =
+      if (!fs.exists(basePath)) None
+      else scala.util.Try {
+        val Array(bCos, bShare) =
+          readText(fs, basePath).trim.split("\\s+").take(2)
+            .map(java.lang.Double.parseDouble)
+        (bCos, bShare)
+      }.toOption
+    if (baseline.isEmpty) {
       if (stats.rows > 0)
         writeText(fs, basePath, s"${stats.meanAssignCos} ${stats.topShare}")
       DriftReport(stats, stats.meanAssignCos, stats.topShare,
         isBaseline = true, drifted = false)
     } else {
-      val Array(bCos, bShare) =
-        readText(fs, basePath).trim.split("\\s+").take(2)
-          .map(java.lang.Double.parseDouble)
+      val (bCos, bShare) = baseline.get
       val drifted = stats.rows > 0 &&
         (stats.meanAssignCos < DriftMeanCosFactor * bCos ||
           stats.topShare > DriftTopShareFactor * bShare)
@@ -693,17 +709,18 @@ object SemanticIndexIO {
     * paying a full [[load]].
     */
   private def readCentroids(spark: SparkSession, fs: FileSystem,
-                            g: Path): DataFrame = {
+                            g: Path): (DataFrame, Boolean) = {
     val meta = readText(fs, new Path(g, "meta.txt")).trim.split(" ")
     meta(0) match {
       case "flat" =>
-        spark.read.parquet(s"$g/quantizer/centroids")
+        (spark.read.parquet(s"$g/quantizer/centroids"), true)
       case "twolevel" =>
-        Similarity.TwoLevelCoarse(Similarity.TwoLevelQuantizer(
+        val q = Similarity.TwoLevelCoarse(Similarity.TwoLevelQuantizer(
           spark.read.parquet(s"$g/quantizer/coarse"),
           spark.read.parquet(s"$g/quantizer/fine"),
           meta(1).toInt,
-          literalOk = !meta.contains("joinassign"))).centroids
+          literalOk = !meta.contains("joinassign")))
+        (q.centroids, q.literalCents)
       case other =>
         sys.error(s"unknown quantizer kind '$other' in $g/meta.txt")
     }

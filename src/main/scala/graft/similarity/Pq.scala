@@ -294,8 +294,9 @@ object Pq {
     */
   def trainResidualAssigned(assigned: DataFrame, centroids: DataFrame,
                             m: Int, ksub: Int,
-                            iterations: Int = 2): PqModel =
-    train(residualsAssigned(assigned, centroids),
+                            iterations: Int = 2,
+                            broadcastCents: Boolean = true): PqModel =
+    train(residualsAssigned(assigned, centroids, broadcastCents),
       "c_id", "r_vec", m, ksub, iterations)
 
   /** (c_id, cent_id, r_vec, cent_vec): each vector's coarse assignment,
@@ -312,9 +313,15 @@ object Pq {
     * n·√n term the two-level build exists to remove).
     */
   private def residualsAssigned(assigned: DataFrame,
-                                centroids: DataFrame): DataFrame =
+                                centroids: DataFrame,
+                                broadcastCents: Boolean = true): DataFrame =
     assigned
-      .join(broadcast(centroids), Seq("cent_id"))
+      // broadcastCents=false: the quantizer is past the driver-literal
+      // budget (CoarseQuantizer.literalCents) — shuffle_hash keeps the
+      // centroid table partitioned instead of shipping it whole to
+      // every executor (and through the driver)
+      .join(if (broadcastCents) broadcast(centroids)
+            else centroids.hint("shuffle_hash"), Seq("cent_id"))
       .select(col("cent_id"), col("c_id"),
         zip_with(col("c_vec"), col("cent_vec"),
           (x, c) => x.cast("double") - c.cast("double")).as("r_vec"),
@@ -343,10 +350,16 @@ object Pq {
     */
   def ivfPqEncodeAssigned(assigned: DataFrame, centroids: DataFrame,
                           model: PqModel,
-                          keepVec: Boolean = false): DataFrame = {
-    val centsAug = broadcast(centroids.select(col("cent_id"), col("cent_vec"),
+                          keepVec: Boolean = false,
+                          broadcastCents: Boolean = true): DataFrame = {
+    val aug = centroids.select(col("cent_id"), col("cent_vec"),
       pq_lut(col("cent_vec"), model.codebooks, model.ksub).as("_clut"),
-      Similarity.dot(col("cent_vec"), col("cent_vec")).as("_csqn")))
+      Similarity.dot(col("cent_vec"), col("cent_vec")).as("_csqn"))
+    // broadcastCents=false: past-literal-budget quantizer — the lut/norm
+    // augmentation still evaluates once per centroid, just on a
+    // partitioned build side instead of a broadcast one
+    val centsAug = if (broadcastCents) broadcast(aug)
+                   else aug.hint("shuffle_hash")
     assigned
       .join(centsAug, Seq("cent_id"))
       .select(col("c_id") +: col("cent_id") +:
@@ -375,30 +388,48 @@ object Pq {
                 corpus: DataFrame, model: PqModel, k: Int, nProbe: Int,
                 rFactor: Int = 10,
                 broadcastProbes: Boolean = true,
-                ownCellAssign: Option[DataFrame => DataFrame] = None)
+                ownCellAssign: Option[DataFrame => DataFrame] = None,
+                probeSelect: Option[(DataFrame, Int) => DataFrame] = None,
+                broadcastCents: Boolean = true)
       : DataFrame = {
     require(rFactor >= 1, s"rFactor must be >= 1: $rFactor")
     // probe CELL selection: map-side against the literal quantizer,
     // exactly like ivfProbe (explode_outer + not-null for the same
-    // InferFiltersFromGenerate reason). The query's lut and norm depend
-    // only on the query — staged in ONE projection below the probe
-    // explode so they evaluate once per query, never per probe row;
-    // ⟨q,c⟩ is genuinely per-probe and stays below the centroid join.
+    // InferFiltersFromGenerate reason) — or, for a quantizer past the
+    // driver-literal budget, the caller's distributed `probeSelect`
+    // (CoarseQuantizer.probeTop's join form: same ranking, no literal).
+    // The query's lut and norm depend only on the query — staged in ONE
+    // projection below the probe explode so they evaluate once per
+    // query, never per probe row; ⟨q,c⟩ is genuinely per-probe and
+    // stays below the centroid join.
     def finishProbes(withCells: DataFrame): DataFrame = withCells
-      .join(broadcast(centroids), Seq("cent_id"))
+      .join(if (broadcastCents) broadcast(centroids)
+            else centroids.hint("shuffle_hash"), Seq("cent_id"))
       .select(col("q_id"), col("cent_id"), col("_lut"),
         Similarity.dot(col("q_vec"), col("cent_vec")).as("_qc"),
         col("_qn"))
     val qStaged = queries.select(col("q_id"), col("q_vec"),
       pq_lut(col("q_vec"), model.codebooks, model.ksub).as("_lut"),
       Similarity.norm(col("q_vec")).as("_qn"))
-    val flatCells = qStaged
-      .withColumn("_probe",
-        explode_outer(slice(Similarity.centroidScores(col("q_vec"),
-          Similarity.centroidLit(centroids)), 1, nProbe)))
-      .filter(col("_probe").isNotNull)
-      .select(col("q_id"), col("q_vec"), col("_lut"), col("_qn"),
-        (-col("_probe.neg_id")).as("cent_id"))
+    val flatCells = probeSelect match {
+      // distributed selection runs on the bare (q_id, q_vec) frame —
+      // the ~2 KB-per-query lut must not ride its per-cell fan-out —
+      // and the staged lut/norm join back per query, like the
+      // own-cell branch below
+      case Some(sel) =>
+        sel(queries.select(col("q_id"), col("q_vec")), nProbe)
+          .select(col("q_id"), col("cent_id"))
+          .join(qStaged, Seq("q_id"))
+          .select(col("q_id"), col("q_vec"), col("_lut"), col("_qn"),
+            col("cent_id"))
+      case None => qStaged
+        .withColumn("_probe",
+          explode_outer(slice(Similarity.centroidScores(col("q_vec"),
+            Similarity.centroidLit(centroids)), 1, nProbe)))
+        .filter(col("_probe").isNotNull)
+        .select(col("q_id"), col("q_vec"), col("_lut"), col("_qn"),
+          (-col("_probe.neg_id")).as("cent_id"))
+    }
     val probes = ownCellAssign match {
       // flat-encoded index: flat top-1 IS the query's own cell — the
       // single generate chain is the whole probe selection (one embed

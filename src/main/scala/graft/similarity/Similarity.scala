@@ -275,6 +275,23 @@ object Similarity {
       * selection runs — the search must then also probe each query's
       * own cell (exact-re-crawl containment). */
     def ownCellProbe: Option[DataFrame => DataFrame]
+    /** false iff [[centroids]] must NEVER be collected into a plan
+      * literal or wrapped in `broadcast()` (a two-level fine level past
+      * the driver-literal budget, `literalOk = false`): consumers then
+      * route probe selection through [[probeTop]]'s join form and turn
+      * their centroid joins shuffle_hash — the r15 fallback trained
+      * such quantizers but classify/encode/drift still collected them,
+      * so the first stored classify either tripped [[collectCentroids]]'
+      * cap or OOMed the driver past [[maxCentroids]]·dim·8 bytes.
+      */
+    def literalCents: Boolean
+    /** Per-query top-nProbe probe selection: the caller's query columns
+      * (must include `q_id`, `q_vec`) plus `cent_id` — literal
+      * generate chain when the quantizer fits the driver
+      * ([[probeTopLiteral]], bit-identical to the historical plan),
+      * distributed join form past the budget
+      * ([[probeTopTwoLevelJoin]], parity-pinned). */
+    def probeTop(queries: DataFrame, nProbe: Int): DataFrame
   }
 
   final case class FlatQuantizer(centroids: DataFrame)
@@ -282,6 +299,9 @@ object Similarity {
     def assign(vectors: DataFrame): DataFrame =
       assignToCentroids(vectors, centroids)
     def ownCellProbe: Option[DataFrame => DataFrame] = None
+    def literalCents: Boolean = true
+    def probeTop(queries: DataFrame, nProbe: Int): DataFrame =
+      probeTopLiteral(queries, centroids, nProbe)
   }
 
   final case class TwoLevelCoarse(tl: TwoLevelQuantizer)
@@ -289,6 +309,10 @@ object Similarity {
     def centroids: DataFrame = tl.flat
     def assign(vectors: DataFrame): DataFrame = assignTwoLevel(vectors, tl)
     def ownCellProbe: Option[DataFrame => DataFrame] = Some(assign)
+    def literalCents: Boolean = tl.literalOk
+    def probeTop(queries: DataFrame, nProbe: Int): DataFrame =
+      if (tl.literalOk) probeTopLiteral(queries, tl.flat, nProbe)
+      else probeTopTwoLevelJoin(queries, tl, nProbe)
   }
 
   /** The fine frame grouped to per-cell centroid arrays — the broadcast
@@ -559,13 +583,67 @@ object Similarity {
     */
   def probeCells(queries: DataFrame, centroids: DataFrame,
                  nProbe: Int): DataFrame =
+    probeTopLiteral(queries, centroids, nProbe)
+      .select(col("cent_id"))
+      .distinct()
+
+  /** Per-query top-nProbe probe selection against the LITERAL quantizer:
+    * the caller's query columns plus `cent_id`, one row per (query,
+    * probed cell). Map-side generate chain — the shared probe-selection
+    * spine of [[probeCells]], [[ivfProbe]] and `Pq.ivfPqTopK`.
+    * explode_outer + not-null: a plain explode's inferred size>0 filter
+    * pushes into the scan and re-evaluates the FULL centroid scoring a
+    * second time per query row (the probe list is never empty anyway —
+    * slice of a non-empty literal-quantizer scoring).
+    */
+  private[graft] def probeTopLiteral(queries: DataFrame, centroids: DataFrame,
+                                     nProbe: Int): DataFrame =
     queries
       .withColumn("_probe",
         explode_outer(slice(centroidScores(col("q_vec"),
           centroidLit(centroids)), 1, nProbe)))
       .filter(col("_probe").isNotNull)
-      .select((-col("_probe.neg_id")).as("cent_id"))
-      .distinct()
+      .select(queries.columns.map(col) :+
+        (-col("_probe.neg_id")).as("cent_id"): _*)
+
+  /** [[probeTopLiteral]] for a two-level quantizer whose fine level must
+    * STAY DISTRIBUTED (`literalOk = false` — past the driver-literal
+    * budget or the [[maxCentroids]] cap): per-cell candidate scoring via
+    * a broadcast-nested-loop of the bounded query set against the
+    * coarseK-row cells frame, then a per-query top-nProbe merge. EXACT
+    * parity with the literal selection, not an approximation: each
+    * (query, cell) row keeps its cell-local top-nProbe under the same
+    * total order the literal form sorts by (rounded dist desc, neg_id
+    * desc = ascending flattened cent_id on ties), and cell-local
+    * top-nProbe is a superset of every cell's contribution to the
+    * global top-nProbe, so the window merge reproduces the literal
+    * ranking bit-for-bit (ExtensionsSpec pins it). Total cosine count
+    * is identical to the flat form (|q|·kTot) — distributed across
+    * executors instead of evaluated against a driver-embedded literal
+    * that cannot exist at this geometry. The only shuffle is the final
+    * |q|·coarseK·nProbe-row top-nProbe window.
+    */
+  private[graft] def probeTopTwoLevelJoin(queries: DataFrame,
+                                          tl: TwoLevelQuantizer,
+                                          nProbe: Int): DataFrame = {
+    val qCols = queries.columns
+    val cand = fineCells(tl.fine)
+      .crossJoin(broadcast(queries))
+      .withColumn("_cand", slice(sort_array(transform(col("_cells"), c =>
+        struct(round(cosine(col("q_vec"), c.getField("cent_vec")), 6)
+            .as("dist"),
+          (-(col("coarse_id") * lit(tl.fineK.toLong) +
+            c.getField("fine_id"))).as("neg_id"))),
+        asc = false), 1, nProbe))
+      .withColumn("_probe", explode_outer(col("_cand")))
+      .filter(col("_probe").isNotNull)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("_probe.dist").desc, col("_probe.neg_id").desc)
+    cand
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= nProbe)
+      .select(qCols.map(col) :+ (-col("_probe.neg_id")).as("cent_id"): _*)
+  }
 
   /** Probe a built index: map-side probe selection against the literal
     * quantizer, hash-join on cent_id (cheap integer probe, no cosine for

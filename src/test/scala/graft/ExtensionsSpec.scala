@@ -300,6 +300,81 @@ class ExtensionsSpec extends SparkSpec {
       flat.view.mapValues(_._1).toMap)
   }
 
+  test("literalOk=false index: probe selection, classify, stored classify " +
+      "and drift all route DISTRIBUTED with bit parity to the literal " +
+      "path (r16 — before this only assign routed, and the first stored " +
+      "classify collected the whole fine table through centroidLit)") {
+    import graft.similarity.Similarity
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val batch = docs.filter(pmod($"doc_id", lit(3)) === 0)
+      .select($"doc_id", $"text")
+      .unionByName(hist.filter(pmod($"doc_id", lit(10)) === 1)
+        .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    // same geometry, one past a 1 KB driver-literal budget: training is
+    // bit-identical (r15 fallback-parity test above), so EVERY
+    // downstream difference is the consumer routing under test
+    val litIdx = Dedup.semanticIndex(hist, "doc_id", "text",
+      hierThreshold = 0L)
+    val distIdx = Dedup.semanticIndex(hist, "doc_id", "text",
+      hierThreshold = 0L, fineLitBytes = 1L << 10)
+    assert(litIdx.quantizer.literalCents)
+    assert(!distIdx.quantizer.literalCents)
+    // probe selection parity, directly: the join form against the SAME
+    // fine frame ranks every query's top-nProbe cells identically to
+    // the literal generate chain (same rounding, same neg_id tie-break)
+    val (litTl, distTl) = (litIdx.quantizer, distIdx.quantizer) match {
+      case (Similarity.TwoLevelCoarse(a), Similarity.TwoLevelCoarse(b)) =>
+        (a, b)
+      case other => fail(s"expected two-level quantizers, got $other")
+    }
+    val q = graft.text.TextAnalysis
+      .hashedEmbeddings(batch, "doc_id", "text", litIdx.model.dim)
+      .select($"doc_id".as("q_id"), $"embedding".as("q_vec"))
+    def probes(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"q_id", $"cent_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probes(Similarity.probeTopTwoLevelJoin(q, distTl, 3)) ===
+      probes(Similarity.probeTopLiteral(q, litTl.flat, 3)))
+    // classify parity — FULL rows including the audit columns: the
+    // geometry is identical, so the shuffle_hash residual training,
+    // distributed encode, join-form probe selection and non-broadcast
+    // ⟨q,c⟩ join must reproduce the literal classification exactly
+    def rows(idx: Dedup.SemanticIndex): Set[Seq[Any]] =
+      Dedup.semanticStatus(batch, idx, "doc_id", "text")
+        .select($"doc_id", $"status", $"match_id", $"best_sim")
+        .collect().map(_.toSeq).toSet
+    val litRows = rows(litIdx)
+    assert(rows(distIdx) === litRows)
+    // the STORED cycle (the advisor's failing path): save keeps the
+    // joinassign marker, load reconstructs literalCents=false, and the
+    // first stored classify runs distributed end-to-end — no
+    // collectCentroids cap, no driver-side fine table
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semio_joinassign").toString
+    try {
+      graft.dedup.SemanticIndexIO.save(distIdx, dir)
+      val loaded = graft.dedup.SemanticIndexIO.load(spark, dir)
+      assert(!loaded.quantizer.literalCents)
+      val stored = Dedup.semanticStatusStored(spark, dir, batch,
+          "doc_id", "text")
+        .select($"doc_id", $"status", $"match_id", $"best_sim")
+        .collect().map(_.toSeq).toSet
+      assert(stored === litRows)
+      Dedup.releaseStoredClassifyCache()
+    } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
+    // drift probe routes its centroid join shuffle_hash and reads the
+    // same stats (double sums collected per cell — compare with a
+    // tolerance, counts exactly)
+    val dLit = Dedup.semanticDrift(litIdx, batch, "doc_id", "text")
+    val dDist = Dedup.semanticDrift(distIdx, batch, "doc_id", "text")
+    assert(dDist.rows === dLit.rows)
+    assert(dDist.cellsHit === dLit.cellsHit)
+    assert(dDist.cells === dLit.cells)
+    assert(math.abs(dDist.meanAssignCos - dLit.meanAssignCos) < 1e-9)
+    assert(math.abs(dDist.topShare - dLit.topShare) < 1e-9)
+  }
+
   test("semantic index round-trips storage: load(save(idx)) classifies " +
       "bit-identically, both quantizer shapes") {
     val docs = Tables.documents(spark, sf)
@@ -580,6 +655,25 @@ class ExtensionsSpec extends SparkSpec {
       assert(!java.nio.file.Files.exists(
         java.nio.file.Paths.get(dir, "_drift_baseline.txt")),
         "full save must reset the drift baseline")
+      // a TRUNCATED baseline (crash mid-write — the file is written
+      // create-in-place) must read as ABSENT, not wedge every later
+      // probed appendSave with a MatchError (r16): the next probe
+      // re-records it and reports isBaseline
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_drift_baseline.txt"),
+        "0.87".getBytes("UTF-8"))
+      val idx2 = graft.dedup.SemanticIndexIO.load(spark, dir)
+      val r3 = graft.dedup.SemanticIndexIO.appendSave(spark, dir,
+        Dedup.semanticEncode(idx2,
+          inc.select(($"doc_id" + 900000L).as("doc_id"), $"text"),
+          "doc_id", "text"),
+        note = "n3", driftProbe = true)
+      assert(r3.isDefined && r3.get.isBaseline && !r3.get.drifted,
+        s"truncated baseline must re-record, got $r3")
+      // and the re-recorded file parses again
+      val re = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_drift_baseline.txt")), "UTF-8")
+      assert(re.trim.split("\\s+").length === 2, s"re-recorded '$re'")
     } finally Tables.deleteTree(java.nio.file.Paths.get(dir))
   }
 
@@ -1110,6 +1204,20 @@ class ExtensionsSpec extends SparkSpec {
         graft.dedup.BloomIndex.fold(folded, batch.limit(6), "text")
       }
       assert(over.getMessage.contains("expectedItems"))
+      // stats(): the bounded operational snapshot (r16 — store parity
+      // with DedupIndexIO/SemanticIndexIO): geometry, saturation
+      // position, bit sizes and live fpp estimates, no corpus scan
+      val st = graft.dedup.BloomIndexIO.stats(spark, dir)
+      assert(st.k === idx.k && st.bands === idx.bands)
+      assert(st.expectedItems === idx.expectedItems)
+      assert(st.inserted === idx.inserted)
+      assert(st.saturation ===
+        idx.inserted.toDouble / idx.expectedItems)
+      assert(st.saturation > 0.0 && st.saturation < 1.0)
+      assert(st.fpBits > 0L && st.bandBits > st.fpBits,
+        s"band filter (x bands budget) should be larger: $st")
+      assert(st.fpExpectedFpp > 0.0 && st.fpExpectedFpp < 0.5)
+      assert(st.bandExpectedFpp > 0.0 && st.bandExpectedFpp < 0.5)
       // one committed generation per path; debris without _SUCCESS
       // reads as "no index here", never as a silently partial index
       intercept[IllegalArgumentException] {

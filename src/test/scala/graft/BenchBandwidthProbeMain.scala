@@ -59,6 +59,11 @@ object BenchBandwidthProbeMain {
       "corpus_curate_increment_bloom", "sim_semdedup_text",
       "dedup_incremental_semantic_fold", "dedup_incremental_bloom_fold",
       "sim_semdedup_hier", "dedup_span_stats", "text_perplexity_buckets",
+      // both ratio rows, so the r16 quiet-pick adjudication fires: in
+      // drain mode the rolls run in the quiet tail (policy quiet_*, not
+      // suspect); in hold mode every sample window is loud (policy
+      // no_quiet_suspect, rows land in suspect)
+      "a7_counter_dump",
     ).mkString(",")
     val cmd = (Seq("java") ++ jdk17AddOpens ++ Seq(
       "-Xmx8g", "-Dspark.ui.enabled=false",
@@ -222,5 +227,58 @@ object BenchBandwidthProbeMain {
           "FAIL: flagged rows were confirmed despite loud re-roll windows"
     }
     println(s"BWPROBE[$mode] $verdict")
+
+    // r16 ratio-row adjudication check: the kept queries{} value of
+    // each ratio row must be the quiet-window median, never a loud
+    // sample (the BENCH_r15 defect published flagship 21.3 s over its
+    // own quiet 8.82 s trace roll)
+    val ratioTrace = field("ratio_trace", '{', '}')
+    val suspects2 = "\"([a-z0-9_]+)\"".r.findAllMatchIn(suspect)
+      .map(_.group(1)).toSet
+    val rowRe = ("""\"(gaf_pipeline_e2e|a7_counter_dump)\":\{"samples":""" +
+      """\[(.*?)\],"kept":([0-9.]+),"policy":"([a-z_]+)"\}""").r
+    val sampleRe =
+      """\{"t":([0-9.]+),.*?"why":"(fgn|spin|mem|)"\}""".r
+    val ratioChecks = rowRe.findAllMatchIn(ratioTrace).toList.map { m =>
+      val (name, kept, policy) =
+        (m.group(1), m.group(3).toDouble, m.group(4))
+      val samples = sampleRe.findAllMatchIn(m.group(2))
+        .map(s => (s.group(1).toDouble, s.group(2))).toList
+      val quiet = samples.filter(_._2.isEmpty).map(_._1).sorted
+      val loud = samples.filter(_._2.nonEmpty)
+      println(s"BWPROBE ratio-row $name: kept=$kept policy=$policy " +
+        s"quiet=${quiet.mkString(",")} loud=${loud.mkString(",")} " +
+        s"suspect=${suspects2(name)}")
+      val ok = mode match {
+        case "drain" =>
+          // quiet tail: the kept value is the quiet median and the row
+          // is not suspect; loud rolls (if the row's pass window was
+          // cycled) stay in the trace only
+          policy.startsWith("quiet") && quiet.nonEmpty &&
+            kept == quiet((quiet.size - 1) / 2) && !suspects2(name)
+        case _ =>
+          // every window loud: no quiet sample may be claimed, and the
+          // row must self-mark suspect instead of publishing weather
+          // as adjudicated (samples can still all read quiet if the
+          // cycler lost the race to a fast roll — then quiet_* is the
+          // honest answer; require coherence, not a fixed outcome)
+          if (policy == "no_quiet_suspect")
+            quiet.isEmpty && suspects2(name)
+          else policy.startsWith("quiet") && quiet.nonEmpty &&
+            kept == quiet((quiet.size - 1) / 2)
+      }
+      (name, ok)
+    }
+    val ratioVerdict =
+      if (ratioChecks.size < 2)
+        s"FAIL: expected both ratio rows in ratio_trace, got " +
+          s"${ratioChecks.map(_._1).mkString(",")}"
+      else if (ratioChecks.forall(_._2))
+        "PASS: ratio-row kept values are quiet-window medians " +
+          "(loud rolls trace-only; no-quiet rows suspect)"
+      else
+        s"FAIL: ${ratioChecks.filterNot(_._2).map(_._1).mkString(",")} " +
+          "kept a non-quiet-median value"
+    println(s"BWPROBE[$mode] ratio adjudication: $ratioVerdict")
   }
 }

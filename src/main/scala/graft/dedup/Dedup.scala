@@ -366,11 +366,18 @@ object Dedup {
     * decide whether span-level dedup is worth running); the removal half
     * is [[removeRepeatedSpans]].
     *
-    * Scale: explode is map-side; the duplicate-fingerprint set is one
-    * two-level aggregation on the fingerprint key (distinct docs per fp,
-    * then fp-level filter); the count-back join shuffles on fp and the
-    * final agg on the doc id — all keys compact, no payload shuffles,
-    * no driver state.
+    * Scale (reshaped r16 — the round-15 clean board's one
+    * pairing-flagged row): the explode+fingerprint chain — the
+    * expensive part, one md5 per overlapping span — evaluates ONCE.
+    * The old shape consumed `spans` twice (a distinct-docs-per-fp
+    * aggregate AND a count-back join), so the whole chain ran twice
+    * per action and the join shuffled every raw span row on fp with no
+    * partial aggregation. Now: one groupBy (fp, id) with map-side
+    * combine (span rows collapse to distinct (fp, doc) pairs in the
+    * map stage — within-doc repeats never cross the wire), one
+    * fp-window for the ≥2-docs flag over the collapsed pairs, one
+    * doc-level sum. Same three compact-key exchanges, half the
+    * evaluation, a fraction of the shuffled rows.
     */
   def repeatedSpanStats(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 8): DataFrame = {
@@ -380,14 +387,17 @@ object Dedup {
     val spans = spread(df.select(col(idCol).as("id"), toks.as("_t")))
       .select(col("id"), explode(spanFps(col("_t"), n)).as("_s"))
       .select(col("id"), col("_s.fp").as("fp"))
-    val dupFps = spans.select(col("id"), col("fp")).distinct()
-      .groupBy(col("fp")).agg(count(lit(1)).as("_nd"))
-      .filter(col("_nd") >= 2).select(col("fp"))
-    val perDoc = spans.join(dupFps.withColumn("_dup", lit(1)),
-        Seq("fp"), "left")
+    val perDocFp = spans.groupBy(col("fp"), col("id"))
+      .agg(count(lit(1)).as("_c"))
+    // a span is duplicated iff its fp occurs in >= 2 DISTINCT docs —
+    // exactly the (fp, id) group count per fp
+    val wFp = Window.partitionBy(col("fp"))
+    val perDoc = perDocFp
+      .withColumn("_nd", count(lit(1)).over(wFp))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_spans"),
-        count(col("_dup")).as("n_dup_spans"))
+      .agg(sum(col("_c")).as("n_spans"),
+        sum(when(col("_nd") >= 2, col("_c")).otherwise(lit(0L)))
+          .as("n_dup_spans"))
     df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -932,12 +942,28 @@ object Dedup {
     */
   def releaseStoredClassifyCache(): Unit = drainStoredClassifyCache()
 
+  /** `gen` (r16) makes the stored cycle REPLAY-IDEMPOTENT for
+    * crash-retry deployments, mirroring [[incrementalStatusStored]]'s
+    * exact-keys contract: pass the batch id here AND as
+    * [[SemanticIndexIO.appendSave]]'s `batchGen`. Classification is
+    * then bounded to code rows folded by strictly earlier generations
+    * (`gen is null or gen < g` — full-save history rows read null), so
+    * a batch retried after a crash whose first attempt already folded
+    * its rows classifies bit-identically — its own near-dup pairs are
+    * invisible to itself — and the retried fold is a no-op (the store
+    * keeps a folded-batch ledger). Boundary: [[SemanticIndexIO.compact]]
+    * collapses row stamps to null — a replay across a compact sees the
+    * merged rows, the same "reload any held handle" barrier compact
+    * already documents. Without `gen` (ad-hoc use) the classify view
+    * is the whole store, as before.
+    */
   def semanticStatusStored(spark: org.apache.spark.sql.SparkSession,
                            dir: String, newDocs: DataFrame,
                            idCol: String, textCol: String,
                            threshold: Double = 0.995,
                            nProbe: Int = 3, rFactor: Int = 20,
-                           broadcastProbes: Boolean = true): DataFrame = {
+                           broadcastProbes: Boolean = true,
+                           gen: Option[Long] = None): DataFrame = {
     val idx = SemanticIndexIO.load(spark, dir)
     // embed the increment ONCE for both consumers (the probe-cells
     // collect and the classify plan): persist, which the collect below
@@ -957,7 +983,8 @@ object Dedup {
     val cells = probeCellsOf(q, idx, nProbe)
       .collect().map(_.getLong(0)).toSeq
     val pruned = idx.copy(
-      codes = SemanticIndexIO.prunedCodes(spark, dir, cells))
+      codes = SemanticIndexIO.prunedCodes(spark, dir, cells,
+        genBound = gen))
     semanticStatusOf(newDocs, q, pruned, idCol, threshold,
       nProbe, rFactor, broadcastProbes)
   }

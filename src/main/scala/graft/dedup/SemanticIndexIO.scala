@@ -294,6 +294,24 @@ object SemanticIndexIO {
     readText(fs, new Path(d, s"gen=$gen/manifest.txt"))
       .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** The BATCH generations already folded into store generation `gen`
+    * (r16 replay contract) — one long per line in the gen tree,
+    * carried forward by every [[appendSave]] and [[save]]/[[compact]].
+    * Transactionally consistent with the commit by construction: the
+    * file seals with the manifest, so a crashed append that wrote its
+    * fragment but never flipped records nothing.
+    */
+  private val BatchGensFile = "batchgens.txt"
+
+  private def readBatchGens(fs: FileSystem, d: Path, gen: Long): Seq[Long] =
+    if (gen < 0) Seq.empty
+    else {
+      val p = new Path(d, s"gen=$gen/$BatchGensFile")
+      if (!fs.exists(p)) Seq.empty
+      else readText(fs, p).split("\n").map(_.trim).filter(_.nonEmpty)
+        .flatMap(_.toLongOption).toSeq
+    }
+
   /** Delete every `gen=*` other than `keepGen`, every `frag=*` not in
     * `keepFrags`, and stray pointer temp files — all debris by the
     * commit protocol. Runs at save START (clears crashed partials so
@@ -513,6 +531,17 @@ object SemanticIndexIO {
         index.codes.select(col("c_id"), col("cent_id"), col("c_code"),
           col("c_xsqn")).schema.json + "\n" +
           index.vectors.select(col("c_id"), col("c_vec")).schema.json)
+      // carry the folded-batch ledger across full saves/compactions so
+      // a replayed FOLD after a compact is still a no-op. The row-level
+      // gen stamps do NOT survive a compact (load's code view drops
+      // them; the merged fragment reads null): compact is a replay
+      // BARRIER for classify-identity — same boundary as its
+      // checkpoint semantics ("RELOAD any held handle"), documented on
+      // Dedup.semanticStatusStored.
+      val carriedGens = readBatchGens(fs, d, oldGen)
+      if (carriedGens.nonEmpty)
+        writeText(fs, new Path(d, s"gen=$gen/$BatchGensFile"),
+          carriedGens.sorted.mkString("\n"))
       writeGenTree(fs, d, gen, index.model, index.quantizer, frags, note)
       writeText(fs, new Path(d, FormatFile), FormatVersion)
       flipCurrent(fs, d, gen, lease)
@@ -580,7 +609,8 @@ object SemanticIndexIO {
   def appendSave(spark: SparkSession, dir: String,
                  encoded: DataFrame, note: String = "",
                  compactPastFragments: Int = 0,
-                 driftProbe: Boolean = false): Option[DriftReport] = {
+                 driftProbe: Boolean = false,
+                 batchGen: Option[Long] = None): Option[DriftReport] = {
     val (fs, d) = fsOf(spark, dir)
     val lease = acquireLease(fs, d)
     val (frags, report) = try {
@@ -589,6 +619,17 @@ object SemanticIndexIO {
         s"appendSave grows a COMMITTED index but $dir holds none — " +
           "save() the initial build first")
       val oldFrags = manifest(fs, d, gen0)
+      val oldBatchGens = readBatchGens(fs, d, gen0)
+      if (batchGen.exists(oldBatchGens.contains)) {
+        // REPLAY NO-OP (r16): this batch gen's fold already committed —
+        // the crashed first attempt got through its flip — so the retry
+        // must not write a second fragment of the same rows (duplicate
+        // code rows would perturb later batches' ADC candidate sets).
+        // The first commit is durable; there is nothing left to do.
+        log.info(s"appendSave: batch gen ${batchGen.get} already folded " +
+          s"into $dir (gen $gen0) — replayed fold is a no-op")
+        (oldFrags, None)
+      } else {
       sweep(fs, d, gen0, oldFrags.toSet)
       val gen = gen0 + 1
       // persist the increment here (not in writeFragment) so the
@@ -613,8 +654,18 @@ object SemanticIndexIO {
             else Some(driftReportOf(spark, fs, d,
               new Path(d, s"gen=$gen0"), encoded))
           val frag = s"frag=${nextFragId(fs, d)}"
+          // gen-stamp the code rows (r16 replay contract): a reader can
+          // then bound its classify view to rows folded by strictly
+          // EARLIER batch generations (`gen is null or gen < g` —
+          // save()'d history rows read null), which is what makes a
+          // replayed batch classify identically to its crashed first
+          // attempt even though that attempt's fold already landed
+          // (Dedup.semanticStatusStored's gen parameter; the exact-keys
+          // store's DedupIndexIO contract, mirrored)
+          val codes = batchGen.fold(encoded.drop("c_vec"))(g =>
+            encoded.drop("c_vec").withColumn("gen", lit(g)))
           writeFragment(d.toString, frag,
-            codes = encoded.drop("c_vec"),
+            codes = codes,
             vectors = encoded.select(col("c_id"), col("c_vec")),
             shared = encoded)
           (oldFrags :+ frag, rep)
@@ -642,11 +693,19 @@ object SemanticIndexIO {
           s"${r.stats.rows} ${r.stats.meanAssignCos} " +
             s"${r.stats.topShare} ${r.drifted}")
       }
+      // folded-batch ledger, sealed WITH the generation (an EMPTY
+      // increment still records its batchGen: the batch was processed;
+      // its retry must be a no-op, not a second watermark commit)
+      val newBatchGens = (oldBatchGens ++ batchGen).distinct.sorted
+      if (newBatchGens.nonEmpty)
+        writeText(fs, new Path(g, BatchGensFile),
+          newBatchGens.mkString("\n"))
       writeText(fs, new Path(g, "manifest.txt"), frags.mkString("\n"))
       writeText(fs, new Path(d, FormatFile), FormatVersion)
       flipCurrent(fs, d, gen, lease)
       sweep(fs, d, gen, frags.toSet)
       (frags, report)
+      }
     } finally releaseLease(fs, lease.path)
     // opt-in auto-compact AFTER the lease release (compact re-acquires
     // through save): the increment's commit is already durable, so a
@@ -930,8 +989,17 @@ object SemanticIndexIO {
     * `idx.copy(codes = prunedCodes(...))` when the probe cells are
     * known up front ([[Dedup.semanticProbeCells]]).
     */
+  /** `genBound` (r16): bound the cut to code rows folded by strictly
+    * EARLIER batch generations (`gen is null or gen < g` — rows from
+    * full saves and untagged appends read null and always qualify).
+    * The read then carries an explicit schema (the gen's sidecar plus
+    * the `gen` column) so fragments written before any gen-stamped
+    * append — whose files lack the column — read it as null instead of
+    * poisoning schema inference across mixed fragments.
+    */
   def prunedCodes(spark: SparkSession, dir: String,
-                  cells: Seq[Long]): DataFrame = {
+                  cells: Seq[Long],
+                  genBound: Option[Long] = None): DataFrame = {
     val (fs, d) = fsOf(spark, dir)
     val gen = currentGen(fs, d)
     require(gen >= 0, s"no committed semantic index under $dir")
@@ -940,9 +1008,21 @@ object SemanticIndexIO {
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         storedSchemas(fs, d, gen)._1)
-    else spark.read.option("basePath", s"$d/$CodesRoot")
-      .parquet(frags.map(f => s"$d/$CodesRoot/$f"): _*)
-      .filter(col("cent_bucket").isin(cells: _*))
-      .select(col("c_id"), col("cent_id"), col("c_code"), col("c_xsqn"))
+    else {
+      val base = spark.read.option("basePath", s"$d/$CodesRoot")
+      val reader = genBound.fold(base) { _ =>
+        val cs = storedSchemas(fs, d, gen)._1
+        base.schema(
+          if (cs.fieldNames.contains("gen")) cs
+          else cs.add("gen", org.apache.spark.sql.types.LongType))
+      }
+      val cut = reader
+        .parquet(frags.map(f => s"$d/$CodesRoot/$f"): _*)
+        .filter(col("cent_bucket").isin(cells: _*))
+      genBound.fold(cut)(g =>
+          cut.filter(col("gen").isNull || col("gen") < g))
+        .select(col("c_id"), col("cent_id"), col("c_code"),
+          col("c_xsqn"))
+    }
   }
 }

@@ -340,6 +340,74 @@ object DedupQueries extends QueryPack {
       } finally Tables.deleteTree(tmp)
     }),
 
+    // the REPLAY contract of the stored SEMANTIC cycle (r16) — the
+    // third leg carries the same crash-retry guarantee the exact-keys
+    // leg got in r15: batch 1 classifies off the store with gen=1 and
+    // folds its kept docs' codes tagged batchGen=1; the batch is then
+    // REPLAYED (classify again under gen=1 — the first attempt's fold
+    // already landed, but the gen bound hides the batch's own rows,
+    // including its within-batch near-dup copies — and re-fold, which
+    // the folded-batch ledger makes a no-op); batch 2 follows at gen=2
+    // and must read batch 1's kept re-crawls as sem_hist. Attempts 1
+    // and 2 emit identical rows by the contract; the final row pins the
+    // fragment count so a replayed fold that wrote a second fragment
+    // breaks the digest. No SQL oracle (codebooks/ADC) — digest-pinned
+    // (GoldenDigestsSpec + the ExtensionsSpec cycle pin).
+    "dedup_semantic_stored_replay" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val b1base = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+          pmod($"doc_id", lit(2)) === 0)
+        .select($"doc_id", $"text")
+      // within-batch near-dup copies: the rows an UNBOUNDED replay
+      // would flip to sem_hist against their own folded originals
+      val b1 = b1base.unionByName(
+        b1base.filter(pmod($"doc_id", lit(8)) === 0)
+          .select(($"doc_id" + 500000).as("doc_id"), $"text"))
+      val b2 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+          pmod($"doc_id", lit(2)) === 1)
+        .select($"doc_id", $"text")
+        .unionByName(b1base.filter(pmod($"doc_id", lit(4)) === 0)
+          .select(($"doc_id" + 200000).as("doc_id"), $"text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sem_replay")
+      val dir = tmp.resolve("idx").toUri.toString
+      def localized(df: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame =
+        s.createDataFrame(
+          java.util.Arrays.asList(df.collect(): _*), df.schema)
+      try {
+        graft.dedup.SemanticIndexIO.save(Fixtures.histSemanticIdx(s, d), dir)
+        // localize before the fold: the classify plan reads the
+        // generation tree the fold's post-flip sweep replaces
+        val a1 = localized(graft.dedup.Dedup.semanticStatusStored(
+          s, dir, b1, "doc_id", "text", gen = Some(1L)))
+        val kept1 = a1.filter($"status" === "kept")
+          .select($"doc_id", $"text")
+        def fold(): Unit = graft.dedup.SemanticIndexIO.appendSave(s, dir,
+          graft.dedup.Dedup.semanticEncode(
+            graft.dedup.SemanticIndexIO.load(s, dir), kept1,
+            "doc_id", "text"),
+          batchGen = Some(1L))
+        fold()
+        val a1r = localized(graft.dedup.Dedup.semanticStatusStored(
+          s, dir, b1, "doc_id", "text", gen = Some(1L)))
+        fold() // replayed fold: ledger no-op, no second fragment
+        val a2 = localized(graft.dedup.Dedup.semanticStatusStored(
+          s, dir, b2, "doc_id", "text", gen = Some(2L)))
+        val frags = graft.dedup.SemanticIndexIO.fragmentCount(s, dir)
+        graft.dedup.Dedup.releaseStoredClassifyCache()
+        val out = a1.select($"doc_id", lit(1).as("attempt"), $"status")
+          .unionByName(
+            a1r.select($"doc_id", lit(2).as("attempt"), $"status"))
+          .unionByName(
+            a2.select($"doc_id", lit(3).as("attempt"), $"status"))
+          .unionByName(Seq((-1L, 4, s"frags=$frags"))
+            .toDF("doc_id", "attempt", "status"))
+        localized(out)
+      } finally Tables.deleteTree(tmp)
+    }),
+
     // the full text->vector->near-dup path over RAW documents: hashed
     // set-of-words embeddings (no shipped vectors needed) feed the same
     // blocked cosine pairing the embeddings table uses; oracle-checked

@@ -1173,6 +1173,116 @@ class ExtensionsSpec extends SparkSpec {
     } finally Tables.deleteTree(tmp)
   }
 
+  test("stored semantic cycle (r16): a gen-tagged replayed batch " +
+      "classifies bit-identically after its crashed first attempt's " +
+      "fold landed, the replayed fold is a no-op, later batches see " +
+      "earlier kept docs, and the ad-hoc form sees its own fold") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(pmod($"doc_id", lit(3)) =!= 0)
+    val b1base = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+        pmod($"doc_id", lit(2)) === 0)
+      .select($"doc_id", $"text")
+    // WITHIN-batch near-dup pairs (+500000 copies): first attempt keeps
+    // both sides (neither is history); after the fold, an UNBOUNDED
+    // replay would match each copy against its folded original — the
+    // exact divergence the gen bound removes
+    val b1 = b1base.unionByName(
+      b1base.filter(pmod($"doc_id", lit(8)) === 0)
+        .select(($"doc_id" + 500000).as("doc_id"), $"text"))
+    val b2 = docs.filter(pmod($"doc_id", lit(3)) === 0 &&
+        pmod($"doc_id", lit(2)) === 1)
+      .select($"doc_id", $"text")
+      .unionByName(b1base.filter(pmod($"doc_id", lit(4)) === 0)
+        .select(($"doc_id" + 200000).as("doc_id"), $"text"))
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, (String, Double)] =
+      df.select($"doc_id", $"status", $"best_sim")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+        .toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semio_gen")
+    val dir = tmp.resolve("idx").toUri.toString
+    import graft.dedup.SemanticIndexIO
+    try {
+      SemanticIndexIO.save(
+        Dedup.semanticIndex(hist, "doc_id", "text"), dir)
+      val a1 = m(Dedup.semanticStatusStored(spark, dir, b1,
+        "doc_id", "text", gen = Some(1L)))
+      val kept1 = a1.filter(_._2._1 == "kept").keySet
+      assert(kept1.nonEmpty)
+      assert(kept1.exists(_ >= 500000L),
+        "fixture degenerated: no within-batch copy was kept")
+      val keptDf = b1.filter($"doc_id".isInCollection(kept1))
+      // the deployment cycle reloads per batch (each appendSave sweeps
+      // the superseded generation TREE, so a held handle goes stale)
+      SemanticIndexIO.appendSave(spark, dir,
+        Dedup.semanticEncode(SemanticIndexIO.load(spark, dir),
+          keptDf, "doc_id", "text"),
+        note = "1", batchGen = Some(1L))
+      val fragsAfterFold = SemanticIndexIO.fragmentCount(spark, dir)
+      // crash-replay classify: the first attempt's fold already landed,
+      // but the gen bound (gen is null or gen < 1) hides the batch's
+      // own rows — statuses AND audit sims bit-identical
+      val a1r = m(Dedup.semanticStatusStored(spark, dir, b1,
+        "doc_id", "text", gen = Some(1L)))
+      assert(a1r === a1)
+      // crash-replay fold: the folded-batch ledger makes the re-append
+      // a no-op — no second fragment of the same rows
+      SemanticIndexIO.appendSave(spark, dir,
+        Dedup.semanticEncode(SemanticIndexIO.load(spark, dir),
+          keptDf, "doc_id", "text"),
+        note = "1r", batchGen = Some(1L))
+      assert(SemanticIndexIO.fragmentCount(spark, dir) === fragsAfterFold)
+      // the next batch's view (gen < 2) INCLUDES batch 1's fold — its
+      // re-crawls of b1-kept pages read sem_hist at 1.0 off the grown
+      // store
+      val a2 = m(Dedup.semanticStatusStored(spark, dir, b2,
+        "doc_id", "text", gen = Some(2L)))
+      val keptRecrawl = kept1.filter(id => id < 500000L && id % 4 == 0)
+        .map(_ + 200000)
+      assert(keptRecrawl.nonEmpty, "fixture degenerated: no kept re-crawl")
+      keptRecrawl.foreach { id =>
+        assert(a2(id)._1 === "sem_hist" && a2(id)._2 === 1.0,
+          s"re-crawl $id: ${a2(id)}")
+      }
+      // an EMPTY increment with a batchGen still records the batch in
+      // the ledger (the batch was processed): the retry is a no-op
+      // instead of a second watermark commit
+      def emptyEnc() = Dedup.semanticEncode(
+        SemanticIndexIO.load(spark, dir),
+        b1.filter(lit(false)), "doc_id", "text")
+      SemanticIndexIO.appendSave(spark, dir, emptyEnc(),
+        note = "3", batchGen = Some(3L))
+      val note3 = SemanticIndexIO.note(spark, dir)
+      SemanticIndexIO.appendSave(spark, dir, emptyEnc(),
+        note = "3r", batchGen = Some(3L))
+      assert(SemanticIndexIO.note(spark, dir) === note3,
+        "replayed empty fold committed a second generation")
+      Dedup.releaseStoredClassifyCache()
+      // ad-hoc contrast (no gen), fresh store: the replay SEES its own
+      // fold — every kept within-batch copy flips to sem_hist (the
+      // scaladoc'd difference the gen bound exists to remove)
+      val dir2 = tmp.resolve("idx2").toUri.toString
+      SemanticIndexIO.save(
+        Dedup.semanticIndex(hist, "doc_id", "text"), dir2)
+      val adhoc1 = m(Dedup.semanticStatusStored(spark, dir2, b1,
+        "doc_id", "text"))
+      val adKept = adhoc1.filter(_._2._1 == "kept").keySet
+      SemanticIndexIO.appendSave(spark, dir2,
+        Dedup.semanticEncode(SemanticIndexIO.load(spark, dir2),
+          b1.filter($"doc_id".isInCollection(adKept)),
+          "doc_id", "text"))
+      val adhoc2 = m(Dedup.semanticStatusStored(spark, dir2, b1,
+        "doc_id", "text"))
+      val copies = adKept.filter(_ >= 500000L)
+      assert(copies.nonEmpty)
+      copies.foreach { id =>
+        assert(adhoc2(id)._1 === "sem_hist",
+          s"ad-hoc replay of copy $id did not see its own fold: " +
+            s"${adhoc2(id)}")
+      }
+      Dedup.releaseStoredClassifyCache()
+    } finally Tables.deleteTree(tmp)
+  }
+
   test("bloom index store: save/load round-trips bits and saturation " +
       "counters, the loaded index classifies identically and still " +
       "enforces the fold budget") {

@@ -48,6 +48,13 @@ class GoldenDigestsSpec extends SparkSpec {
   // on this corpus's vocabulary). Back-to-back identical digests;
   // trainer parity with trainLocal pinned in BpeSpec.
   check("text_bpe_corpus", 127L, "9639374066019633020")
+  // r16: byte-alphabet mode — the digest EQUALS text_bpe_exact's, and
+  // must: this corpus is pure ASCII, where the GPT-2 byte→char table is
+  // a per-symbol bijection and BPE is equivariant under alphabet
+  // bijections, so counts coincide exactly (the conservative-upgrade
+  // invariant). The divergent non-Latin case (multi-byte codepoints,
+  // byteDecode round-trip, alphabet coverage) is pinned in BpeSpec.
+  check("text_bpe_exact_bytes", 500L, "54469054714186344608")
   // r7: int8-quantized ANN (cosine on the codes; scale-invariant)
   check("sim_int8_topk", 50L, "47101543231917959576")
   // r11: product-quantization ANN (8 B/vector ADC retrieve + exact
@@ -88,6 +95,13 @@ class GoldenDigestsSpec extends SparkSpec {
   // cycle (save -> statusStored w/ partition prune -> appendSave ->
   // statusStored) round-trips bit-exactly (r13; GoldenMain run twice)
   check("dedup_semantic_stored", 209L, "5764935742945909182")
+  // r16: the semantic leg's crash-retry contract (gen-bounded classify
+  // + folded-batch ledger): attempts 1 and 2 emit IDENTICAL rows (the
+  // replay cannot see its own fold, including within-batch +500000
+  // copies), attempt 3 proves the gen<2 view includes batch 1's fold,
+  // and the frags=N row pins the replayed fold as a no-op. Digest
+  // verified back-to-back identical; cycle contract in ExtensionsSpec.
+  check("dedup_semantic_stored_replay", 336L, "148107579587593132617")
   // r11: the same loop as a STREAM — foreachBatch classify + grow-from-
   // written-parquet; one addData block per increment makes the batch
   // boundary (= the semantics) deterministic. Streaming-equals-batch

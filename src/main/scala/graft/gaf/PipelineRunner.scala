@@ -69,6 +69,12 @@ object PipelineRunner {
     *                    Default OFF — measured SLOWER on a shared-heap
     *                    local deployment (see the phase comment below);
     *                    intended for multi-executor clusters only.
+    *                    UNPROVEN-BENEFICIAL ANYWHERE as of r16: no
+    *                    environment has yet shown it winning (local[32]
+    *                    is ~2x slower; output parity is spec-pinned).
+    *                    MEASURE ON A REAL MULTI-EXECUTOR CLUSTER before
+    *                    enabling in a deployment — if your measurement
+    *                    also shows no win, leave it off.
     */
   def runAll(existing: DataFrame, dims: Dimensions, runs: Seq[SpeciesRun],
              isoRefRgdId: Int, staleCutoff: Timestamp,

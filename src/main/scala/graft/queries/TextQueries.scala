@@ -162,6 +162,25 @@ object TextQueries extends QueryPack {
         TextAnalysis.bpeTokenCount($"text").as("n_bpe_proxy"))
     }),
 
+    // BYTE-level variant (r16): the GPT-2 byte-alphabet mode — every
+    // pre-token decomposes to UTF-8 bytes mapped through the public
+    // bytes_to_unicode table, so no codepoint is ever outside the
+    // training alphabet and exact counts match a production
+    // GPT-2/cl100k-style tokenizer's behavior on non-Latin corpora
+    // (the char mode's documented divergence, closed). Same training
+    // sample and merge budget as text_bpe_exact; round-trip and
+    // alphabet-coverage contracts in BpeSpec. Digest-pinned.
+    "text_bpe_exact_bytes" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.Bpe.trainCached(s, d, docs, "text",
+        numMerges = bpeMerges, byteLevel = true)
+      docs.select($"doc_id",
+        graft.text.Bpe.bpeExactCount($"text", merges, byteLevel = true)
+          .as("n_bpe_bytes"),
+        TextAnalysis.bpeTokenCount($"text").as("n_bpe_proxy"))
+    }),
+
     // whole-corpus BPE training (Bpe.trainCorpus): the merge table
     // derived from exact GLOBAL pre-token frequencies — one
     // explode+groupBy shuffle, a TakeOrdered vocab cut, and the

@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   * frequent adjacent symbol pair (ties broken lexicographically for
   * determinism), recording pairs in rank order; encoding greedily
   * applies the lowest-ranked applicable merge until none applies.
-  * Char-level rather than byte-level symbols — the byte fallback only
-  * matters for codepoints outside the training alphabet, which encode
-  * as themselves here (documented divergence from GPT-2, not a
-  * correctness issue for counting).
+  * Two symbol alphabets (`byteLevel`): char-level (default — each
+  * codepoint a symbol; one unseen in training encodes as itself) and
+  * the GPT-2 BYTE alphabet (r16, [[byteToChar]]) where every pre-token
+  * decomposes to UTF-8 bytes mapped to 256 printable chars — no
+  * codepoint is ever outside the alphabet, so exact token counts match
+  * a production GPT-2/cl100k-style tokenizer's behavior on non-Latin
+  * corpora ([[byteDecode]] round-trips, spec-pinned).
   *
   * The encode step is genuinely iterative per word — the documented UDF
   * boundary (preference order in SURVEY §2.8: builtins > native
@@ -46,6 +49,52 @@ object Bpe {
   def preTokenize(text: String): Seq[String] =
     if (text == null) Nil else preTokenRe.findAllIn(text).toSeq
 
+  // ------------------------------------------------ byte-level alphabet
+  /** GPT-2's byte→unicode table (r16 — the byte fallback mode): every
+    * UTF-8 byte maps to a PRINTABLE unicode char — printable bytes
+    * ('!'..'~', '¡'..'¬', '®'..'ÿ') to themselves, the rest to 256+n in
+    * first-free order — so the symbol alphabet is exactly 256 chars and
+    * EVERY codepoint is representable as a byte sequence. This is the
+    * public bytes_to_unicode construction from the GPT-2 release
+    * (Radford et al. 2019, encoder.py), re-derived from its published
+    * description; cl100k/o200k tokenizers keep the same byte-level
+    * foundation. In byte mode no codepoint is ever outside the training
+    * alphabet — the char-mode divergence this closes (a codepoint
+    * unseen in training encodes as itself there).
+    */
+  private[graft] val byteToChar: Array[Char] = {
+    val direct = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (direct(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    arr
+  }
+
+  private[graft] lazy val charToByte: Map[Char, Int] =
+    byteToChar.zipWithIndex.map { case (c, i) => c -> i }.toMap
+
+  /** A pre-token as byte-alphabet symbols (one per UTF-8 byte). */
+  private def byteSymbols(word: String): Array[String] =
+    word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => byteToChar(b & 0xff).toString)
+
+  private def charSymbols(word: String): Array[String] =
+    word.map(_.toString).toArray
+
+  /** Decode byte-mode tokens back to text — the round-trip proof
+    * (spec-pinned): concatenated tokens map char-by-char back to UTF-8
+    * bytes, which decode to exactly the pre-token stream.
+    */
+  def byteDecode(tokens: Seq[String]): String =
+    new String(
+      tokens.flatMap(_.map(c => charToByte(c).toByte)).toArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+
   /** Train `numMerges` merges from a corpus sample, driver-side.
     *
     * The sample is deterministic on data content (top `sampleDocs` rows
@@ -55,7 +104,7 @@ object Bpe {
     * pair repeats (count < 2): merging a count-1 pair memorizes noise.
     */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            sampleDocs: Int = 512): Merges = {
+            sampleDocs: Int = 512, byteLevel: Boolean = false): Merges = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(sampleDocs > 0, s"sampleDocs must be positive, got $sampleDocs")
     val sample = df
@@ -64,16 +113,17 @@ object Bpe {
       .orderBy(xxhash64(col("t")), col("t")) // TakeOrdered: scale-safe
       .limit(sampleDocs)
       .collect().map(_.getString(0))
-    trainLocal(sample, numMerges)
+    trainLocal(sample, numMerges, byteLevel)
   }
 
   /** The driver-side trainer, exposed for specs. */
-  def trainLocal(texts: Seq[String], numMerges: Int): Merges = {
+  def trainLocal(texts: Seq[String], numMerges: Int,
+                 byteLevel: Boolean = false): Merges = {
     // word frequencies over pre-tokens
     val wordFreq = new scala.collection.mutable.HashMap[String, Long]()
     texts.foreach(t => preTokenize(t).foreach(w =>
       wordFreq.update(w, wordFreq.getOrElse(w, 0L) + 1L)))
-    trainFreqs(wordFreq, numMerges)
+    trainFreqs(wordFreq, numMerges, byteLevel)
   }
 
   /** Train merges from WHOLE-CORPUS pre-token frequencies — the
@@ -91,7 +141,8 @@ object Bpe {
     * identical Java pattern, so a word counts the same either way.
     */
   def trainCorpus(df: DataFrame, textCol: String, numMerges: Int,
-                  maxWords: Int = 65536): Merges = {
+                  maxWords: Int = 65536,
+                  byteLevel: Boolean = false): Merges = {
     require(maxWords > 0, s"maxWords must be positive, got $maxWords")
     val wf = df
       .select(explode(regexp_extract_all(
@@ -103,7 +154,7 @@ object Bpe {
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val m = new scala.collection.mutable.HashMap[String, Long]()
     wf.foreach { case (w, n) => m.update(w, n) }
-    trainFreqs(m, numMerges)
+    trainFreqs(m, numMerges, byteLevel)
   }
 
   /** The merge loop proper, over a (pre-token -> frequency) table —
@@ -112,11 +163,13 @@ object Bpe {
     */
   private def trainFreqs(
       wordFreq: scala.collection.mutable.HashMap[String, Long],
-      numMerges: Int): Merges = {
+      numMerges: Int, byteLevel: Boolean = false): Merges = {
+    val symbolize: String => Array[String] =
+      if (byteLevel) byteSymbols else charSymbols
     // each distinct word as a mutable symbol sequence
     var words: Array[(Array[String], Long)] = wordFreq.iterator
-      .map { case (w, f) => (w.map(_.toString).toArray, f) }.toArray
-      .sortBy(_._1.mkString) // = the word itself: deterministic, unique
+      .map { case (w, f) => (symbolize(w), f) }.toArray
+      .sortBy(_._1.mkString) // deterministic, unique per word
     val merges = Seq.newBuilder[(String, String)]
     var i = 0
     var continue = true
@@ -168,8 +221,11 @@ object Bpe {
     * lowest-ranked adjacent merge (leftmost on equal rank) until no
     * adjacent pair is in the table.
     */
-  def encodeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
-    var syms: Vector[String] = word.map(_.toString).toVector
+  def encodeWord(word: String, ranks: Map[(String, String), Int],
+                 byteLevel: Boolean = false): Seq[String] = {
+    var syms: Vector[String] =
+      if (byteLevel) byteSymbols(word).toVector
+      else word.map(_.toString).toVector
     var done = syms.length < 2
     while (!done) {
       var bestRank = Int.MaxValue
@@ -196,22 +252,27 @@ object Bpe {
     * cross word boundaries), so `encode(t).mkString == preTokenize(t)
     * .mkString` — pinned by spec.
     */
-  def encode(text: String, ranks: Map[(String, String), Int]): Seq[String] =
-    preTokenize(text).flatMap(w => encodeWord(w, ranks))
+  def encode(text: String, ranks: Map[(String, String), Int],
+             byteLevel: Boolean = false): Seq[String] =
+    preTokenize(text).flatMap(w => encodeWord(w, ranks, byteLevel))
 
   def ranksOf(merges: Merges): Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
   /** Column forms — map-only; the ranked table rides the task closure
     * (dimension-sized). */
-  def bpeEncode(c: Column, merges: Merges): Column = {
+  def bpeEncode(c: Column, merges: Merges,
+                byteLevel: Boolean = false): Column = {
     val ranks = ranksOf(merges)
-    udf((t: String) => if (t == null) null else encode(t, ranks)).apply(c)
+    udf((t: String) =>
+      if (t == null) null else encode(t, ranks, byteLevel)).apply(c)
   }
 
-  def bpeExactCount(c: Column, merges: Merges): Column = {
+  def bpeExactCount(c: Column, merges: Merges,
+                    byteLevel: Boolean = false): Column = {
     val ranks = ranksOf(merges)
-    udf((t: String) => if (t == null) 0 else encode(t, ranks).size).apply(c)
+    udf((t: String) =>
+      if (t == null) 0 else encode(t, ranks, byteLevel).size).apply(c)
   }
 
   /** Memoized per-(session, dir) training for harness queries: repeated
@@ -219,13 +280,15 @@ object Bpe {
     * training run. Freshness contract: identity keying per [[graft.Memo]].
     */
   private val trainCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String, Int, Int), Merges]()
+    (SparkSession, String, String, Int, Int, Boolean), Merges]()
 
   def trainCached(spark: SparkSession, dir: String, df: => DataFrame,
                   textCol: String, numMerges: Int,
-                  sampleDocs: Int = 512): Merges = {
+                  sampleDocs: Int = 512,
+                  byteLevel: Boolean = false): Merges = {
     graft.Memo.maintain(trainCache)(_._1)
-    trainCache.computeIfAbsent((spark, dir, textCol, numMerges, sampleDocs),
-      _ => train(df, textCol, numMerges, sampleDocs))
+    trainCache.computeIfAbsent(
+      (spark, dir, textCol, numMerges, sampleDocs, byteLevel),
+      _ => train(df, textCol, numMerges, sampleDocs, byteLevel))
   }
 }

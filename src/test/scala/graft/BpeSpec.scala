@@ -38,6 +38,44 @@ class BpeSpec extends SparkSpec {
     assert(toks.mkString === Bpe.preTokenize(t).mkString)
   }
 
+  test("byte-level mode (r16): alphabet bijective, round-trip exact on " +
+      "non-Latin text, no codepoint ever outside the alphabet, and " +
+      "merges compress multi-byte scripts char-mode cannot touch") {
+    // the GPT-2 byte<->char table is a bijection over all 256 bytes
+    val chars = graft.text.Bpe.byteToChar
+    assert(chars.length === 256 && chars.toSet.size === 256)
+    assert(chars('!'.toInt) === '!' && chars('~'.toInt) === '~')
+    (0 until 256).foreach(b =>
+      assert(graft.text.Bpe.charToByte(chars(b)) === b))
+    // round-trip: byte-mode tokens decode to EXACTLY the pre-token
+    // stream, for ASCII, accented, Cyrillic, CJK and an emoji (a
+    // 4-byte codepoint — surrogate pair in the char-mode alphabet)
+    val t = "héllo мир 日本語 ok! 🙂"
+    val merges = Bpe.trainLocal(Seq(t, t, t, "plain ascii text"),
+      numMerges = 30, byteLevel = true)
+    val ranks = Bpe.ranksOf(merges)
+    val toks = Bpe.encode(t, ranks, byteLevel = true)
+    assert(Bpe.byteDecode(toks) === Bpe.preTokenize(t).mkString)
+    // every emitted symbol decomposes entirely within the byte alphabet
+    toks.foreach(tok => tok.foreach(c =>
+      assert(graft.text.Bpe.charToByte.contains(c), s"alien symbol $tok")))
+    // the repeated non-Latin words actually merged: fewer tokens than
+    // UTF-8 bytes (char mode can also merge seen codepoints — the byte
+    // mode's distinct claim is coverage, asserted above: an UNSEEN
+    // codepoint still decomposes into in-alphabet bytes)
+    val nBytes = t.getBytes("UTF-8").length
+    assert(toks.size < nBytes, s"${toks.size} !< $nBytes")
+    // unseen codepoint: encodes through bytes, round-trips exactly
+    val unseen = "中文"
+    val utoks = Bpe.encode(unseen, ranks, byteLevel = true)
+    assert(Bpe.byteDecode(utoks) === unseen)
+    utoks.foreach(tok => tok.foreach(c =>
+      assert(graft.text.Bpe.charToByte.contains(c))))
+    // byte-mode trainer is as deterministic as char mode
+    assert(Bpe.trainLocal(Seq(t, t, t, "plain ascii text"),
+      numMerges = 30, byteLevel = true) === merges)
+  }
+
   test("whole-corpus trainer equals the driver trainer when the vocab " +
       "cut covers every word, and the cut keeps the top words") {
     val texts = Seq("the theme there other", "gather the breathe",

@@ -68,8 +68,54 @@ object TwoLevelFallbackScaleMain {
       .head()
     println(f"TLFB assigned=$total cells_hit=${shape.getLong(0)} " +
       f"max_bucket=${shape.getLong(1)} mean_bucket=${shape.getDouble(2)}%.1f")
-    println("TLFB PASS: past-cap geometry trained and assigned " +
-      "distributed end-to-end")
+
+    // r16: the WHOLE classify path at past-cap geometry — the advisor's
+    // r15 finding was that only assignment routed distributed; residual
+    // training, the corpus encode, probe selection, the ADC search and
+    // the drift probe all still collected/broadcast the 131k-row flat
+    // fine table. Exercise every one of them through the literalCents
+    // routing and prove exact re-find: queries are corpus vectors under
+    // shifted ids, so each one's top-1 must be its own source vector at
+    // sim 1.0 (own-cell probing guarantees the bucket is probed; the
+    // exact re-rank guarantees the duplicate wins).
+    import graft.similarity.Pq
+    val quant = Similarity.TwoLevelCoarse(tl)
+    require(!quant.literalCents)
+    val asgFrame = asg.select(col("v_id").as("c_id"),
+      col("v_vec").as("c_vec"), col("cent_id"))
+    val sample = asgFrame.filter(pmod(xxhash64(col("c_id")), lit(16)) === 0)
+    val model = timed("pq_train")(Pq.trainResidualAssigned(
+      sample, quant.centroids, m = 8, ksub = 16, iterations = 1,
+      broadcastCents = false))
+    val index = timed("encode")(Pq.ivfPqEncodeAssigned(
+        asgFrame, quant.centroids, model, broadcastCents = false)
+      .localCheckpoint())
+    require(index.count() == n.toLong, "encode dropped rows")
+    val nQ = 1000
+    val queries = emb.filter(col("c_id") < nQ)
+      .select((col("c_id") + n).as("q_id"), col("c_vec").as("q_vec"))
+    val corpus = emb.select(col("c_id"), col("c_vec"))
+    val hits = timed("search")(Pq.ivfPqTopK(queries, index,
+        quant.centroids, corpus, model, k = 5, nProbe = 8,
+        broadcastProbes = true, ownCellAssign = quant.ownCellProbe,
+        probeSelect = Some(quant.probeTop _), broadcastCents = false)
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("c_id"), col("sim"))
+      .collect())
+    val exact = hits.count(r =>
+      r.getLong(1) == r.getLong(0) - n && r.getDouble(2) == 1.0)
+    println(s"TLFB search top1_exact=$exact/$nQ")
+    require(exact == nQ,
+      s"exact re-find failed past the cap: $exact of $nQ")
+    val drift = timed("drift")(graft.dedup.Dedup.semanticDriftEncoded(
+      index.join(corpus, Seq("c_id")).select(col("cent_id"), col("c_vec")),
+      quant.centroids, broadcastCents = false))
+    println(f"TLFB drift rows=${drift.rows} " +
+      f"meanAssignCos=${drift.meanAssignCos}%.4f " +
+      f"topShare=${drift.topShare}%.4f cells=${drift.cells}")
+    println("TLFB PASS: past-cap geometry trained, assigned, PQ-trained, " +
+      "encoded, searched (1000/1000 exact re-find) and drift-probed " +
+      "distributed end-to-end — nothing quantizer-sized on the driver")
     spark.stop()
   }
 }

@@ -546,10 +546,14 @@ object AnnotationPipeline {
       .withColumn("last_modified_by", lit(cfg.createdBy))
       .select(cols.map(col): _*)
 
-  /** annotate + classify-merge against the existing FULL_ANNOT snapshot. */
+  /** annotate + classify-merge against the existing FULL_ANNOT snapshot.
+    * `maxKeyOpt` forwards to [[MergeSink.merge]] (pre-computed
+    * `max(full_annot_key)` over `existing`, when the caller already has
+    * it from a fused action).
+    */
   def run(gaf: DataFrame, existing: DataFrame, dims: Dimensions,
-          cfg: PipelineConfig): DataFrame =
+          cfg: PipelineConfig, maxKeyOpt: Option[Long] = None): DataFrame =
     MergeSink.merge(existing,
       incoming(gaf, dims, cfg, existing.columns.toSeq),
-      cfg.runTs, cfg.createdBy)
+      cfg.runTs, cfg.createdBy, maxKeyOpt = maxKeyOpt)
 }

@@ -1,7 +1,7 @@
 package graft.gaf
 
 import java.sql.Timestamp
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.gaf.Constants._
 import graft.operators.MergeSink
@@ -33,12 +33,17 @@ object PipelineRunner {
 
   final case class SpeciesRun(name: String, gaf: DataFrame, cfg: PipelineConfig)
 
-  /** @param finalTable the post-U5 table, MATERIALIZED by runAll (a
-    *                    lineage-truncated Snapshot — reads come from
-    *                    executor storage, and its logical plan is one
-    *                    leaf)
-    * @param release    frees finalTable's storage — the only storage the
-    *                    run leaves pinned; call after the last use
+  /** @param finalTable the post-U5 table: a NARROW plan (column
+    *                    projection + the U5 anti-join when it fired) over
+    *                    the run's one pinned materialization. Each action
+    *                    re-pays only that narrow layer over stored leaves
+    *                    — callers wanting a single-leaf frame materialize
+    *                    / localCheckpoint it themselves (r16: the former
+    *                    unconditional final re-materialization copied the
+    *                    whole table into storage a second time)
+    * @param release    frees the storage backing finalTable — the only
+    *                    storage the run leaves pinned; call after the
+    *                    last use
     */
   final case class RunReport(
       species: Seq[(String, Map[String, Long], StaleReport)],
@@ -80,9 +85,63 @@ object PipelineRunner {
              isoRefRgdId: Int, staleCutoff: Timestamp,
              thresholdPct: Double = DELETE_THRESHOLD_PCT,
              concurrentIncoming: Boolean = false): RunReport = {
-    // U5 snapshot BEFORE any species runs
-    val isoInitial = timed("iso_initial_count")(
-      refSpeciesCount(existing, dims.rgdIds, isoRefRgdId, RAT))
+    // ---- fused scoped-count machinery (r16 optimization round).
+    //
+    // The loop below used to pay, PER SPECIES, six driver actions over
+    // the evolving table: initial refSpeciesCount, the merge's internal
+    // max(full_annot_key), the _op groupBy, the stale + current counts
+    // inside staleDelete, and a second full materialization of the
+    // post-delete table — ~6 s of a 25 s row at sf0.1, all reading data
+    // the merge fill had JUST written. All of those are aggregates the
+    // fill pass itself can compute map-side (guide §2.4 "two operations
+    // keyed the same way can share one pass" + §1.5's observe): the
+    // merge frame gets dim-sized broadcast scope markers and ONE
+    // Observation carrying the op counts, this species' stale/current
+    // counts, the NEXT species' initial count, the U5 counts (last
+    // species only) and the running max key. When the species' stale
+    // delete fires (rows actually removed) the forward-looking numbers
+    // are measured over a superset of the surviving table, so they are
+    // DISCARDED and the old count-the-table path runs — correctness
+    // never rests on the fusion, it only removes redundant passes.
+    //
+    // A scope marker join can only multiply rows if the scope frame
+    // held duplicate rgd_ids, so it is built distinct() (dim-sized);
+    // counts then equal the semi-join counts refSpeciesCount /
+    // staleCandidates compute.
+    def scopeFrame(speciesTypeKey: Int, as: String): DataFrame =
+      dims.rgdIds
+        .filter(col("species_type_key") === speciesTypeKey &&
+          col("object_status") === "ACTIVE")
+        .select(col("rgd_id").as(as)).distinct()
+    def scoped(marker: String, refRgdId: Int): Column =
+      col("ref_rgd_id") === refRgdId && col(marker).isNotNull
+    def staleCond(marker: String, refRgdId: Int, createdBy: Int): Column =
+      scoped(marker, refRgdId) && col("created_by") === createdBy &&
+        col("last_modified_date") < lit(staleCutoff)
+    val u5CreatedBy = runs.headOption.map(_.cfg.createdBy).getOrElse(CREATED_BY)
+
+    // U5 snapshot BEFORE any species runs — fused with the first
+    // species' initial count and the first merge's max-key aggregation
+    // (was three sequential driver actions over `existing`; one pass)
+    val (isoInitial, firstInitial, firstMaxKey) =
+      timed("initial_counts_fused") {
+        val withIso = existing.join(
+          broadcast(scopeFrame(RAT, "_m_iso")),
+          col("annotated_object_rgd_id") === col("_m_iso"), "left")
+        val withFirst = runs.headOption match {
+          case Some(r0) => withIso.join(
+            broadcast(scopeFrame(r0.cfg.speciesTypeKey, "_m_f0")),
+            col("annotated_object_rgd_id") === col("_m_f0"), "left")
+          case None => withIso.withColumn("_m_f0", lit(null).cast("int"))
+        }
+        val row = withFirst.agg(
+          count(when(scoped("_m_iso", isoRefRgdId), 1)).as("iso"),
+          count(when(runs.headOption
+            .map(r0 => scoped("_m_f0", r0.cfg.refRgdId))
+            .getOrElse(lit(false)), 1)).as("f0"),
+          coalesce(max(col("full_annot_key")), lit(0L)).as("mk")).head()
+        (row.getLong(0), row.getLong(1), row.getLong(2))
+      }
 
     // Materialization discipline, measured not guessed: each species'
     // logical plan nests the previous one's, so with plain cache() every
@@ -177,6 +236,12 @@ object PipelineRunner {
 
     var table = existing
     var prevRelease: Option[() => Unit] = None
+    // forward-looking values observed during the previous species' fill;
+    // None whenever that fill's table was changed afterwards (stale
+    // delete fired) or no fill ran yet
+    var initialCarry: Option[Long] = Some(firstInitial)
+    var maxKeyCarry: Option[Long] = Some(firstMaxKey)
+    var u5Carry: Option[(Long, Long)] = None // (stale, current) for U5
     // a failure anywhere mid-run must release the in-flight snapshots:
     // harness callers catch Throwable and keep the session alive, so a
     // stranded mergedSnap/species snapshot would pin table-sized blocks
@@ -184,67 +249,131 @@ object PipelineRunner {
     // the Snapped handles exist for)
     try {
       val perSpecies = runs.zipWithIndex.map { case (r, i) =>
-        val initial = timed(s"${r.name}_initial_count")(
-          refSpeciesCount(table, dims.rgdIds, r.cfg.refRgdId,
-            r.cfg.speciesTypeKey))
-        // materialize the merge ONCE: the op counts, the stale-delete
-        // scans, and the snapshot below all read the stored result (the
-        // merge's full-outer join must not re-execute per action).
+        val initial = initialCarry.getOrElse(
+          timed(s"${r.name}_initial_count")(
+            refSpeciesCount(table, dims.rgdIds, r.cfg.refRgdId,
+              r.cfg.speciesTypeKey)))
+        val nextOpt = runs.lift(i + 1)
+        val isLast = i == runs.size - 1
+        val needsScope = r.cfg.refRgdId != 0
+        // materialize the merge ONCE: every count this iteration (and
+        // the next one's initial, and U5's on the last species) rides
+        // the SAME fill pass as observed aggregates over broadcast
+        // scope markers — the full-outer join never re-executes and the
+        // stored result is re-read only by the delete anti-joins.
         // Sequential default: the FUSED annotate+merge plan (one pass —
         // no separate incoming materialization); opt-in concurrent
         // mode merges the pre-filled incoming leaf instead.
+        val mergeFrame = incomingSnaps match {
+          case Some(snaps) => MergeSink.merge(
+            table, snaps(i).df, r.cfg.runTs, r.cfg.createdBy,
+            maxKeyOpt = maxKeyCarry)
+          case None =>
+            AnnotationPipeline.run(r.gaf, table, dims, r.cfg,
+              maxKeyOpt = maxKeyCarry)
+        }
+        // one marker per DISTINCT species scope this fill must count
+        val marks = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+        def marker(speciesTypeKey: Int): String =
+          marks.getOrElseUpdate(speciesTypeKey, s"_m_${marks.size}")
+        val scM = if (needsScope) Some(marker(r.cfg.speciesTypeKey)) else None
+        val nxM = nextOpt.map(n => marker(n.cfg.speciesTypeKey))
+        val u5M = if (isLast) Some(marker(RAT)) else None
+        val obs = org.apache.spark.sql.Observation()
+        val metrics: Seq[Column] =
+          Seq("insert", "update", "touch", "keep").map(o =>
+            count(when(col("_op") === o, 1)).as(s"op_$o")) ++
+          Seq(coalesce(max(col("full_annot_key")), lit(0L)).as("maxKey")) ++
+          scM.toSeq.flatMap(m => Seq(
+            count(when(staleCond(m, r.cfg.refRgdId, r.cfg.createdBy), 1))
+              .as("stale"),
+            count(when(scoped(m, r.cfg.refRgdId), 1)).as("current"))) ++
+          nxM.zip(nextOpt).map { case (m, n) =>
+            count(when(scoped(m, n.cfg.refRgdId), 1)).as("nextInitial") } ++
+          u5M.toSeq.flatMap(m => Seq(
+            count(when(staleCond(m, isoRefRgdId, u5CreatedBy), 1))
+              .as("u5stale"),
+            count(when(scoped(m, isoRefRgdId), 1)).as("u5current")))
+        val observed = marks.foldLeft(mergeFrame) { case (df, (sp, m)) =>
+          df.join(broadcast(scopeFrame(sp, m)),
+            col("annotated_object_rgd_id") === col(m), "left")
+        }.observe(obs, metrics.head, metrics.tail: _*)
+          .drop(marks.values.toSeq: _*)
         val mergedSnap = timed(s"${r.name}_merge_fill")(
-          Snapshot.materialize(incomingSnaps match {
-            case Some(snaps) => MergeSink.merge(
-              table, snaps(i).df, r.cfg.runTs, r.cfg.createdBy)
-            case None =>
-              AnnotationPipeline.run(r.gaf, table, dims, r.cfg)
-          }))
+          Snapshot.materialize(observed))
         // the merge result is stored — this species' incoming blocks
         // are dead from here
         releaseIncoming(i)
+        var mergedAdopted = false // did mergedSnap become `table`'s storage?
         try {
-          val merged = mergedSnap.df
-          val ops = timed(s"${r.name}_op_counts")(
-            merged.groupBy("_op").count().collect()
-              .map(x => x.getString(0) -> x.getLong(1)).toMap)
-          val next = merged.drop("_op")
+          val row = obs.get
+          val ops = Seq("insert", "update", "touch", "keep")
+            .map(o => o -> row(s"op_$o").asInstanceOf[Long])
+            .filter(_._2 > 0).toMap
+          val next = mergedSnap.df.drop("_op")
           val (afterDelete, report) = timed(s"${r.name}_stale_delete")(
-            if (r.cfg.refRgdId == 0)
+            if (!needsScope)
               (next, StaleReport(0, 0, aborted = false))
-            else MergeSink.staleDelete(next, dims.rgdIds, r.cfg.refRgdId,
-              r.cfg.speciesTypeKey, staleCutoff, r.cfg.createdBy,
-              thresholdPct, initial))
-          val snap = timed(s"${r.name}_snapshot_fill")(
-            Snapshot.materialize(afterDelete))
-          prevRelease.foreach(_())
-          prevRelease = Some(snap.release)
-          table = snap.df
+            else MergeSink.staleDeleteCounted(next, dims.rgdIds,
+              r.cfg.refRgdId, r.cfg.speciesTypeKey, staleCutoff,
+              r.cfg.createdBy, thresholdPct, initial,
+              row("stale").asInstanceOf[Long],
+              row("current").asInstanceOf[Long]))
+          if (afterDelete eq next) {
+            // no rows removed: the stored merge IS the table (a column
+            // projection over its leaf — no second materialization),
+            // and every forward-looking observed value is valid
+            prevRelease.foreach(_())
+            prevRelease = Some(mergedSnap.release)
+            mergedAdopted = true
+            table = next
+            initialCarry = nextOpt.map(_ => row("nextInitial").asInstanceOf[Long])
+            maxKeyCarry = Some(row("maxKey").asInstanceOf[Long])
+            u5Carry = if (isLast)
+              Some((row("u5stale").asInstanceOf[Long],
+                row("u5current").asInstanceOf[Long]))
+            else None
+          } else {
+            // delete fired: materialize the survivors and drop every
+            // carried value measured over the pre-delete rows
+            val snap = timed(s"${r.name}_snapshot_fill")(
+              Snapshot.materialize(afterDelete))
+            prevRelease.foreach(_())
+            prevRelease = Some(snap.release)
+            table = snap.df
+            initialCarry = None
+            maxKeyCarry = None
+            u5Carry = None
+          }
           (r.name, ops, report)
-        } finally mergedSnap.release()
+        } finally if (!mergedAdopted) mergedSnap.release()
       }
 
-      // U5: rat-ISO stale delete vs the time-zero snapshot
-      val (afterIso, isoReport) = timed("u5_iso_stale")(
-        MergeSink.staleDelete(table, dims.rgdIds,
-          isoRefRgdId, RAT, staleCutoff,
-          runs.headOption.map(_.cfg.createdBy).getOrElse(CREATED_BY),
-          thresholdPct, isoInitial))
+      // U5: rat-ISO stale delete vs the time-zero snapshot. The scoped
+      // counts come from the last species' fill observation when its
+      // table survived unchanged; otherwise count the table directly.
+      val (afterIso, isoReport) = timed("u5_iso_stale")(u5Carry match {
+        case Some((u5Stale, u5Current)) =>
+          MergeSink.staleDeleteCounted(table, dims.rgdIds, isoRefRgdId,
+            RAT, staleCutoff, u5CreatedBy, thresholdPct, isoInitial,
+            u5Stale, u5Current)
+        case None =>
+          MergeSink.staleDelete(table, dims.rgdIds, isoRefRgdId, RAT,
+            staleCutoff, u5CreatedBy, thresholdPct, isoInitial)
+      })
 
-      // Exactly ONE materialization leaves this function: finalTable,
-      // with its release handle on the report (the U5 delete is an
-      // anti-join ABOVE the last species' snapshot, so returning it raw
-      // would strand that snapshot's storage with no way for the caller
-      // to free it).
-      if (afterIso eq table) // U5 no-op/abort: already the materialized snap
-        RunReport(perSpecies, Some(isoReport), table,
-          prevRelease.getOrElse(() => ()))
-      else {
-        val finalSnap = timed("final_fill")(Snapshot.materialize(afterIso))
-        prevRelease.foreach(_())
-        RunReport(perSpecies, Some(isoReport), finalSnap.df,
-          finalSnap.release)
-      }
+      // finalTable: a NARROW plan (column projection, plus the U5
+      // anti-join when it fired) over the run's one pinned
+      // materialization, whose release handle rides the report. It is
+      // deliberately NOT re-materialized (r16): the former final_fill
+      // copied the whole table into storage a second time so callers
+      // could act on a single leaf, but every action on the returned
+      // frame only re-pays a broadcast anti-join over the stored leaf —
+      // callers wanting a leaf (e.g. before releasing) materialize or
+      // localCheckpoint the projection themselves, which they did
+      // anyway (gaf_runner_multispecies does exactly that).
+      RunReport(perSpecies, Some(isoReport), afterIso,
+        prevRelease.getOrElse(() => ()))
     } catch { case e: Throwable =>
       runs.indices.foreach(releaseIncoming)
       prevRelease.foreach(_())

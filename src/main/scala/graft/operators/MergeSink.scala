@@ -61,8 +61,17 @@ object MergeSink {
     *                    sort AND the maxKey driver action. All persisted
     *                    outputs must keep the default.
     */
+  /** @param maxKeyOpt pre-computed `max(full_annot_key)` over `existing`
+    *                   (0 when empty). Callers that already paid an action
+    *                   on `existing` (e.g. [[graft.gaf.PipelineRunner]]'s
+    *                   fused fill observation) pass it here so the merge
+    *                   plan-build skips its own driver aggregation — the
+    *                   value MUST equal what that aggregation would read,
+    *                   or insert surrogate keys change.
+    */
   def merge(existing: DataFrame, incoming: DataFrame, runTs: Timestamp,
-            createdBy: Int, assignKeys: Boolean = true): DataFrame = {
+            createdBy: Int, assignKeys: Boolean = true,
+            maxKeyOpt: Option[Long] = None): DataFrame = {
     val outCols = existing.columns.toSeq
     val e = existing.withColumn("_e", lit(1)).as("e")
     val i = incoming.withColumn("_i", lit(1)).as("i")
@@ -73,8 +82,9 @@ object MergeSink {
 
     val maxKey: Long =
       if (!assignKeys) 0L
-      else existing.agg(coalesce(max(col("full_annot_key")), lit(0L)))
-        .head().getLong(0)
+      else maxKeyOpt.getOrElse(
+        existing.agg(coalesce(max(col("full_annot_key")), lit(0L)))
+          .head().getLong(0))
 
     val joined = e.join(i, cond, "full_outer")
       .withColumn("_op",
@@ -164,11 +174,27 @@ object MergeSink {
       .join(scopeIds, col("annotated_object_rgd_id") === col("rgd_id"), "left_semi")
       .count()
 
+    staleDeleteCounted(table, rgdIds, refRgdId, speciesTypeKey, cutoff,
+      createdBy, thresholdPct, initialCount, staleCount, currentCount)
+  }
+
+  /** [[staleDelete]] with the two scoped counts already in hand (e.g.
+    * observed map-side during the merge fill — PipelineRunner's fused
+    * fill): same brake decision and same anti-join, zero count actions.
+    * The counts MUST have been measured over exactly `table`'s rows.
+    */
+  def staleDeleteCounted(table: DataFrame, rgdIds: DataFrame, refRgdId: Int,
+                         speciesTypeKey: Int, cutoff: Timestamp,
+                         createdBy: Int, thresholdPct: Double,
+                         initialCount: Long, staleCount: Long,
+                         currentCount: Long): (DataFrame, StaleReport) = {
     val netDrop = initialCount - (currentCount - staleCount)
     val abort = currentCount > 0 &&
       netDrop > currentCount * thresholdPct / 100.0
     if (abort || staleCount == 0) (table, StaleReport(staleCount, currentCount, abort))
     else {
+      val stale = staleCandidates(table, rgdIds, refRgdId, speciesTypeKey,
+        cutoff, createdBy)
       val kept = table.join(stale.select("full_annot_key"),
         Seq("full_annot_key"), "left_anti")
       (kept, StaleReport(staleCount, currentCount, aborted = false))

@@ -152,6 +152,58 @@ class RunnerSpec extends SparkSpec {
     assert(leaked.isEmpty, s"runAll leaked persistent RDDs: $leaked")
   }
 
+  test("fused-fill fallback: a mid-run species stale delete invalidates " +
+      "the carried counts and the run still lands correct (r16)") {
+    // r16 fuses the next species' initial count, the next merge's max
+    // key and the U5 counts into each species' fill observation — valid
+    // only while the species' own stale delete is a no-op. Seed a stale
+    // MOUSE-scoped pipeline row so mouse's delete FIRES mid-run: the
+    // carried values are measured over pre-delete rows and must be
+    // discarded (recomputed over the survivors), or U5/next-initial
+    // decisions drift. Assertions pin both the per-species delete and
+    // the downstream correctness of everything the carry feeds.
+    val dims = Fixtures.dims(spark)
+    val runTs = ts("2026-01-02 00:00:00")
+    val cutoff = ts("2026-01-01 23:50:00")
+    val mouseCfg = Fixtures.mouseConfig(runTs)
+    val existing = table(
+      annotRow(1, "GO:0001", "term one", 1007, "IDA", 555, 100,
+        ts("2025-06-01 00:00:00"), symbol = "Chin1"),
+      // stale MOUSE row: pipeline-written, mouse ref, old, active mouse
+      // gene 1004, not re-derived by the mouse GAF (GO:0002 on 1004)
+      annotRow(2, "GO:0002", "term two", 1004, "IDA", mouseCfg.refRgdId,
+        CREATED_BY, ts("2025-06-01 00:00:00")),
+      // stale rat-ISO row for U5
+      annotRow(3, "GO:0002", "term two", 1006, "ISO", REF_ISO, CREATED_BY,
+        ts("2025-06-01 00:00:00"), withInfo = "RGD:9999"))
+
+    val mouse = PipelineRunner.SpeciesRun("mouse",
+      Fixtures.mouseGaf(spark), mouseCfg)
+    val chin = PipelineRunner.chinchillaRun(existing, dims, REF_ISO, runTs)
+    val report = PipelineRunner.runAll(existing, dims,
+      Seq(mouse, chin), REF_ISO, cutoff)
+    try {
+      // the mouse stale delete fired on exactly the seeded row
+      val mouseReport = report.species.collectFirst {
+        case ("mouse", _, r) => r }.get
+      assert(!mouseReport.aborted && mouseReport.staleCount === 1)
+      assert(report.finalTable.filter(col("full_annot_key") === 2)
+        .count() === 0)
+      // U5 still fired on the stale ISO row (its counts were recomputed
+      // over the post-delete table, not served from the carry)
+      assert(report.isoStale.exists(r => !r.aborted && r.staleCount === 1))
+      assert(report.finalTable.filter(col("full_annot_key") === 3)
+        .count() === 0)
+      // surrogate keys downstream of the invalidated maxKey carry stay
+      // collision-free and above the existing key space
+      val keys = report.finalTable.select("full_annot_key")
+        .collect().map(_.getLong(0))
+      assert(keys.distinct.length === keys.length)
+      assert(report.finalTable.filter(col("annotated_object_rgd_id") === 1008)
+        .count() === 1) // chin-derived ISO landed after the fallback
+    } finally report.release()
+  }
+
   test("concurrent incoming phase: a species whose fill fails releases " +
       "every sibling's already-filled snapshot (r14 failure path)") {
     val dims = Fixtures.dims(spark)

@@ -142,6 +142,20 @@ object DedupIndexIO {
              textCol: String, gen: Option[Long] = None): Unit = {
     val (k, bands) = Dedup.indexGeometry(spark.read
       .schema("key string, gen bigint, kind string").parquet(dir))
+    appendKeys(spark, dir, newDocs, textCol, gen, k, bands)
+  }
+
+  /** [[append]] with the store's geometry already read off ITS OWN
+    * marker by the caller (the stored classify cycle validates the
+    * loaded frame once) — skips the marker re-read job. Package-private:
+    * a caller-invented (k, bands) here would silently poison the store
+    * with unmatched band keys, the exact hazard [[append]]'s
+    * read-the-marker contract exists to prevent.
+    */
+  private[dedup] def appendKeys(spark: SparkSession, dir: String,
+                                newDocs: DataFrame, textCol: String,
+                                gen: Option[Long], k: Int,
+                                bands: Int): Unit = {
     val keys = Dedup.indexKeys(newDocs, textCol, k, bands).distinct()
     gen.fold(keys.select(col("key"), col("kind")))(g =>
         keys.select(col("key"), lit(g).as("gen"), col("kind")))

@@ -901,11 +901,35 @@ object SemanticIndexIO {
       noteS, driftN)
   }
 
+  /** Loaded-handle memo (r16 optimization round): a generation tree is
+    * IMMUTABLE once sealed (appendSave/compact always commit a NEW gen
+    * and the sweep only deletes superseded ones), so the handle built
+    * for (dir, gen) can be reused for every later load that resolves to
+    * the same generation — repeat loads inside one increment cycle
+    * (classify + encode + fold each load today) skip the quantizer
+    * parquet footer reads and frame rebuilds. The CURRENT file's
+    * modification time rides the key so a store DELETED and re-created
+    * at the same path (gen counter resets) can never serve a stale
+    * handle. Bounded + dead-session-evicted via [[graft.Memo]].
+    */
+  private val loadCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long, Long), Dedup.SemanticIndex]()
+
   def load(spark: SparkSession, dir: String): Dedup.SemanticIndex = {
     val (fs, d) = fsOf(spark, dir)
     val gen = currentGen(fs, d)
     require(gen >= 0, s"no committed semantic index under $dir " +
       s"(missing $CurrentFile — was save() ever completed here?)")
+    val mtime =
+      try fs.getFileStatus(new Path(d, CurrentFile)).getModificationTime
+      catch { case _: Throwable => -1L }
+    graft.Memo.maintain(loadCache, cap = 8)(_._1)
+    loadCache.computeIfAbsent((spark, d.toString, gen, mtime),
+      _ => loadGen(spark, fs, d, dir, gen))
+  }
+
+  private def loadGen(spark: SparkSession, fs: FileSystem, d: Path,
+                      dir: String, gen: Long): Dedup.SemanticIndex = {
     val g = new Path(d, s"gen=$gen")
     val gs = g.toString
     val modelLines = readText(fs, new Path(g, "model.txt")).split("\n")
@@ -952,10 +976,23 @@ object SemanticIndexIO {
       // (SemFragScaleMain measured the union form growing ~linearly —
       // fixed per-scan overhead times N). Dead/unreferenced fragments
       // are never listed — only the manifest's dirs are roots.
-      val codes = spark.read.option("basePath", s"$d/$CodesRoot")
+      // Schemas come from the r14+ sidecar when present (skips the
+      // footer-read inference pass; partition columns are appended by
+      // discovery exactly as prunedCodes' genBound read relies on);
+      // pre-r14 stores fall back to inference.
+      val sidecar =
+        if (fs.exists(new Path(g, "schema.txt")))
+          Some(storedSchemas(fs, d, gen))
+        else None
+      def withSchema(r: org.apache.spark.sql.DataFrameReader,
+                     s: Option[org.apache.spark.sql.types.StructType]) =
+        s.fold(r)(r.schema)
+      val codes = withSchema(
+          spark.read.option("basePath", s"$d/$CodesRoot"), sidecar.map(_._1))
         .parquet(frags.map(f => s"$d/$CodesRoot/$f"): _*)
         .select(col("c_id"), col("cent_id"), col("c_code"), col("c_xsqn"))
-      val vectors = spark.read.option("basePath", s"$d/$VecRoot")
+      val vectors = withSchema(
+          spark.read.option("basePath", s"$d/$VecRoot"), sidecar.map(_._2))
         .parquet(frags.map(f => s"$d/$VecRoot/$f"): _*)
         .select(col("c_id"), col("c_vec"))
       Dedup.SemanticIndex(model, quantizer, codes, vectors)
@@ -997,32 +1034,56 @@ object SemanticIndexIO {
     * append — whose files lack the column — read it as null instead of
     * poisoning schema inference across mixed fragments.
     */
+  /** Base (unfiltered) code relation per (session, dir, gen, wantGen) —
+    * the partition-discovery listing over the fragment dirs is identical
+    * for every [[prunedCodes]] call against the same sealed generation,
+    * so the relation is memoized alongside [[loadCache]] and each call
+    * only adds its own cells filter (which still prunes at planning
+    * time). Same immutability/mtime reasoning as loadCache.
+    */
+  private val codesBaseCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long, Long, Boolean), DataFrame]()
+
   def prunedCodes(spark: SparkSession, dir: String,
                   cells: Seq[Long],
                   genBound: Option[Long] = None): DataFrame = {
     val (fs, d) = fsOf(spark, dir)
     val gen = currentGen(fs, d)
     require(gen >= 0, s"no committed semantic index under $dir")
-    val frags = manifest(fs, d, gen)
-    if (frags.isEmpty)
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        storedSchemas(fs, d, gen)._1)
-    else {
-      val base = spark.read.option("basePath", s"$d/$CodesRoot")
-      val reader = genBound.fold(base) { _ =>
-        val cs = storedSchemas(fs, d, gen)._1
-        base.schema(
-          if (cs.fieldNames.contains("gen")) cs
-          else cs.add("gen", org.apache.spark.sql.types.LongType))
-      }
-      val cut = reader
-        .parquet(frags.map(f => s"$d/$CodesRoot/$f"): _*)
-        .filter(col("cent_bucket").isin(cells: _*))
-      genBound.fold(cut)(g =>
-          cut.filter(col("gen").isNull || col("gen") < g))
+    val mtime =
+      try fs.getFileStatus(new Path(d, CurrentFile)).getModificationTime
+      catch { case _: Throwable => -1L }
+    graft.Memo.maintain(codesBaseCache, cap = 8)(_._1)
+    val cut = codesBaseCache.computeIfAbsent(
+      (spark, d.toString, gen, mtime, genBound.isDefined), _ => {
+        val frags = manifest(fs, d, gen)
+        if (frags.isEmpty)
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            storedSchemas(fs, d, gen)._1)
+        else {
+          val base = spark.read.option("basePath", s"$d/$CodesRoot")
+          // the sidecar schema (when present) skips footer inference on
+          // BOTH paths (r16); the genBound read additionally needs the
+          // `gen` column declared so pre-stamp fragments read it as null
+          val hasSidecar = fs.exists(new Path(d, s"gen=$gen/schema.txt"))
+          val reader =
+            if (genBound.isDefined) {
+              val cs = storedSchemas(fs, d, gen)._1
+              base.schema(
+                if (cs.fieldNames.contains("gen")) cs
+                else cs.add("gen", org.apache.spark.sql.types.LongType))
+            } else if (hasSidecar) base.schema(storedSchemas(fs, d, gen)._1)
+            else base
+          reader.parquet(frags.map(f => s"$d/$CodesRoot/$f"): _*)
+        }
+      })
+    if (cut.schema.fieldNames.contains("cent_bucket")) {
+      val filtered = cut.filter(col("cent_bucket").isin(cells: _*))
+      genBound.fold(filtered)(g =>
+          filtered.filter(col("gen").isNull || col("gen") < g))
         .select(col("c_id"), col("cent_id"), col("c_code"),
           col("c_xsqn"))
-    }
+    } else cut // data-less generation: empty frame of the stored schema
   }
 }

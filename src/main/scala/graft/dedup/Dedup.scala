@@ -523,6 +523,16 @@ object Dedup {
     geomCache.computeIfAbsent(index, readIndexGeometry)
   }
 
+  /** Seed the identity memo with geometry already validated elsewhere
+    * (DedupIndexIO's (session, dir, stamp)-keyed store memo): the loaded
+    * frame's downstream [[indexGeometry]] probes then hit without a job.
+    * The r16 identity memo never hit for [[DedupIndexIO.append]]/load
+    * callers — each call builds a fresh frame object, so the memo only
+    * accumulated one-shot entries (r17 advice).
+    */
+  private[dedup] def seedGeometry(index: DataFrame, geom: (Int, Int)): Unit =
+    geomCache.putIfAbsent(index, geom)
+
   private def readIndexGeometry(index: DataFrame): (Int, Int) = {
     val geom = index.filter(col("kind") === "geom")
       .select(col("key")).limit(2).collect()

@@ -75,8 +75,43 @@ object DedupIndexIO {
     val idx = spark.read
       .schema("key string, gen bigint, kind string").parquet(dir)
       .select(col("kind"), col("key"), col("gen"))
-    Dedup.indexGeometry(idx)
+    // validate via the store-keyed geometry memo (one probe job per
+    // (session, dir, marker stamp), not per load) and seed the identity
+    // memo so this frame's downstream indexGeometry probes hit too
+    Dedup.seedGeometry(idx, storedGeometry(spark, dir, idx))
     idx
+  }
+
+  /** Store-keyed geometry memo (r17, advice item): the geometry marker
+    * is written exactly once by [[save]] and NEVER touched by appends,
+    * so for a given store path it is immutable — but every [[load]] /
+    * [[append]] call builds a FRESH frame object, so the identity-keyed
+    * [[Dedup.indexGeometry]] memo missed on all of them and each call
+    * paid a 2-row probe job. Keyed like SemanticIndexIO.loadCache by
+    * (session, dir) plus a freshness stamp over the marker partition's
+    * file statuses (mtime/len), which kills the delete-and-recreate-at-
+    * the-same-path stale-geometry hazard the bare (session, dir) key
+    * would have.
+    */
+  private val geomCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), (Int, Int)]()
+
+  private def geomStamp(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir, "kind=geom")
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).iterator
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .map(s => s.getModificationTime ^ (s.getLen * 1315423911L))
+        .foldLeft(0L)(_ ^ _)
+    } catch { case _: java.io.IOException => -1L }
+  }
+
+  private def storedGeometry(spark: SparkSession, dir: String,
+                             idx: => DataFrame): (Int, Int) = {
+    graft.Memo.maintain(geomCache)(_._1)
+    geomCache.computeIfAbsent((spark, dir, geomStamp(spark, dir)),
+      _ => Dedup.indexGeometry(idx))
   }
 
   /** Fold one increment's keys into the store —
@@ -140,7 +175,9 @@ object DedupIndexIO {
 
   def append(spark: SparkSession, dir: String, newDocs: DataFrame,
              textCol: String, gen: Option[Long] = None): Unit = {
-    val (k, bands) = Dedup.indexGeometry(spark.read
+    // marker read rides the store-keyed memo (by-name frame: only built
+    // on a memo miss) — an append cycle after a load pays zero probe jobs
+    val (k, bands) = storedGeometry(spark, dir, spark.read
       .schema("key string, gen bigint, kind string").parquet(dir))
     appendKeys(spark, dir, newDocs, textCol, gen, k, bands)
   }

@@ -921,8 +921,12 @@ object SemanticIndexIO {
     require(gen >= 0, s"no committed semantic index under $dir " +
       s"(missing $CurrentFile — was save() ever completed here?)")
     val mtime =
+      // IOException ONLY (r17 advice): a probe failure falls back to the
+      // -1 sentinel (both probes of a live store fail alike, so the key
+      // stays consistent); any other error is a real fault and must
+      // propagate, not silently serve a possibly-stale handle
       try fs.getFileStatus(new Path(d, CurrentFile)).getModificationTime
-      catch { case _: Throwable => -1L }
+      catch { case _: java.io.IOException => -1L }
     graft.Memo.maintain(loadCache, cap = 8)(_._1)
     loadCache.computeIfAbsent((spark, d.toString, gen, mtime),
       _ => loadGen(spark, fs, d, dir, gen))
@@ -1051,8 +1055,9 @@ object SemanticIndexIO {
     val gen = currentGen(fs, d)
     require(gen >= 0, s"no committed semantic index under $dir")
     val mtime =
+      // IOException ONLY — same reasoning as load()'s probe above
       try fs.getFileStatus(new Path(d, CurrentFile)).getModificationTime
-      catch { case _: Throwable => -1L }
+      catch { case _: java.io.IOException => -1L }
     graft.Memo.maintain(codesBaseCache, cap = 8)(_._1)
     val cut = codesBaseCache.computeIfAbsent(
       (spark, d.toString, gen, mtime, genBound.isDefined), _ => {

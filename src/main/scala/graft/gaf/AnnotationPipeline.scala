@@ -546,14 +546,20 @@ object AnnotationPipeline {
       .withColumn("last_modified_by", lit(cfg.createdBy))
       .select(cols.map(col): _*)
 
-  /** annotate + classify-merge against the existing FULL_ANNOT snapshot.
-    * `maxKeyOpt` forwards to [[MergeSink.merge]] (pre-computed
-    * `max(full_annot_key)` over `existing`, when the caller already has
-    * it from a fused action).
-    */
+  /** annotate + classify-merge against the existing FULL_ANNOT snapshot. */
   def run(gaf: DataFrame, existing: DataFrame, dims: Dimensions,
-          cfg: PipelineConfig, maxKeyOpt: Option[Long] = None): DataFrame =
+          cfg: PipelineConfig): DataFrame =
+    run(gaf, existing, dims, cfg, maxKeyOpt = None)
+
+  /** [[run]] with `maxKeyOpt` forwarded to [[MergeSink.merge]]
+    * (pre-computed `max(full_annot_key)` over `existing`, when the
+    * caller already has it from a fused action) — private[graft] like
+    * the merge overload it feeds: a wrong maxKey silently collides
+    * insert surrogate keys.
+    */
+  private[graft] def run(gaf: DataFrame, existing: DataFrame, dims: Dimensions,
+          cfg: PipelineConfig, maxKeyOpt: Option[Long]): DataFrame =
     MergeSink.merge(existing,
       incoming(gaf, dims, cfg, existing.columns.toSeq),
-      cfg.runTs, cfg.createdBy, maxKeyOpt = maxKeyOpt)
+      cfg.runTs, cfg.createdBy, assignKeys = true, maxKeyOpt = maxKeyOpt)
 }

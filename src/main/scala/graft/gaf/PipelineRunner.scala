@@ -267,7 +267,7 @@ object PipelineRunner {
         val mergeFrame = incomingSnaps match {
           case Some(snaps) => MergeSink.merge(
             table, snaps(i).df, r.cfg.runTs, r.cfg.createdBy,
-            maxKeyOpt = maxKeyCarry)
+            assignKeys = true, maxKeyOpt = maxKeyCarry)
           case None =>
             AnnotationPipeline.run(r.gaf, table, dims, r.cfg,
               maxKeyOpt = maxKeyCarry)

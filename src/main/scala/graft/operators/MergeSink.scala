@@ -61,17 +61,26 @@ object MergeSink {
     *                    sort AND the maxKey driver action. All persisted
     *                    outputs must keep the default.
     */
+  def merge(existing: DataFrame, incoming: DataFrame, runTs: Timestamp,
+            createdBy: Int, assignKeys: Boolean = true): DataFrame =
+    merge(existing, incoming, runTs, createdBy, assignKeys,
+      maxKeyOpt = None)
+
   /** @param maxKeyOpt pre-computed `max(full_annot_key)` over `existing`
     *                   (0 when empty). Callers that already paid an action
     *                   on `existing` (e.g. [[graft.gaf.PipelineRunner]]'s
     *                   fused fill observation) pass it here so the merge
     *                   plan-build skips its own driver aggregation — the
     *                   value MUST equal what that aggregation would read,
-    *                   or insert surrogate keys change.
+    *                   or insert surrogate keys change. private[graft]
+    *                   (r17 advice): a wrong caller-supplied maxKey
+    *                   silently produces colliding surrogate keys, the
+    *                   appendKeys hazard class — the runner/pipeline are
+    *                   the only intended callers.
     */
-  def merge(existing: DataFrame, incoming: DataFrame, runTs: Timestamp,
-            createdBy: Int, assignKeys: Boolean = true,
-            maxKeyOpt: Option[Long] = None): DataFrame = {
+  private[graft] def merge(existing: DataFrame, incoming: DataFrame,
+            runTs: Timestamp, createdBy: Int, assignKeys: Boolean,
+            maxKeyOpt: Option[Long]): DataFrame = {
     val outCols = existing.columns.toSeq
     val e = existing.withColumn("_e", lit(1)).as("e")
     val i = incoming.withColumn("_i", lit(1)).as("i")
@@ -181,9 +190,11 @@ object MergeSink {
   /** [[staleDelete]] with the two scoped counts already in hand (e.g.
     * observed map-side during the merge fill — PipelineRunner's fused
     * fill): same brake decision and same anti-join, zero count actions.
-    * The counts MUST have been measured over exactly `table`'s rows.
+    * The counts MUST have been measured over exactly `table`'s rows —
+    * private[graft] (r17 advice) so no outside caller can feed counts
+    * that desynchronize the threshold brake (the appendKeys precedent).
     */
-  def staleDeleteCounted(table: DataFrame, rgdIds: DataFrame, refRgdId: Int,
+  private[graft] def staleDeleteCounted(table: DataFrame, rgdIds: DataFrame, refRgdId: Int,
                          speciesTypeKey: Int, cutoff: Timestamp,
                          createdBy: Int, thresholdPct: Double,
                          initialCount: Long, staleCount: Long,

@@ -24,8 +24,13 @@ object GafE2eQueries extends QueryPack {
   private val dimsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Dimensions]()
 
-  def dims(s: SparkSession, d: String): Dimensions =
+  def dims(s: SparkSession, d: String): Dimensions = {
+    // evict stopped-session entries / bound the memo like every sibling
+    // dim cache (r17 advice — entries keyed by dead sessions would pin
+    // their plans for the JVM lifetime)
+    graft.Memo.maintain(dimsCache)(_._1)
     dimsCache.computeIfAbsent((s, d), k => buildDims(k._1, k._2))
+  }
 
   /** Dimensions derived from part/nation: genes = parts (every 10th one
     * retired with a history redirect to the next id), terms = the go_id
@@ -165,9 +170,12 @@ object GafE2eQueries extends QueryPack {
       (Dimensions, DataFrame)]()
 
   private def runnerFixtures(s: SparkSession, d: String)
-      : (Dimensions, DataFrame) =
+      : (Dimensions, DataFrame) = {
+    graft.Memo.maintain(runnerFixtureCache)(_._1) // r17 advice: evict
+    // stopped sessions + cap, as geomCache/loadCache/codesBaseCache do
     runnerFixtureCache.computeIfAbsent((s, d),
       k => buildRunnerFixtures(k._1, k._2))
+  }
 
   def runnerMultiSpecies(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -398,6 +398,37 @@ object Similarity {
       .select(col("v_id"), col("v_vec"), col("cent_id"))
   }
 
+  /** The k hash-ranked seed rows `(cent_id, cent_vec)` as a LOCAL
+    * relation (r17, verdict item 8): numbering used to be
+    * `row_number().over(Window.orderBy(hash, id))` over the
+    * `orderBy(hash, id).limit(k)` rows — correct and bounded (≤ k rows)
+    * but a single-partition WindowExec the driver's entry run warns
+    * about on every training call. The seeds are DRIVER data anyway
+    * (trainIvfCentroids localizes them before the first Lloyd step), so
+    * collect the bounded sorted prefix directly — a sorted limit's
+    * collect returns rows in its total order — and number by position,
+    * which reproduces the window's row_number bit-identically (ties are
+    * impossible: the second sort key is the unique id). One fewer
+    * exchange + no WindowExec, same values, same digests.
+    */
+  private def hashRankedSeeds(vectors: DataFrame, idCol: String,
+                              vecCol: String, k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val ordered = vectors
+      .select(col(idCol).as("_sid"), col(vecCol).as("cent_vec"))
+    val rows = ordered
+      .orderBy(xxhash64(col("_sid")), col("_sid")).limit(k)
+      .select(col("cent_vec")).collect()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cent_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      ordered.schema("cent_vec")))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i.toLong, r.get(0))
+      }: _*), schema)
+  }
+
   /** Train a two-level quantizer: Lloyd the coarse level exactly like
     * [[trainIvfCentroids]] (hash-ranked seeds renumbered 0..coarseK-1),
     * assign the sample once, seed hash-ranked members per cell under a
@@ -426,11 +457,7 @@ object Similarity {
     require(iterations >= 0, s"negative iterations: $iterations")
     val spark = sample.sparkSession
     val vectors = sample.select(col(id).as("v_id"), col(vec).as("v_vec"))
-    val hashOrd = Seq(xxhash64(col("v_id")), col("v_id"))
-    val seedW = Window.orderBy(hashOrd: _*)
-    val coarseSeeds = vectors.orderBy(hashOrd: _*).limit(coarseK)
-      .withColumn("cent_id", row_number().over(seedW).cast("long") - 1)
-      .select(col("cent_id"), col("v_vec").as("cent_vec"))
+    val coarseSeeds = hashRankedSeeds(vectors, "v_id", "v_vec", coarseK)
     val coarse = tt("tl_coarse_lloyd")(trainIvfCentroids(vectors, coarseSeeds,
       iterations = iterations, id = "v_id", vec = "v_vec"))
     // consumed by the fine-seed window plus once per Lloyd iteration —
@@ -1001,11 +1028,7 @@ object Similarity {
 
     // coarse quantizer: hash-ranked seeds renumbered 0..coarseK-1 (the
     // cell id must compose into one block long), standard Lloyd recipe
-    val hashOrd = Seq(xxhash64(col(idCol)), col(idCol))
-    val seedW = Window.orderBy(hashOrd: _*)
-    val coarseSeeds = emb.orderBy(hashOrd: _*).limit(coarseK)
-      .withColumn("cent_id", row_number().over(seedW).cast("long") - 1)
-      .select(col("cent_id"), col("embedding").as("cent_vec"))
+    val coarseSeeds = hashRankedSeeds(emb, idCol, "embedding", coarseK)
     val sample = graft.operators.Sampling.hashSample(
       emb.select(col(idCol).as("c_id"), col("embedding").as("c_vec")),
       col("c_id"), "8", "ivf")

@@ -74,6 +74,23 @@ object Tables {
     * adaptive-collect pattern (DagClosure, resolveGeneIds). Scoped conf
     * override, restored after the job.
     */
+  /** Collapse a DIM-SIZED frame to a LOCAL relation when it fits the
+    * driver (r17): plans that embed derived dimension subtrees at many
+    * places (the annotate spine joins dims ~10 times, three species per
+    * runner pass) re-pay Catalyst analysis and broadcast-build jobs per
+    * embedding; a LocalRelation leaf is free to analyze and broadcasts
+    * without a job. Content identical. Past `cap` rows the lazy plan is
+    * returned unchanged — the same adaptive split DagClosure and the
+    * resolve fixpoint use. Only for dimension tables: a fact frame
+    * localized here would ship the corpus through the driver.
+    */
+  def localizeBounded(df: DataFrame, cap: Int = 1000000): DataFrame = {
+    val rows = limitCollect(df, cap + 1)
+    if (rows.length > cap) df
+    else df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   def limitCollect(df: DataFrame, n: Int): Array[org.apache.spark.sql.Row] = {
     val spark = df.sparkSession
     // serialized per session: concurrent set/restore of the conf key

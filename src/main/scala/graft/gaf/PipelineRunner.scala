@@ -264,14 +264,14 @@ object PipelineRunner {
         // Sequential default: the FUSED annotate+merge plan (one pass —
         // no separate incoming materialization); opt-in concurrent
         // mode merges the pre-filled incoming leaf instead.
-        val mergeFrame = incomingSnaps match {
+        val mergeFrame = timed(s"${r.name}_plan_build")(incomingSnaps match {
           case Some(snaps) => MergeSink.merge(
             table, snaps(i).df, r.cfg.runTs, r.cfg.createdBy,
             assignKeys = true, maxKeyOpt = maxKeyCarry)
           case None =>
             AnnotationPipeline.run(r.gaf, table, dims, r.cfg,
               maxKeyOpt = maxKeyCarry)
-        }
+        })
         // one marker per DISTINCT species scope this fill must count
         val marks = scala.collection.mutable.LinkedHashMap.empty[Int, String]
         def marker(speciesTypeKey: Int): String =

@@ -88,6 +88,23 @@ object Tuning {
       .map(_.stats.sizeInBytes).filter(_ != unknown).sum
   }
 
+  /** Size a frame for a durable WRITE (guide §6, r17): an
+    * increment-/dimension-sized store artifact written at the session's
+    * task parallelism lands as dozens of KB-scale files — each a task +
+    * a commit rename at write time and a parquet footer read at every
+    * later load. When the input-size estimate says the whole output
+    * fits one target-sized file, funnel it through one task
+    * (`repartition(1)`, an exchange — upstream still computes in
+    * parallel; `coalesce(1)` would collapse the upstream computation to
+    * one task). Inputs estimated bigger than `targetBytes` — or whose
+    * size the plan can't see (estimate 0) — pass through unchanged, so
+    * a genuinely large store keeps its parallel write.
+    */
+  def sizedForWrite(df: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
+    val est = estimatedBytes(df)
+    if (est > 0 && est <= targetBytes) df.repartition(1) else df
+  }
+
   /** Install the input-adaptive initial partition count on the session
     * unless the user already set one. No-op when AQE is off (a fixed
     * large partition count WITHOUT runtime coalescing would tax every

@@ -48,7 +48,11 @@ object DedupIndexIO {
     */
   def save(index: DataFrame, dir: String): Unit = {
     Dedup.indexGeometry(index) // validate before any file lands
-    index.select(col("key"), col("kind")) // partition col last
+    graft.Tuning.sizedForWrite( // guide §6 output sizing (r17): a
+        // dim-sized key table at task parallelism lands as dozens of
+        // KB files — one per kind partition suffices until the
+        // estimate says otherwise
+        index.select(col("key"), col("kind"))) // partition col last
       .write.partitionBy("kind").mode("errorifexists").parquet(dir)
   }
 
@@ -194,8 +198,9 @@ object DedupIndexIO {
                                 gen: Option[Long], k: Int,
                                 bands: Int): Unit = {
     val keys = Dedup.indexKeys(newDocs, textCol, k, bands).distinct()
-    gen.fold(keys.select(col("key"), col("kind")))(g =>
-        keys.select(col("key"), lit(g).as("gen"), col("kind")))
+    graft.Tuning.sizedForWrite( // guide §6 output sizing, as in save()
+        gen.fold(keys.select(col("key"), col("kind")))(g =>
+          keys.select(col("key"), lit(g).as("gen"), col("kind"))))
       .write.partitionBy("kind").mode("append").parquet(dir)
   }
 }

@@ -374,7 +374,7 @@ object SemanticIndexIO {
       shared.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     if (!callerCached) shared.persist()
     try {
-      vectors.select(col("c_id"), col("c_vec"))
+      graft.Tuning.sizedForWrite(vectors.select(col("c_id"), col("c_vec")))
         .write.parquet(s"$dirStr/$VecRoot/$frag")
       codes
         .withColumn("cent_bucket", col("cent_id"))
@@ -406,7 +406,8 @@ object SemanticIndexIO {
     quantizer match {
       case Similarity.FlatQuantizer(centroids) =>
         writeText(fs, new Path(g, "meta.txt"), "flat")
-        centroids.write.parquet(s"$gs/quantizer/centroids")
+        graft.Tuning.sizedForWrite(centroids)
+          .write.parquet(s"$gs/quantizer/centroids")
       case Similarity.TwoLevelCoarse(tl) =>
         // the optional third token marks a PAST-LITERAL-BUDGET fine
         // level (r15): load must reconstruct literalOk=false so EVERY
@@ -418,8 +419,10 @@ object SemanticIndexIO {
         writeText(fs, new Path(g, "meta.txt"),
           s"twolevel ${tl.fineK}" +
             (if (tl.literalOk) "" else " joinassign"))
-        tl.coarse.write.parquet(s"$gs/quantizer/coarse")
-        tl.fine.write.parquet(s"$gs/quantizer/fine")
+        graft.Tuning.sizedForWrite(tl.coarse)
+          .write.parquet(s"$gs/quantizer/coarse")
+        graft.Tuning.sizedForWrite(tl.fine)
+          .write.parquet(s"$gs/quantizer/fine")
     }
     if (note.nonEmpty) writeText(fs, new Path(g, "note.txt"), note)
     writeText(fs, new Path(g, "manifest.txt"), frags.mkString("\n"))

@@ -475,34 +475,51 @@ object AnnotationPipeline {
       col("gene_symbol").as("object_symbol"),
       col("full_name").as("object_name"))
 
-    annots
-      // F7: self-referencing ISO (MAHQC.java:250-256)
-      .filter(!(col("with_info") <=>
-        concat(lit("RGD:"), col("annotated_object_rgd_id"))))
-      // P6: ISO moves gene_product_form_id into with_info (MAHQC.java:258-270);
-      // empty with_info must yield the bare gpfi, not ",gpfi" (concat_ws
-      // skips nulls but keeps empty strings — nullif first)
-      .withColumn("with_info",
-        when(col("evidence") === "ISO" &&
-          length(coalesce(col("gene_product_form_id"), lit(""))) > 0,
-          concat_ws(",", nullif(col("with_info"), lit("")),
-            col("gene_product_form_id")))
-          .otherwise(col("with_info")))
-      .withColumn("gene_product_form_id",
-        when(col("evidence") === "ISO", lit(null)).otherwise(col("gene_product_form_id")))
-      // F8: ISO with empty with_info is meaningless (MAHQC.java:272-276)
-      .filter(!(col("evidence") === "ISO" &&
-        length(coalesce(col("with_info"), lit(""))) === 0))
-      // P7: annotation_extension is species-specific — cleared for ISO
-      .withColumn("annotation_extension",
-        when(col("evidence") === "ISO", lit(null)).otherwise(col("annotation_extension")))
-      // P5: qualifier rewrite + blank->null (MAHQC.java:290-294)
-      .withColumn("qualifier",
-        nullif(trim(regexp_replace(coalesce(col("qualifier"), lit("")),
-          "colocalizes_with", "located_in")), lit("")))
-      // P8: DATA_SRC substitution map (MAHQC.java:310-316)
-      .withColumn("data_src",
-        coalesce(try_element_at(substMap, col("data_src")), col("data_src")))
+    // Contiguous column rewrites are fused into single selects (r17):
+    // every withColumn re-runs Catalyst analysis over the whole tree
+    // below it, and this sits above the full match cascade. Fusing is
+    // value-safe here because each fused group's expressions read only
+    // ORIGINAL (pre-group) columns — the one sequential dependency
+    // (P6's with_info reads gene_product_form_id BEFORE it is nulled)
+    // holds under simultaneous evaluation too, since the nulling
+    // expression does not read with_info.
+    def rewritten(df: DataFrame, subst: Map[String, Column]): DataFrame =
+      df.select(df.columns.map(c => subst.getOrElse(c, col(c)).as(c)): _*)
+
+    val p6gpfi = rewritten(
+      annots
+        // F7: self-referencing ISO (MAHQC.java:250-256)
+        .filter(!(col("with_info") <=>
+          concat(lit("RGD:"), col("annotated_object_rgd_id")))),
+      Map(
+        // P6: ISO moves gene_product_form_id into with_info
+        // (MAHQC.java:258-270); empty with_info must yield the bare
+        // gpfi, not ",gpfi" (concat_ws skips nulls but keeps empty
+        // strings — nullif first)
+        "with_info" -> when(col("evidence") === "ISO" &&
+            length(coalesce(col("gene_product_form_id"), lit(""))) > 0,
+            concat_ws(",", nullif(col("with_info"), lit("")),
+              col("gene_product_form_id")))
+          .otherwise(col("with_info")),
+        "gene_product_form_id" -> when(col("evidence") === "ISO",
+          lit(null)).otherwise(col("gene_product_form_id"))))
+
+    rewritten(
+      p6gpfi
+        // F8: ISO with empty with_info is meaningless (MAHQC.java:272-276)
+        .filter(!(col("evidence") === "ISO" &&
+          length(coalesce(col("with_info"), lit(""))) === 0)),
+      Map(
+        // P7: annotation_extension is species-specific — cleared for ISO
+        "annotation_extension" -> when(col("evidence") === "ISO",
+          lit(null)).otherwise(col("annotation_extension")),
+        // P5: qualifier rewrite + blank->null (MAHQC.java:290-294)
+        "qualifier" -> nullif(trim(regexp_replace(
+          coalesce(col("qualifier"), lit("")),
+          "colocalizes_with", "located_in")), lit("")),
+        // P8: DATA_SRC substitution map (MAHQC.java:310-316)
+        "data_src" -> coalesce(
+          try_element_at(substMap, col("data_src")), col("data_src"))))
       // J8 + F9: unknown terms drop via the inner join (MAHQC.java:300-308)
       .join(broadcast(terms), Seq("term_acc"))
       // J9: symbol/name enrichment (MAHQC.java:322-327)
@@ -554,14 +571,19 @@ object AnnotationPipeline {
     * CONCURRENTLY before the (necessarily sequential) merges.
     */
   def incoming(gaf: DataFrame, dims: Dimensions, cfg: PipelineConfig,
-               cols: Seq[String]): DataFrame =
+               cols: Seq[String]): DataFrame = {
+    // ONE select, not five withColumns + a select (r17): every
+    // withColumn above the full annotate tree re-runs Catalyst analysis
+    // over it — measurable per-species driver cost in the runner loop
+    val identity: Map[String, Column] = Map(
+      "full_annot_key" -> lit(null).cast("long"),
+      "created_date" -> lit(null).cast("timestamp"),
+      "last_modified_date" -> lit(null).cast("timestamp"),
+      "created_by" -> lit(cfg.createdBy),
+      "last_modified_by" -> lit(cfg.createdBy))
     annotate(gaf, dims, cfg)
-      .withColumn("full_annot_key", lit(null).cast("long"))
-      .withColumn("created_date", lit(null).cast("timestamp"))
-      .withColumn("last_modified_date", lit(null).cast("timestamp"))
-      .withColumn("created_by", lit(cfg.createdBy))
-      .withColumn("last_modified_by", lit(cfg.createdBy))
-      .select(cols.map(col): _*)
+      .select(cols.map(c => identity.getOrElse(c, col(c)).as(c)): _*)
+  }
 
   /** annotate + classify-merge against the existing FULL_ANNOT snapshot. */
   def run(gaf: DataFrame, existing: DataFrame, dims: Dimensions,

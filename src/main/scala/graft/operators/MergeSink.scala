@@ -121,20 +121,27 @@ object MergeSink {
     // Inserts sort first within their bucket so their row_numbers are
     // contiguous from 1; keys are strictly > maxKey and unique because
     // (rn, bucket) -> rn*nB + bucket is injective for bucket < nB.
+    // r17: the bucket is an inline window-partition EXPRESSION and the
+    // key assignment one select — the former _bucket withColumn +
+    // full_annot_key withColumn + drop re-ran Catalyst analysis over
+    // the whole join tree three more times per merge (same values,
+    // same physical plan: the window still hash-partitions by the
+    // bucket expression).
     val nB = 1024
-    val w = Window.partitionBy(col("_bucket"))
-      .orderBy((col("_op") =!= "insert") +: uniqueKey.map(col): _*)
     val picked = joined
       .select(outCols.map(c => pick(c).as(c)) :+ col("_op"): _*)
     if (!assignKeys) picked
-    else picked
-      .withColumn("_bucket", pmod(xxhash64(uniqueKey.map(col): _*), lit(nB)))
-      .withColumn("full_annot_key",
-        when(col("_op") === "insert",
+    else {
+      val bucket = pmod(xxhash64(uniqueKey.map(col): _*), lit(nB))
+      val w = Window.partitionBy(bucket)
+        .orderBy((col("_op") =!= "insert") +: uniqueKey.map(col): _*)
+      val key = when(col("_op") === "insert",
           lit(maxKey) + (row_number().over(w) - 1).cast("long") * nB +
-            col("_bucket") + 1L)
-          .otherwise(col("full_annot_key")))
-      .drop("_bucket")
+            bucket + 1L)
+        .otherwise(col("full_annot_key"))
+      picked.select(picked.columns.map(c =>
+        if (c == "full_annot_key") key.as(c) else col(c)): _*)
+    }
   }
 
   final case class StaleReport(staleCount: Long, currentCount: Long,
